@@ -1,0 +1,103 @@
+"""Stage 4 — labelled pair vectors (reference Step4).
+
+Three reference mechanisms collapse into declarative relational ops:
+
+  * J3: the gold standard, loaded into every mapper's memory and probed
+    with containsKey + fan-out loop (Step4.java:84-165), becomes a
+    broadcast inner join against the two-orientation expansion of the
+    gold pairs.
+  * J4: the CompositeKey secondary sort + grouping comparator + stream
+    pairing of feature-sorted values (Step4.java:20-68, :196-247,
+    :378-409) is exactly a zero-filled full-outer alignment of the two
+    words' sparse feature vectors.  We express it as ONE grouped
+    aggregation: group by (pair, feature), pick each side's values with
+    conditional max, coalesce the missing side to 0 — strictly fewer
+    shuffles than a self-join of two filtered branches.
+  * A5/D1-D6: the reducer's 24 running accumulators (Step4.java:181-186,
+    :327-363) are 4 x 6 built-in aggregate expressions (similarity.py).
+
+Scale notes (100 TB): assoc is huge; gold is tiny (~15k pairs).  The
+broadcast join filters assoc down to gold lexemes *before* any shuffle
+(the reference's semi-join-in-mapper optimization, Step4.java:142, is
+what a broadcast hash join does for free).  The two groupBys that
+follow both partition by (word1, word2, ...) prefixes, so Catalyst
+reuses one exchange for both aggregations.  Fan-out is bounded by gold
+pair multiplicity per lexeme (small constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.similarity import similarity_measures
+from semantic_similarity_system_using_aws_mapreduce_spark.schemas import ASSOC_MEASURES, VECTOR_COLUMNS
+
+_ASSOC_COLS = {
+    "freq": "assoc_freq",
+    "prob": "assoc_prob",
+    "pmi": "assoc_pmi",
+    "ttest": "assoc_ttest",
+}
+
+
+def expand_gold_pairs(gold: DataFrame) -> DataFrame:
+    """Two-orientation expansion of gold pairs, keyed by the word that
+    will probe the assoc relation (reference Step4.java:113-114 inserts
+    both orientations; the HashSet dedups -> distinct here)."""
+    w1, w2 = F.col("word1"), F.col("word2")
+    first = gold.select(
+        w1.alias("lexeme"), w2.alias("other"), F.lit(True).alias("is_w1"), "related"
+    )
+    second = gold.select(
+        w2.alias("lexeme"), w1.alias("other"), F.lit(False).alias("is_w1"), "related"
+    )
+    return first.unionByName(second).distinct()
+
+
+def pair_feature_matrix(assoc: DataFrame, gold: DataFrame) -> DataFrame:
+    """Zero-filled feature alignment (J3 + J4): one row per
+    (word1, word2, related, feature) with both words' four association
+    values, missing side filled with 0 (the reference's ZEROS rows,
+    Step4.java:179, :230-247)."""
+    matched = assoc.join(F.broadcast(expand_gold_pairs(gold)), "lexeme")
+    tagged = matched.select(
+        F.when(F.col("is_w1"), F.col("lexeme")).otherwise(F.col("other")).alias("word1"),
+        F.when(F.col("is_w1"), F.col("other")).otherwise(F.col("lexeme")).alias("word2"),
+        F.col("related").alias("is_related"),
+        "feature",
+        "is_w1",
+        *_ASSOC_COLS.values(),
+    )
+    aggs = []
+    for short, col in _ASSOC_COLS.items():
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("is_w1"), F.col(col))), F.lit(0.0)
+            ).alias(f"x_{short}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(~F.col("is_w1"), F.col(col))), F.lit(0.0)
+            ).alias(f"y_{short}")
+        )
+    return tagged.groupBy("word1", "word2", "is_related", "feature").agg(*aggs)
+
+
+def pair_vectors(
+    assoc: DataFrame, gold: DataFrame, mode: str = "standard", with_array: bool = True
+) -> DataFrame:
+    """R4 ``pair_vectors``: per gold pair, the 4x6 matrix of
+    (association measure x similarity measure) flattened row-major into
+    24 named double columns (order = reference ARFF attribute order,
+    Step5.java:80-86) plus an array<double> for MLlib."""
+    aligned = pair_feature_matrix(assoc, gold)
+    aggs = []
+    for a in ASSOC_MEASURES:
+        measures = similarity_measures(F.col(f"x_{a}"), F.col(f"y_{a}"), mode=mode)
+        for s, expr in measures.items():
+            aggs.append(expr.alias(f"{a}_{s}"))
+    out = aligned.groupBy("word1", "word2", "is_related").agg(*aggs)
+    if with_array:
+        out = out.withColumn("vec", F.array(*[F.col(c) for c in VECTOR_COLUMNS]))
+    return out

@@ -1,0 +1,163 @@
+"""Syntactic n-gram ("biarcs") corpus reader.
+
+Input format (reference Step1.java:19-20; FIXTURES.md §A1)::
+
+    head_word<TAB>ngram<TAB>total_count<TAB>year,count<TAB>year,count...
+
+where ``ngram`` is a space-separated list of ``word/POS/dep/head_idx``
+quads.  Parsing is PERMISSIVE (the reference silently drops malformed
+rows/tokens — Step1.java:32-34, :52-59, :76-78): wrong tab arity drops
+the row, non-numeric counts drop the row, a quad with != 4 parts or an
+unparsable/0 head pointer drops that token only.
+
+Design for scale: stemming — the engine's only Python function in the
+hot path — happens in ONE Arrow-batched pandas UDF per corpus row,
+rewriting the token strings in place exactly like the reference
+(Stemmer.stemWord + String.replace, Step1.java:41-47, including the
+replace-ALL-occurrences quirk).  All structural work (tab/slash splits,
+casts, explode, head-pointer dereference) stays in JVM expressions, so
+the plan around the UDF remains whole-stage-codegen'd.  Apply once,
+persist, and every downstream stage is fully native.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from semantic_similarity_system_using_aws_mapreduce_spark.functions.stemming import porter_stem
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _stem_rewrite_tokens(ngrams: pd.Series) -> pd.Series:
+    """Split the n-gram on spaces and rewrite each token by replacing
+    every occurrence of its surface word (the part before the first
+    ``/``) with its Porter stem — byte-compatible with reference
+    Step1.java:41-47.  Tokens without a ``/`` are kept as-is (the
+    reference would crash on them; permissive here).
+
+    Memoized per batch at both the token level and the word level:
+    corpus token quads and words are heavily repeated (Zipfian).
+    """
+    tok_cache: dict[str, str] = {}
+    stem_cache: dict[str, str] = {}
+
+    def _rewrite(tok: str) -> str:
+        hit = tok_cache.get(tok)
+        if hit is not None:
+            return hit
+        slash = tok.find("/")
+        if slash < 0:
+            out = tok
+        else:
+            word = tok[:slash]
+            stem = stem_cache.get(word)
+            if stem is None:
+                stem = stem_cache[word] = porter_stem(word)
+            # String.replace replaces ALL occurrences (quirk P4).
+            out = tok.replace(word, stem) if word else tok
+        tok_cache[tok] = out
+        return out
+
+    def _row(ngram: str) -> list[str]:
+        if ngram is None:
+            return []
+        return [_rewrite(tok) for tok in ngram.split(" ")]
+
+    return ngrams.map(_row)
+
+
+def read_biarcs(
+    spark: SparkSession, path: str, stem: bool = True, keep_years: bool = False
+) -> DataFrame:
+    """Read raw biarcs text into the typed R0 ``corpus`` relation:
+    ``(head_word, tokens: array<string>, total_count: long)``.
+
+    ``tokens`` holds the (optionally stem-rewritten) quad strings;
+    structural quad parsing happens in :func:`token_emissions` so the
+    head-pointer dereference can index the full array.
+    """
+    fields = F.split(F.col("value"), "\t")
+    df = (
+        spark.read.text(path)
+        .select(
+            fields.getItem(0).alias("head_word"),
+            fields.getItem(1).alias("ngram"),
+            fields.getItem(2).try_cast(T.LongType()).alias("total_count"),
+            F.when(
+                F.size(fields) >= 4, F.slice(fields, 4, F.size(fields) - 3)
+            ).alias("year_fields"),
+            F.size(fields).alias("_arity"),
+        )
+        # P9: rows with < 4 tab fields are dropped (Step1.java:32-34);
+        # non-numeric counts likewise (the reference would crash in the
+        # reducer's Integer.parseInt — we drop instead).
+        .filter((F.col("_arity") >= 4) & F.col("total_count").isNotNull())
+    )
+    tokens = _stem_rewrite_tokens(F.col("ngram")) if stem else F.split(F.col("ngram"), " ")
+    cols = [
+        F.col("head_word"),
+        tokens.alias("tokens"),
+        F.col("total_count"),
+    ]
+    if keep_years:
+        # year,count pairs -> map<int,long>; the reference parses these
+        # away entirely (only fields[2] is read, Step1.java:36).
+        pair = F.filter(
+            F.col("year_fields"), lambda s: F.size(F.split(s, ",")) == 2
+        )
+        cols.append(
+            F.map_from_arrays(
+                F.transform(pair, lambda s: F.split(s, ",")[0].try_cast(T.IntegerType())),
+                F.transform(pair, lambda s: F.split(s, ",")[1].try_cast(T.LongType())),
+            ).alias("counts_by_year")
+        )
+    return df.select(*cols)
+
+
+def _quad(tok: Column) -> Column:
+    return F.split(tok, "/")
+
+
+def token_emissions(corpus: DataFrame) -> DataFrame:
+    """Per-token (lexeme, feature, count) emission relation — the
+    logical output of the reference's Step1 mapper (Step1.java:49-79)
+    before aggregation.
+
+    Per token with quad ``word/pos/dep/head_idx``:
+      * tokens whose quad does not have exactly 4 parts are dropped
+        (Step1.java:52-54);
+      * ``head_idx`` must parse as an int and be nonzero
+        (root filter P6, Step1.java:56-59);
+      * ``lexeme`` = surface word of ``tokens[head_idx - 1]``
+        (head-pointer dereference P7, Step1.java:62) — out-of-bounds
+        pointers drop the token (the reference catches the
+        ArrayIndexOutOfBounds per token, Step1.java:76-78);
+      * ``feature`` = ``word + '-' + dep`` (P8, Step1.java:66).
+
+    Everything here is JVM whole-stage-codegen: posexplode + splits +
+    try_cast + F.get.
+    """
+    tok = F.col("token")
+    parts = _quad(tok)
+    head_idx = parts.getItem(3).try_cast(T.IntegerType())
+    return (
+        corpus.select(
+            F.col("total_count").alias("count"),
+            F.col("tokens"),
+            F.posexplode(F.col("tokens")).alias("pos", "token"),
+        )
+        .withColumn("head_idx", F.when(F.size(parts) == 4, head_idx))
+        .filter(F.col("head_idx").isNotNull() & (F.col("head_idx") != 0))
+        # F.get returns NULL when head_idx-1 is out of bounds (vs the
+        # reference's caught per-token exception, Step1.java:76-78).
+        .withColumn("head_token", F.get(F.col("tokens"), F.col("head_idx") - 1))
+        .filter(F.col("head_token").isNotNull())
+        .select(
+            F.substring_index(F.col("head_token"), "/", 1).alias("lexeme"),
+            F.concat_ws("-", parts.getItem(0), parts.getItem(2)).alias("feature"),
+            F.col("count"),
+        )
+    )
