@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   - flagship query smoke check at sf0.001.
+queries()      - every implemented query/operator from SURVEY.md §2,
+                 (spark, sf_dir) -> DataFrame.
+oracle_sql()   - per query, equivalent SQL DuckDB runs on the same
+                 parquet tables; identical column names and identical
+                 rounding so value hashes match.
+
+Implementations live in
+semantic_similarity_system_using_aws_mapreduce_spark.workload; the reference-pipeline operators
+themselves (biarcs ingest, Porter stemming, pair vectors, MLlib CV) are
+exercised by tests/ against reference-shaped fixtures — the fixture
+tables here don't carry a syntactic-ngram corpus, so the workload
+transplants the same operator semantics onto documents/embeddings/
+events (e.g. q_token_source_assoc IS Step2+3, q_source_similarity IS
+Step4's align-and-measure).
 """
 
 from __future__ import annotations
@@ -13,26 +23,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: D1-D6 source-pair similarity over aligned token
+    distributions (the reference Step4 shape) at sf0.001."""
+    return QUERIES["q_source_similarity"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,166 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force exact scoring is the baseline (crossJoin + JVM
+array-expression dot products — no Python in the loop); the LSH-bucketed
+path for 100 TB lives with the dedup operators (random-hyperplane
+signatures are simhash over float arrays).  All arithmetic casts floats
+to double BEFORE multiplying so Spark and the DuckDB oracle round
+identically.
+
+Scale notes: at 100 TB you never crossJoin — q_cosine_pairs documents
+the bucketed strategy: sign-random-projection buckets + within-bucket
+scoring, which is exactly q_minhash_lsh_candidates' plan shape with a
+different hash family.  The brute-force form remains the correctness
+oracle for the bucketed one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COSINE_THRESHOLD = 0.4
+KNN_QUERY_ID = 0
+KNN_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _sq_norm(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(F.sqrt(_sq_norm(F.col("embedding"))), 6).alias("l2_norm")
+    )
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs above a cosine threshold (brute force, i < j)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") > COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbors of one query vector by cosine."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("embedding").alias("qe"), F.sqrt(_sq_norm(F.col("embedding"))).alias("qn")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.col("qn")
+    )
+    return (
+        e.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm: positional explode -> per-(label, dim)
+    mean -> norm.  The explode+groupBy plan is how array aggregation
+    scales (one shuffle keyed (label, dim))."""
+    e = _emb(spark, sf_dir)
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(
+            e.groupBy("label").agg(F.count("*").alias("n_vectors")),
+            "label",
+        )
+        .select("label", "n_vectors", "centroid_norm")
+    )
+
+
+QUERIES = {
+    "q_embedding_norms": q_embedding_norms,
+    "q_cosine_pairs": q_cosine_pairs,
+    "q_knn": q_knn,
+    "q_label_centroids": q_label_centroids,
+}
+
+# Relational (unnested) form of the same double-precision arithmetic.
+_UNNEST = """
+        u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                     unnest(range(len(embedding))) AS i
+              FROM embeddings)
+"""
+
+ORACLES = {
+    "q_embedding_norms": f"""
+        WITH {_UNNEST}
+        SELECT vec_id, round(sqrt(sum(v * v)), 6) AS l2_norm
+        FROM u GROUP BY vec_id
+    """,
+    "q_cosine_pairs": f"""
+        WITH {_UNNEST},
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+                 FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2)
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) > {COSINE_THRESHOLD}
+    """,
+    "q_knn": f"""
+        WITH {_UNNEST},
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS vec_id, sum(a.v * b.v) AS dot
+                 FROM u a JOIN u b ON a.i = b.i AND b.vec_id = {KNN_QUERY_ID}
+                 WHERE a.vec_id != {KNN_QUERY_ID}
+                 GROUP BY 1)
+        SELECT d.vec_id,
+               round(dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = {KNN_QUERY_ID})), 6) AS cosine
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        ORDER BY cosine DESC, d.vec_id
+        LIMIT {KNN_K}
+    """,
+    "q_label_centroids": """
+        WITH u AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+                          unnest(range(len(embedding))) AS i
+                   FROM embeddings),
+        per_dim AS (SELECT label, i, avg(v) AS m FROM u GROUP BY label, i),
+        norms AS (SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+                  FROM per_dim GROUP BY label),
+        counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+        SELECT label, n_vectors, centroid_norm FROM norms JOIN counts USING (label)
+    """,
+}

@@ -1,0 +1,133 @@
+"""Event-table workload: time-window aggregation, sessionization,
+pivot, JSON extraction — the batch faces of the streaming operators in
+streaming/ (the reference has no streaming at all, SURVEY.md §2.9; this
+is net-new surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long and convert with exact integer
+    division (a double division would lose microseconds at 1.7e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session break is a gap > 30 min from the
+    previous event of the same user (lag window + conditional sum)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = (
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1)
+        .otherwise(0)
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("new_session", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return _events(spark, sf_dir).groupBy("user_id").agg(*aggs)
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the numeric `k` property from the JSON props column."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES = {
+    "q_hourly_event_stats": q_hourly_event_stats,
+    "q_sessionization": q_sessionization,
+    "q_user_event_pivot": q_user_event_pivot,
+    "q_json_props": q_json_props,
+}
+
+ORACLES = {
+    "q_hourly_event_stats": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_sessionization": f"""
+        WITH g AS (
+            SELECT user_id, value,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+        SELECT user_id,
+               sum(CASE WHEN gap_us IS NULL
+                         OR gap_us > {SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END) AS n_sessions,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM g GROUP BY user_id
+    """,
+    "q_user_event_pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "q_json_props": """
+        SELECT event_type,
+               count(k) AS n_with_k,
+               round(avg(k), 6) AS avg_k,
+               max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+}

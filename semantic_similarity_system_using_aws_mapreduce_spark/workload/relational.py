@@ -1,0 +1,472 @@
+"""Relational operator coverage over the TPC-H-ish fixture tables.
+
+Each query exercises one row of the SURVEY.md §2 inventory with the
+idiomatic Spark construct; the shuffle story is noted per query since
+that is what changes at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A2: grouped aggregation with map-side partial
+    agg — the reference's combiner for free).  One shuffle on the tiny
+    group key."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join + top-k.  customer is
+    small -> broadcast; orders⋈lineitem shuffles on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-09-02"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-09-02"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; region/nation broadcast, the
+    customer-supplier co-nation predicate rides the join."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim (J3 shape: small side ships to every
+    executor, no fact shuffle before the aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS; the reference's containsKey gate J3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 4).alias("acctbal"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts never shipped before 1996
+    (unfiltered, every part has shipments — the date filter keeps the
+    result non-vacuous at every scale factor)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01")
+    )
+    return (
+        p.join(l, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_unsold"))
+    )
+
+
+def q_full_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 shape on TPC-H data: per part, align the quantity sums of the
+    'R' and 'A' return-flag subsets (zero-filled full-outer alignment
+    expressed as ONE grouped conditional aggregation — the same plan
+    pair_vectors uses), then Manhattan-style |x - y| per brand."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "A"))
+    p = _t(spark, sf_dir, "part")
+    aligned = l.groupBy("l_partkey").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))), F.lit(0.0)
+        ).alias("qty_r"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_quantity"))), F.lit(0.0)
+        ).alias("qty_a"),
+    )
+    return (
+        aligned.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.abs(F.col("qty_r") - F.col("qty_a"))), 4).alias("manhattan_qty"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: window row_number (§2.7 — built-in
+    surface the reference lacks)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "rn")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order date (window running
+    sum)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+def q_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's R1 tagged union (3 aggregations through one
+    logical surface, Step1.java:63-70) as UNION ALL of typed counts."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    status = o.groupBy(F.col("o_orderstatus").alias("key")).agg(
+        F.count("*").alias("cnt")
+    ).select(F.lit("status").alias("kind"), "key", "cnt")
+    prio = o.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count("*").alias("cnt")
+    ).select(F.lit("priority").alias("kind"), "key", "cnt")
+    flag = l.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.count("*").alias("cnt")
+    ).select(F.lit("returnflag").alias("kind"), "key", "cnt")
+    return status.unionByName(prio).unionByName(flag)
+
+
+def q_acctbal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 shape: global scalar total via broadcast cross-join of a
+    1-row aggregate (the reference's counters side-file, eliminated)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    total = c.agg(F.sum("c_acctbal").alias("total_bal"))
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.round(F.col("bal"), 4).alias("nation_bal"),
+            F.round(F.col("bal") / F.col("total_bal"), 6).alias("share"),
+        )
+    )
+
+
+def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nations present on both customer and supplier
+    sides."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cust_nations = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+def q_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cust_nations = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_nations.exceptAll(supp_nations).distinct()
+
+
+def q_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-set aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable form)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_open"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_filled"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_pending"),
+    )
+
+
+def q_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — exact distinct aggregation (expand + 2-phase
+    agg under the hood)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q05_local_supplier": q05_local_supplier,
+    "q_part_brand_revenue": q_part_brand_revenue,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_full_outer_align": q_full_outer_align,
+    "q_window_topk": q_window_topk,
+    "q_running_total": q_running_total,
+    "q_tagged_union": q_tagged_union,
+    "q_acctbal_share": q_acctbal_share,
+    "q_nations_intersect": q_nations_intersect,
+    "q_nations_except": q_nations_except,
+    "q_rollup_qty": q_rollup_qty,
+    "q_pivot_status": q_pivot_status,
+    "q_having_big_customers": q_having_big_customers,
+    "q_distinct_counts": q_distinct_counts,
+}
+
+ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q03_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-09-02'
+          AND l_shipdate > TIMESTAMP '1998-09-02'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q05_local_supplier": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name
+    """,
+    "q_part_brand_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               round(avg(p_retailprice), 6) AS avg_retail,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q_semi_join": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 4) AS acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+    """,
+    "q_anti_join": """
+        SELECT p_brand, count(*) AS n_unsold
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey
+                            AND l_shipdate < TIMESTAMP '1996-01-01')
+        GROUP BY p_brand
+    """,
+    "q_full_outer_align": """
+        WITH aligned AS (
+            SELECT l_partkey,
+                   coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS qty_r,
+                   coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0) AS qty_a
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+            GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               round(sum(abs(qty_r - qty_a)), 4) AS manhattan_qty,
+               count(*) AS n_parts
+        FROM aligned JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q_window_topk": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        FROM orders
+    """,
+    "q_tagged_union": """
+        SELECT 'status' AS kind, o_orderstatus AS key, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'priority' AS kind, o_orderpriority AS key, count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'returnflag' AS kind, l_returnflag AS key, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_acctbal_share": """
+        SELECT n_name,
+               round(sum(c_acctbal), 4) AS nation_bal,
+               round(sum(c_acctbal) / (SELECT sum(c_acctbal) FROM customer), 6) AS share
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_nations_intersect": """
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "q_nations_except": """
+        SELECT DISTINCT n_name FROM (
+            SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+            EXCEPT ALL
+            SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+    """,
+    "q_rollup_qty": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_pivot_status": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_having_big_customers": """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_spent
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+    "q_distinct_counts": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

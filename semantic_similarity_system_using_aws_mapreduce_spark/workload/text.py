@@ -1,0 +1,271 @@
+"""Text-analysis workload over the documents table — the reference
+pipeline's semantics (token counting A1-A3, association measures M1-M4,
+similarity aggregates D1-D6) transplanted onto a generic corpus, plus
+the quality/statistics operators a training-data pipeline needs.
+
+The token/assoc queries REUSE the engine's pipeline operators
+(corpus_counts, association_measures, similarity_measures) on an
+emission relation where lexeme=token and feature=source — demonstrating
+the operators are corpus-agnostic.
+
+Scale notes: tokenization stays entirely in JVM array expressions
+(split/filter/transform — no Python, no shuffle until the aggregation);
+per-document statistics never shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.assoc import association_measures
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import corpus_counts
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.similarity import similarity_measures
+
+STOPWORDS = ["the", "a", "of", "in", "to", "and", "is", "on", "for", "with"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_col():
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def _token_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lexeme=token, feature=source, count=1) — the generic emission
+    relation the pipeline count operators consume."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("source"), F.explode(_tokens_col()).alias("token"))
+        .select(
+            F.col("token").alias("lexeme"),
+            F.col("source").alias("feature"),
+            F.lit(1).alias("count"),
+        )
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emissions = _token_emissions(spark, sf_dir)
+    return corpus_counts(emissions).lexeme_counts.select(
+        F.col("lexeme").alias("token"), F.col("l_count").alias("n")
+    )
+
+
+def q_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emissions = _token_emissions(spark, sf_dir)
+    return emissions.agg(
+        F.sum("count").alias("total_tokens"),
+        F.countDistinct("lexeme").alias("distinct_tokens"),
+    )
+
+
+def q_token_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4 association measures with lexeme=token, feature=source —
+    the full Step2+Step3 join pipeline (J1/J2) on fixture data."""
+    counts = corpus_counts(_token_emissions(spark, sf_dir))
+    assoc = association_measures(counts, mode="parity")
+    return assoc.select(
+        F.col("lexeme").alias("token"),
+        F.col("feature").alias("source"),
+        F.col("assoc_freq").alias("assoc_freq"),
+        F.round("assoc_prob", 6).alias("assoc_prob"),
+        F.round("assoc_pmi", 6).alias("assoc_pmi"),
+        F.round("assoc_ttest", 6).alias("assoc_ttest"),
+    )
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6 between every source pair over aligned token-probability
+    vectors (the J4 zero-filled alignment + A5 aggregation, standard
+    mode) — the flagship shape of the whole engine."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(_tokens_col()).alias("token"))
+    probs = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "p", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("source"))
+        )
+        .select("source", "token", "p")
+    )
+    sources = probs.select("source").distinct()
+    pairs = (
+        sources.alias("a")
+        .crossJoin(sources.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+    )
+    pairs_long = pairs.select(
+        "s1", "s2", F.explode(F.array("s1", "s2")).alias("source")
+    )
+    aligned = (
+        probs.join(F.broadcast(pairs_long), "source")
+        .groupBy("s1", "s2", "token")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("source") == F.col("s1"), F.col("p"))), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                F.max(F.when(F.col("source") == F.col("s2"), F.col("p"))), F.lit(0.0)
+            ).alias("y"),
+        )
+    )
+    measures = similarity_measures(F.col("x"), F.col("y"), mode="standard")
+    return aligned.groupBy("s1", "s2").agg(
+        *[F.round(expr, 6).alias(name) for name, expr in measures.items()]
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics — all JVM array expressions, no
+    shuffle, no UDF."""
+    toks = _tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n, 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(F.size(_tokens_col())), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min md5-derived 60-bit integer over word
+    3-gram shingles (MinHash with one hash function — the document-level
+    fingerprint a near-dup pipeline keys on).  Pure JVM expressions."""
+    toks = _tokens_col()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    fp = F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", fp.alias("fingerprint"))
+    )
+
+
+QUERIES = {
+    "q_token_counts": q_token_counts,
+    "q_token_totals": q_token_totals,
+    "q_token_source_assoc": q_token_source_assoc,
+    "q_source_similarity": q_source_similarity,
+    "q_doc_quality": q_doc_quality,
+    "q_lang_stats": q_lang_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+ORACLES = {
+    "q_token_counts": f"""
+        SELECT token, count(*)::BIGINT AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    """,
+    "q_token_totals": f"""
+        SELECT count(*)::BIGINT AS total_tokens,
+               count(DISTINCT token) AS distinct_tokens
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    """,
+    "q_token_source_assoc": f"""
+        WITH em AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+        lf AS (SELECT token, source, count(*)::DOUBLE AS lf FROM em GROUP BY 1, 2),
+        l AS (SELECT token, count(*)::DOUBLE AS l FROM em GROUP BY 1),
+        f AS (SELECT source, count(*)::DOUBLE AS f FROM em GROUP BY 1),
+        tot AS (SELECT count(*)::DOUBLE AS total FROM em)
+        SELECT lf.token, lf.source,
+               lf.lf AS assoc_freq,
+               round(lf.lf / l.l, 6) AS assoc_prob,
+               round((tot.total * lf.lf) / (l.l * f.f), 6) AS assoc_pmi,
+               round(((lf.lf / tot.total) - (l.l / tot.total) * (f.f / tot.total))
+                     / sqrt((l.l / tot.total) * (f.f / tot.total)), 6) AS assoc_ttest
+        FROM lf JOIN l USING (token) JOIN f USING (source) CROSS JOIN tot
+    """,
+    "q_source_similarity": f"""
+        WITH em AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+        cnt AS (SELECT source, token, count(*)::DOUBLE AS c FROM em GROUP BY 1, 2),
+        probs AS (SELECT source, token, c / sum(c) OVER (PARTITION BY source) AS p FROM cnt),
+        pairs AS (SELECT a.source AS s1, b.source AS s2
+                  FROM (SELECT DISTINCT source FROM probs) a
+                  JOIN (SELECT DISTINCT source FROM probs) b ON a.source < b.source),
+        pairs_long AS (
+            SELECT s1, s2, s1 AS source FROM pairs
+            UNION ALL SELECT s1, s2, s2 AS source FROM pairs),
+        aligned AS (
+            SELECT pl.s1, pl.s2, t.token,
+                   coalesce(max(CASE WHEN t.source = pl.s1 THEN t.p END), 0) AS x,
+                   coalesce(max(CASE WHEN t.source = pl.s2 THEN t.p END), 0) AS y
+            FROM pairs_long pl JOIN probs t USING (source)
+            GROUP BY pl.s1, pl.s2, t.token)
+        SELECT s1, s2,
+               round(sum(abs(x - y)), 6) AS dist_manhattan,
+               round(sqrt(sum((x - y) * (x - y))), 6) AS dist_euclidean,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim_cosine,
+               round(sum(least(x, y)) / sum(greatest(x, y)), 6) AS sim_jaccard,
+               round(2 * sum(least(x, y)) / sum(x + y), 6) AS sim_dice,
+               round(sum(CASE WHEN x > 0 AND (x + y) / 2 > 0
+                              THEN x * ln(x / ((x + y) / 2)) ELSE 0 END)
+                   + sum(CASE WHEN y > 0 AND (x + y) / 2 > 0
+                              THEN y * ln(y / ((x + y) / 2)) ELSE 0 END), 6) AS sim_js
+        FROM aligned GROUP BY s1, s2
+    """,
+    "q_doc_quality": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks)::INT AS n_tokens,
+               len(list_distinct(toks))::INT AS n_distinct,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+               round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') * 1.0
+                     / len(toks), 6) AS avg_token_len,
+               round(len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','in','to','and','is','on','for','with'], t))) * 1.0
+                     / len(toks), 6) AS stopword_ratio
+        FROM d
+    """,
+    "q_lang_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               round(avg(len({_TOKS})), 6) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "q_doc_fingerprint": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               list_aggregate(list_transform(
+                   list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
+        FROM d WHERE len(toks) >= 3
+    """,
+}

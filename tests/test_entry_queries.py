@@ -1,0 +1,86 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate: run
+every declared query on Spark AND its oracle SQL on DuckDB at sf0.01,
+compare row count, column names, and the order-insensitive multiset of
+row values."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # rounding already applied query-side; normalize -0.0 and fp dust
+        return round(v, 6) + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _normalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    data = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return cols, data
+
+
+def test_every_query_has_oracle():
+    assert set(QUERIES) == set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    ddf = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in ddf.description]
+    drows = [tuple(r) for r in ddf.fetchall()]
+
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs oracle {len(drows)}"
+    s_cols, s_data = _normalize(scols, srows)
+    d_cols, d_data = _normalize(dcols, drows)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} vs {d_cols}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_data, d_data)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["s1", "s2"] + [
+        "dist_manhattan", "dist_euclidean", "sim_cosine",
+        "sim_jaccard", "sim_dice", "sim_js",
+    ]
