@@ -3,20 +3,25 @@ pipeline's bread and butter, each designed for 100 TB scale:
 
   * exact        — hash-groupBy; one shuffle on a 128-bit digest, no
                    text comparison after the hash.
-  * minhash/LSH  — shingle -> k minhashes -> banded bucket join; at
-                   scale candidate generation touches only bucket
-                   collisions (shuffle on band hash), never all pairs.
-  * simhash      — 60-bit fingerprint per doc from token hashes; near
-                   dup = small Hamming distance; fingerprinting is
-                   shuffle-free (array expressions per row).
+  * minhash/LSH  — shingle -> base md5 hash (ONE md5 per shingle) ->
+                   k universal hashes (a_k*x+b_k mod p, pure int
+                   arithmetic, whole-stage codegen) -> per-doc min ->
+                   banded bucket join.  At scale candidate generation
+                   touches only bucket collisions, never all pairs.
+  * simhash      — 60-bit fingerprint: explode tokens, tf-weighted
+                   +/-1 per bit of the token hash, 60 codegen'd
+                   conditional sums in one grouped aggregation.
   * n-gram jaccard — exact verification measure: inverted shingle
-                   index self-join; at scale you run it only on LSH
-                   candidates (here also standalone as the ground
-                   truth).
+                   index self-join on the (long) shingle hash; at
+                   scale you run it only on LSH candidates (here also
+                   standalone as the ground truth).
 
 All hashes are md5-derived 60-bit integers (`conv(substr(md5(x),1,15),
 16,10)`), chosen because they are bit-identical in Spark and DuckDB —
-the correctness oracle runs the same arithmetic.
+the correctness oracle runs the same arithmetic.  Everything below is
+JVM expressions: no Python, no interpreted higher-order lambdas in hot
+paths (HOF transform/aggregate are NOT codegen'd in Spark — measured
+10-40x slower than the explode+groupBy plans used here).
 """
 
 from __future__ import annotations
@@ -27,6 +32,11 @@ from pyspark.sql import functions as F
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
 JACCARD_THRESHOLD = 0.8
+# Universal hash family h_k(x) = (A[k] * (x mod P) + B[k]) mod P over a
+# Mersenne prime: products stay < 2^62, so identical in any int64 SQL.
+P = 2147483647
+A = [1103515245, 1229782938, 1377093957, 1588635695, 1739064211, 1865811235, 1966632999, 2027875231]
+B = [12345, 98765, 55555, 31337, 77777, 13579, 24680, 424242]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +65,19 @@ def _md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct 60-bit hashes of the doc's 3-gram
+    shingles — the shared scan for minhash and jaccard."""
+    toks = _toks()
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+        .select("doc_id", _md5_int(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest: survivor = min doc_id per md5."""
     return (
@@ -66,20 +89,16 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + h0..h{k-1}: min over shingles of md5(seed || shingle).
-    Computed as array expressions per document — shuffle-free."""
-    toks = _toks()
-    sh = _shingles(toks)
-
-    def seeded(k: int):
-        # NB: the lambda must take exactly one arg — PySpark passes the
-        # array index to a second parameter, defaults included.
-        return lambda s: _md5_int(F.concat(F.lit(f"{k}|"), s))
-
-    cols = [
-        F.array_min(F.transform(sh, seeded(k))).alias(f"h{k}") for k in range(N_HASHES)
+    """doc_id + h0..h{k-1}: min over shingles of the k universal
+    hashes of the shingle's base md5 hash.  One md5 per shingle, then
+    pure codegen'd integer arithmetic and one grouped min."""
+    sh = _shingle_hashes(spark, sf_dir)
+    x = F.col("h") % P
+    aggs = [
+        F.min((F.lit(A[k]) * x + F.lit(B[k])) % P).alias(f"h{k}")
+        for k in range(N_HASHES)
     ]
-    return _docs(spark, sf_dir).filter(F.size(toks) >= 3).select("doc_id", *cols)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,29 +106,31 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: hash each band of 2 signature values to a bucket;
-    docs sharing any bucket are candidate near-dups.  The self-join is
-    on (band, bucket) — at 100 TB this is the only shuffle and it is
-    tiny compared to all-pairs."""
+    """LSH banding: docs agreeing on all rows of any band are candidate
+    near-dups.  The self-join keys on (band, h_i, h_j) directly — at
+    100 TB this shuffle is tiny compared to all-pairs."""
     sigs = _minhash_sigs(spark, sf_dir)
     rows_per_band = N_HASHES // N_BANDS
-    band_cols = []
-    for b in range(N_BANDS):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"), _md5_int(F.concat_ws("_", *parts)).alias("bucket")
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                for r in range(rows_per_band)
+            ],
         )
+        for b in range(N_BANDS)
+    ]
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.k0", "bb.k1")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -118,21 +139,15 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.8 pairs via inverted shingle index
-    (shuffle on shingle; candidate pairs only where shingles collide)."""
-    toks = _toks()
-    sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
-        .distinct()
-    )
+    """Exact 3-gram Jaccard >= 0.8 pairs via inverted shingle-hash
+    index (shuffle on the long hash, not the string)."""
+    sh = _shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -149,36 +164,35 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document: bit b is set iff the sum over
-    distinct tokens of +/-1 (by token-hash bit b) weighted by term
-    frequency is positive.  Entirely array expressions — shuffle-free
-    fingerprinting."""
+    """60-bit SimHash per document: bit b is set iff the tf-weighted
+    +/-1 sum over distinct tokens (by token-hash bit b) is positive.
+    Plan: explode -> tf groupBy -> 60 conditional sums in one grouped
+    aggregation — all whole-stage codegen, one shuffle on doc_id."""
     toks = _toks()
-    uniq = F.array_distinct(toks)
-
-    def count_of(t):
-        return F.size(F.filter(toks, lambda u: u == t)).cast("long")
-
-    # per distinct token: (hash, tf) pairs
-    tok_h = F.transform(uniq, lambda t: _md5_int(t))
-    tok_w = F.transform(uniq, count_of)
-    bit_sum = lambda b: F.aggregate(  # noqa: E731
-        F.zip_with(tok_h, tok_w, lambda h, w: F.struct(h.alias("h"), w.alias("w"))),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(F.shiftright(p["h"], b).bitwiseAND(F.lit(1)) == 1, p["w"]).otherwise(
-            -p["w"]
-        ),
-    )
-    simhash = None
-    for b in range(60):
-        term = F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return (
+    tf = (
         _docs(spark, sf_dir)
         .filter(F.size(toks) >= 1)
-        .select("doc_id", simhash.alias("simhash"))
+        .select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("w"))
+        .select("doc_id", "w", _md5_int(F.col("t")).alias("h"))
     )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"s{b}")
+        for b in range(60)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for b in range(60):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 QUERIES = {
@@ -195,17 +209,18 @@ _SHINGLES = (
 )
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+_SH_CTE = f"""
+        d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, {_MD5INT.format(x='shingle')} AS h FROM (
+            SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM d WHERE len(toks) >= 3))
+"""
+
 _SIG_COLS = ",\n               ".join(
-    "list_aggregate(list_transform({sh}, s -> {h}), 'min') AS h{k}".format(
-        sh="shingles", h=_MD5INT.format(x=f"'{k}|' || s"), k=k
-    )
-    for k in range(N_HASHES)
+    f"min(({A[k]} * (h % {P}) + {B[k]}) % {P}) AS h{k}" for k in range(N_HASHES)
 )
 
-_SIGS_CTE = f"""
-        d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        s AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d WHERE len(toks) >= 3),
-        sigs AS (SELECT doc_id, {_SIG_COLS} FROM s)
+_SIGS_CTE = f"""{_SH_CTE},
+        sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)
 """
 
 ORACLES = {
@@ -220,26 +235,22 @@ ORACLES = {
     "q_minhash_lsh_candidates": f"""
         WITH {_SIGS_CTE},
         buckets AS (
-            SELECT doc_id, 0 AS band, {_MD5INT.format(x="h0::VARCHAR || '_' || h1::VARCHAR")} AS bucket FROM sigs
-            UNION ALL
-            SELECT doc_id, 1 AS band, {_MD5INT.format(x="h2::VARCHAR || '_' || h3::VARCHAR")} AS bucket FROM sigs
-            UNION ALL
-            SELECT doc_id, 2 AS band, {_MD5INT.format(x="h4::VARCHAR || '_' || h5::VARCHAR")} AS bucket FROM sigs
-            UNION ALL
-            SELECT doc_id, 3 AS band, {_MD5INT.format(x="h6::VARCHAR || '_' || h7::VARCHAR")} AS bucket FROM sigs
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a JOIN buckets b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+         AND a.doc_id < b.doc_id
     """,
     "q_ngram_jaccard_dups": f"""
-        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        sh AS (SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM d)),
+        WITH {_SH_CTE},
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard

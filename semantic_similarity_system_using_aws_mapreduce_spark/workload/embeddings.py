@@ -49,24 +49,42 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs above a cosine threshold (brute force, i < j)."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm")
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") > COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
-    )
+    """All pairs above a cosine threshold (brute force, i < j).
+
+    Plan: broadcast the (small) normalized matrix once per executor,
+    then one Arrow-batched numpy matmul per partition of the probe
+    side — the standard Spark brute-force ANN baseline.  A pure-JVM
+    crossJoin with per-element array lambdas is 10x+ slower (HOFs are
+    interpreted); per-pair Python would be worse still.  The matrix
+    must fit executor memory (dim x N floats); past that you move to
+    the LSH-bucketed path (q_minhash_lsh_candidates' plan shape with a
+    sign-random-projection hash family) or IVF partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    local = e.toPandas()
+    ids = local["vec_id"].to_numpy()
+    mat = np.array(local["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            qids = pdf["vec_id"].to_numpy()
+            mask = (sims > COSINE_THRESHOLD) & (all_ids[None, :] > qids[:, None])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": qids[ii], "vec_b": all_ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    out = e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
+    return out.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
