@@ -1,0 +1,166 @@
+"""Approximate nearest neighbor search over an embedding column.
+
+Two paths, same results contract:
+
+  * brute force — broadcast normalized matrix + per-partition numpy
+    matmul (exact; the correctness oracle; O(N^2) scoring).
+  * SRP-LSH     — sign-random-projection signatures bucket the vectors;
+    exact scoring only *within* buckets (multi-probe over T independent
+    tables).  At 100 TB the bucket join is the only shuffle and each
+    bucket fits an executor; recall tunes with (n_planes, n_tables).
+
+Signatures are computed with a seeded numpy projection inside an
+Arrow-batched pandas UDF; everything after is plain relational ops, so
+Catalyst handles the bucket join like any other equi-join (AQE splits
+skewed buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalized_matrix(df: DataFrame, id_col: str, vec_col: str):
+    local = df.select(id_col, vec_col).toPandas()
+    ids = local[id_col].to_numpy()
+    mat = np.array(local[vec_col].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY vector (self-join form):
+    (vec_id, neighbor_id, cosine, rank)."""
+    spark = df.sparkSession
+    ids, mat = _normalized_matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        id_pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            qids = pdf[id_col].to_numpy()
+            for row, qid in enumerate(qids):
+                sims[row, id_pos[int(qid)]] = -np.inf  # exclude self
+            # top-k per row (argpartition then exact ordering)
+            part = np.argpartition(-sims, kth=min(k, sims.shape[1] - 1), axis=1)[:, :k]
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for row, qid in enumerate(qids):
+                cand = part[row]
+                # order by cosine desc, neighbor id asc (deterministic ties)
+                order = cand[np.lexsort((all_ids[cand], -sims[row, cand]))][:k]
+                for rank, j in enumerate(order, start=1):
+                    out_q.append(qid)
+                    out_n.append(all_ids[j])
+                    out_c.append(sims[row, j])
+                    out_r.append(rank)
+            yield pd.DataFrame(
+                {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rank": out_r}
+            )
+
+    return df.mapInPandas(
+        gen, schema="vec_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket): one sign-random-projection bucket per
+    hash table.  Bucket = the n_planes sign bits packed into an int."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                bits = (v @ pl[t].T) > 0  # (batch, n_planes)
+                buckets = bits @ weights
+                out_id.extend(pdf[id_col].tolist())
+                out_t.extend([t] * len(pdf))
+                out_b.extend(buckets.tolist())
+            yield pd.DataFrame({"vec_id": out_id, "table": out_t, "bucket": out_b})
+
+    return df.mapInPandas(gen, schema="vec_id long, table int, bucket long")
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per vector: candidates = vectors sharing any
+    (table, bucket); exact cosine on candidates only; window top-k.
+
+    Plan: signatures (Arrow UDF) -> self equi-join on (table, bucket)
+    -> distinct pairs -> exact scoring via JVM array expressions ->
+    row_number window.  No all-pairs stage anywhere.
+    """
+    sigs = srp_signatures(df, n_planes, n_tables, seed, id_col, vec_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    scored = (
+        cand.join(vecs.withColumnRenamed("v", "qv"), "vec_id")
+        .join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot / (nrm(F.col("qv")) * nrm(F.col("nv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,72 @@
+"""Structured Streaming operators: bounded file-source streams must
+converge to the batch answers."""
+
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    session_aggregates,
+    sliding_value_avg,
+    tumbling_counts,
+)
+from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import q_hourly_event_stats, q_sessionization
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tumbling_counts_match_batch(spark):
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    got = {(r.hour, r.event_type): (r.n, r.sum_value) for r in result.collect()}
+    batch = {
+        (r.hour, r.event_type): (r.n, r.sum_value)
+        for r in q_hourly_event_stats(spark, SF_DIR).collect()
+    }
+    assert got == batch
+
+
+def test_watermark_append_mode(spark):
+    """Append mode with a watermark emits only finalized windows — a
+    subset of the complete-mode result with identical values."""
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(
+        tumbling_counts(stream, watermark="1 hour"), output_mode="append"
+    )
+    got = {(r.hour, r.event_type): (r.n, r.sum_value) for r in result.collect()}
+    batch = {
+        (r.hour, r.event_type): (r.n, r.sum_value)
+        for r in q_hourly_event_stats(spark, SF_DIR).collect()
+    }
+    assert set(got).issubset(set(batch))
+    for key, val in got.items():
+        assert val == batch[key]
+
+
+def test_sliding_window(spark):
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(sliding_value_avg(stream), output_mode="complete")
+    rows = result.collect()
+    assert rows
+    # every event lands in window_size / slide = 4 sliding windows
+    total_n = sum(r.n for r in rows)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total_n == 4 * n_events
+
+
+def test_session_windows_match_batch_sessionization(spark):
+    """session_window(gap=30m) must produce the same per-user session
+    counts as the batch lag+cumsum formulation."""
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(session_aggregates(stream), output_mode="complete")
+    got = (
+        result.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in got}
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_sessionization(spark, SF_DIR).collect()
+    }
+    assert got == batch
