@@ -79,7 +79,10 @@ def read_biarcs(
     structural quad parsing happens in :func:`token_emissions` so the
     head-pointer dereference can index the full array.
     """
-    fields = F.split(F.col("value"), "\t")
+    # Java's String.split drops TRAILING empty fields (Step1.java:30
+    # operates on that arity); strip trailing tabs so a line like
+    # "a<TAB>b<TAB>c<TAB>" counts 3 fields here too.
+    fields = F.split(F.regexp_replace(F.col("value"), "\t+$", ""), "\t")
     df = (
         spark.read.text(path)
         .select(
