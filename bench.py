@@ -20,6 +20,61 @@ import time
 from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
 from semantic_similarity_system_using_aws_mapreduce_spark.workload import QUERIES
 
+PIPELINE_LINES = 200_000
+
+
+def _synth_corpus(tmp_dir: str, n_lines: int = PIPELINE_LINES, seed: int = 13):
+    """Deterministic synthetic biarcs corpus + gold standard for the
+    end-to-end pipeline benchmark (written once, reused across runs)."""
+    import random
+
+    corpus = os.path.join(tmp_dir, f"bench_corpus_{n_lines}.txt")
+    gold = os.path.join(tmp_dir, f"bench_gold_{n_lines}.txt")
+    if os.path.exists(corpus) and os.path.exists(gold):
+        return corpus, gold
+    rng = random.Random(seed)
+    roots = [
+        "run", "meet", "hope", "relate", "connect", "operate", "nation",
+        "general", "oscillate", "adjust", "depend", "active", "form",
+        "sense", "triplicate", "electric", "good", "revive", "allow",
+        "infer", "airline", "gyroscope", "bound", "abuse", "test", "work",
+        "care", "pony", "tie", "cat", "feed", "agree", "disable", "mat",
+        "mate", "mill", "mess", "fish", "lion", "duck", "carp", "trout",
+    ]
+    suffixes = ["", "s", "ed", "ing", "ness", "ation", "er", "ly", "ive"]
+    vocab = [r + s for r in roots for s in suffixes]
+    deps = ["nsubj", "dobj", "prep", "amod", "conj", "pobj", "det"]
+    pos = ["NN", "VB", "JJ", "IN", "RB"]
+    with open(corpus, "w") as f:
+        for _ in range(n_lines):
+            n = rng.randint(2, 4)
+            toks = []
+            for j in range(n):
+                w = rng.choice(vocab)
+                head = rng.randint(0, n)  # 0 = root; may be out of bounds
+                toks.append(f"{w}/{rng.choice(pos)}/{rng.choice(deps)}/{head}")
+            count = rng.randint(1, 1000)
+            f.write(f"{toks[0].split('/')[0]}\t{' '.join(toks)}\t{count}\t2000,{count}\n")
+    with open(gold, "w") as f:
+        for _ in range(2000):
+            w1, w2 = rng.choice(vocab), rng.choice(vocab)
+            f.write(f"{w1}\t{w2}\t{rng.random() < 0.1}\n")
+    return corpus, gold
+
+
+def _bench_pipeline(spark) -> float:
+    """Full reference pipeline (parse -> stem -> counts -> assoc ->
+    pair vectors) on the synthetic corpus, forced via noop sink."""
+    import tempfile
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.plans.pipeline import semantic_similarity_pipeline
+
+    corpus, gold = _synth_corpus(tempfile.gettempdir())
+    t0 = time.perf_counter()
+    result = semantic_similarity_pipeline(spark, corpus, gold, mode="parity")
+    result.vectors.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -53,6 +108,13 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    timings[f"pipeline_{PIPELINE_LINES}_lines"] = _bench_pipeline(spark)
+    print(
+        f"  pipeline_{PIPELINE_LINES}_lines: "
+        f"{timings[f'pipeline_{PIPELINE_LINES}_lines']:.3f}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

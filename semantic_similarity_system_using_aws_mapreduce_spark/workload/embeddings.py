@@ -126,8 +126,32 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_parity_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6 in PARITY mode (the reference's exact Step4 formulas,
+    including the (x+y)^2 'Euclidean' quirk and guarded JS terms) over
+    position-aligned consecutive vector pairs (vec k vs vec k+1).
+    Exercises the quirk formulas against a SQL oracle with
+    negative-valued inputs."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.similarity import similarity_measures
+
+    e = _emb(spark, sf_dir)
+    u = e.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    a = u.select(
+        F.col("vec_id").alias("pair_id"), "i", F.col("v").cast("double").alias("x")
+    )
+    b = u.select(
+        (F.col("vec_id") - 1).alias("pair_id"), "i", F.col("v").cast("double").alias("y")
+    )
+    aligned = a.join(b, ["pair_id", "i"])
+    measures = similarity_measures(F.col("x"), F.col("y"), mode="parity")
+    return aligned.groupBy("pair_id").agg(
+        *[F.round(expr, 6).alias(name) for name, expr in measures.items()]
+    )
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
+    "q_embedding_parity_measures": q_embedding_parity_measures,
     "q_cosine_pairs": q_cosine_pairs,
     "q_knn": q_knn,
     "q_label_centroids": q_label_centroids,
@@ -141,6 +165,29 @@ _UNNEST = """
 """
 
 ORACLES = {
+    "q_embedding_parity_measures": f"""
+        WITH {_UNNEST},
+        aligned AS (
+            SELECT a.vec_id AS pair_id, a.i, a.v AS x, b.v AS y
+            FROM u a JOIN u b ON b.vec_id = a.vec_id + 1 AND a.i = b.i)
+        SELECT pair_id,
+               round(sum(abs(x - y)), 6) AS dist_manhattan,
+               round(sqrt(sum((x + y) * (x + y))), 6) AS dist_euclidean,
+               round(CASE WHEN sum(x * x) <= 0 OR sum(y * y) <= 0 THEN 0
+                          ELSE sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                     END, 6) AS sim_cosine,
+               round(CASE WHEN sum(greatest(x, y)) = 0 THEN 0
+                          ELSE sum(least(x, y)) / sum(greatest(x, y))
+                     END, 6) AS sim_jaccard,
+               round(CASE WHEN sum(x + y) = 0 THEN 0
+                          ELSE 2 * sum(least(x, y)) / sum(x + y)
+                     END, 6) AS sim_dice,
+               round(sum(CASE WHEN x > 0 AND (x + y) / 2 > 0
+                              THEN x * ln(x / ((x + y) / 2)) ELSE 0 END)
+                   + sum(CASE WHEN y > 0 AND (x + y) / 2 > 0
+                              THEN y * ln(y / ((x + y) / 2)) ELSE 0 END), 6) AS sim_js
+        FROM aligned GROUP BY pair_id
+    """,
     "q_embedding_norms": f"""
         WITH {_UNNEST}
         SELECT vec_id, round(sqrt(sum(v * v)), 6) AS l2_norm

@@ -296,8 +296,111 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: orders and revenue per year-month."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions: LIKE filter, substring extraction,
+    length, case mapping."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%ECO%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_uc"),
+            F.substring(F.col("p_brand"), 7, 2).alias("brand_num"),
+            F.length(F.col("p_name")).alias("name_len"),
+        )
+    )
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation to a scalar: sorted distinct nation list
+    per region."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) of per-priority status counts."""
+    wide = q_pivot_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_open", "n_filled", "n_pending"],
+        variableColumnName="status_kind",
+        valueColumnName="cnt",
+    )
+
+
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.avg("l_discount"), 6).alias("avg_disc"), F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "avg_disc",
+            "n",
+        )
+    )
+
+
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: customers above their nation's mean
+    acctbal (window-aggregate formulation on the Spark side)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q_percentiles": q_percentiles,
+    "q_date_buckets": q_date_buckets,
+    "q_string_funcs": q_string_funcs,
+    "q_array_agg": q_array_agg,
+    "q_unpivot": q_unpivot,
+    "q_cube_qty": q_cube_qty,
+    "q_above_nation_avg": q_above_nation_avg,
     "q03_shipping_priority": q03_shipping_priority,
     "q05_local_supplier": q05_local_supplier,
     "q_part_brand_revenue": q_part_brand_revenue,
@@ -317,6 +420,62 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_date_buckets": """
+        SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
+    "q_string_funcs": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_uc,
+               substr(p_brand, 7, 2) AS brand_num,
+               length(p_name)::INT AS name_len
+        FROM part WHERE p_type LIKE '%ECO%'
+    """,
+    "q_array_agg": """
+        SELECT r_name,
+               string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+               count(DISTINCT n_name) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_unpivot": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_open' AS status_kind, n_open AS cnt FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_filled', n_filled FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_pending', n_pending FROM wide
+    """,
+    "q_cube_qty": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_above_nation_avg": """
+        SELECT c_nationkey, count(*) AS n_above,
+               round(max(c_acctbal), 4) AS max_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

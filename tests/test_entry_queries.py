@@ -67,6 +67,8 @@ def test_query_matches_oracle(spark, duck, name):
     drows = [tuple(r) for r in ddf.fetchall()]
 
     assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs oracle {len(drows)}"
+    # a 0-row result that "matches" a 0-row oracle verifies nothing
+    assert len(srows) > 0, f"{name}: vacuous (0 rows) at sf0.01"
     s_cols, s_data = _normalize(scols, srows)
     d_cols, d_data = _normalize(dcols, drows)
     assert s_cols == d_cols, f"{name}: columns {s_cols} vs {d_cols}"
