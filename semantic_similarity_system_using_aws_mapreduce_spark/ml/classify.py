@@ -90,8 +90,12 @@ def cross_validate_random_forest(
         "word2",
         "label",
         "prediction",
-        # P(similar): probability vector component for class 1.0
-        F.element_at(vector_to_array("probability"), 2).alias("p_similar"),
+        # P(similar): probability vector component for class 1.0.  A fold
+        # trained on only not-similar rows yields a 1-element probability
+        # vector (inferred numClasses=1) -> P(similar) = 0.
+        F.coalesce(
+            F.try_element_at(vector_to_array("probability"), F.lit(2)), F.lit(0.0)
+        ).alias("p_similar"),
     ).cache()
     metrics = evaluation_report(pooled)
     prepared.unpersist()

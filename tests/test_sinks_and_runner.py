@@ -1,0 +1,106 @@
+"""Reference-format sinks and the end-to-end runner."""
+
+import glob
+import json
+import subprocess
+import sys
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import corpus_counts
+from semantic_similarity_system_using_aws_mapreduce_spark.plans.pipeline import semantic_similarity_pipeline
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.biarcs import read_biarcs, token_emissions
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import (
+    ARFF_ATTRIBUTES,
+    write_arff,
+    write_assoc_text,
+    write_counts_text,
+    write_pair_vectors_text,
+)
+
+from reference_oracle import step1_counts
+
+SMALL_SAMPLE = "/root/reference/small-sample.txt"
+GOLD_SMALL = "/root/reference/test_gold_standard.txt"
+
+
+def _read_text_dir(path):
+    lines = []
+    for part in glob.glob(f"{path}/part-*"):
+        if part.endswith(".crc"):
+            continue
+        lines.extend(open(part).read().splitlines())
+    return lines
+
+
+def test_counts_text_format(spark, tmp_path):
+    counts = corpus_counts(token_emissions(read_biarcs(spark, SMALL_SAMPLE)))
+    out = tmp_path / "counts"
+    write_counts_text(counts, str(out))
+    lines = set(_read_text_dir(out))
+    oracle, _ = step1_counts(open(SMALL_SAMPLE).read().splitlines())
+    expected = set()
+    for key, v in oracle.items():
+        if key[0] == "l":
+            expected.add(f"l {key[1]}\t{v}")
+        elif key[0] == "f":
+            expected.add(f"f {key[1]}\t{v}")
+        else:
+            expected.add(f"lf {key[1]} {key[2]}\t{v}")
+    assert lines == expected
+
+
+def test_assoc_text_java_double_format(spark, tmp_path):
+    r = semantic_similarity_pipeline(spark, SMALL_SAMPLE, GOLD_SMALL, mode="parity")
+    out = tmp_path / "assoc"
+    write_assoc_text(r.assoc, str(out))
+    lines = _read_text_dir(out)
+    assert lines
+    sample = {l.split("\t")[0]: l.split("\t")[1] for l in lines}
+    # JVM Double.toString formatting: "70.0" not "70", shortest decimal
+    val = sample['"^ i-nn']
+    assert val.startswith("assoc_freq=70.0 assoc_prob=0.8333333333333334")
+
+
+def test_pair_vectors_text_and_arff(spark, tmp_path):
+    r = semantic_similarity_pipeline(spark, SMALL_SAMPLE, GOLD_SMALL, mode="parity")
+    out = tmp_path / "pv"
+    write_pair_vectors_text(r.vectors, str(out))
+    lines = _read_text_dir(out)
+    assert len(lines) == 4
+    key, val = lines[0].split("\t")
+    assert key.split(" ")[2] in ("True", "False")
+    assert val.startswith("[") and val.endswith("]") and len(val.split(", ")) == 24
+
+    arff = tmp_path / "out.arff"
+    write_arff(r.vectors, str(arff))
+    content = open(arff).read().splitlines()
+    assert content[0] == "@relation semantic_similarity"
+    attr_lines = [l for l in content if l.startswith("@attribute ")]
+    assert len(attr_lines) == 25  # 24 numeric + class
+    assert attr_lines[0] == "@attribute freq_distManhattan numeric"
+    assert attr_lines[-1] == "@attribute class {similar, not-similar}"
+    data = content[content.index("@data") + 1 :]
+    assert len([l for l in data if l]) == 4
+    assert all(l.endswith(("similar", "not-similar")) for l in data if l)
+
+
+def test_runner_cli(tmp_path):
+    """Full job-flow equivalent through the real CLI (subprocess)."""
+    out = tmp_path / "run"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "semantic_similarity_system_using_aws_mapreduce_spark.run_pipeline",
+            SMALL_SAMPLE, "/root/reference/word-relatedness.txt", str(out),
+            "--mode", "parity", "--folds", "3", "--trees", "10", "--text-dumps",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["n"] == 331
+    report = open(out / "report.txt").read()
+    assert "RandomForest" in report and "Confusion Matrix" in report
+    for artifact in [
+        "pair_counts.parquet", "pair_vectors.parquet", "counts_text",
+        "assoc_text", "pair_vectors_text", "pair_vectors.arff", "report.txt",
+    ]:
+        assert (out / artifact).exists(), artifact
