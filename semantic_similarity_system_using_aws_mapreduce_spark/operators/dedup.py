@@ -1,0 +1,162 @@
+"""DataFrame-level deduplication operators (library API).
+
+The workload queries in workload/dedup.py are thin adapters over these.
+Hash design and scale notes live there and in README; in short: one
+md5 per shingle, universal-hash minhashes (codegen'd integer math),
+banded LSH joins, and explode+groupBy plans instead of interpreted
+higher-order lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Universal hash family over a Mersenne prime: h_k(x) = (A[k]*(x%P)+B[k])%P.
+# Products stay < 2^62 -> identical in any int64 engine (DuckDB oracle).
+P = 2147483647
+A = [1103515245, 1229782938, 1377093957, 1588635695, 1739064211, 1865811235, 1966632999, 2027875231]
+B = [12345, 98765, 55555, 31337, 77777, 13579, 24680, 424242]
+
+
+def md5_int(col: Column) -> Column:
+    """Portable 60-bit integer hash (bit-identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h): distinct 60-bit hashes of each document's word
+    n-gram shingles — the shared scan for minhash and jaccard."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(toks, n)).alias("shingle"))
+        .select("doc_id", md5_int(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(keep_doc_id, n_copies): survivor = min id per content digest."""
+    return (
+        df.groupBy(F.md5(text_col).alias("digest"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def minhash_signatures(hashes: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{k-1}) from a shingle_hashes relation."""
+    if n_hashes > len(A):
+        raise ValueError(f"at most {len(A)} hash functions configured")
+    x = F.col("h") % P
+    aggs = [
+        F.min((F.lit(A[k]) * x + F.lit(B[k])) % P).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    return hashes.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """(doc_a, doc_b) pairs agreeing on every row of at least one band."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.*")
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in key_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    hashes: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs above threshold via inverted
+    shingle-hash index.  Pass ``candidates`` (e.g. lsh_candidates
+    output) to verify only those pairs — the production path at scale;
+    without it, all colliding pairs are scored (exact ground truth)."""
+    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = hashes.alias("a"), hashes.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 60
+) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign-sum fingerprint over token
+    hashes; near-dup ⇔ small Hamming distance."""
+    toks = tokens(F.col(text_col))
+    tf = (
+        df.filter(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("w"))
+        .select("doc_id", "w", md5_int(F.col("t")).alias("h"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")
+            ).otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    out = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = term if out is None else out + term
+    return sums.select("doc_id", out.alias("simhash"))

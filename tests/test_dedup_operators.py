@@ -1,0 +1,55 @@
+"""Library-level dedup operators: LSH->verify composition and the
+salting utility."""
+
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+)
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.skew import salted_join, top_keys
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_lsh_verify_composition(spark):
+    """The production near-dup flow: LSH candidates -> exact Jaccard
+    verification restricted to candidates.  Must equal the exact
+    result given LSH recall is 100% on this fixture (established in
+    the workload tests)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hashes = shingle_hashes(docs)
+    sigs = minhash_signatures(hashes)
+    cands = lsh_candidates(sigs)
+    verified = ngram_jaccard_pairs(hashes, 0.8, candidates=cands)
+    exact = ngram_jaccard_pairs(hashes, 0.8)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
+    assert got == want and len(got) == 25
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(customer, ["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("v"))
+    )
+    salted = (
+        salted_join(orders, customer, ["o_custkey"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("v"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_top_keys(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = top_keys(li, ["l_returnflag"], k=2).collect()
+    assert len(rows) == 2
+    assert rows[0].n_rows >= rows[1].n_rows
