@@ -1,0 +1,107 @@
+"""Text-analysis operators (library API): language identification,
+regex tokenization, quality scoring, fingerprinting.
+
+All pure JVM expressions (no UDFs): language ID is a stopword-profile
+argmax, the "BPE-ish" tokenizer is a regex piece-splitter
+(word-fragments of <=4 chars + punctuation pieces, a deterministic
+stand-in for a learned merge table with the same plan shape), and the
+rolling fingerprint is a polynomial fold over token hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int, tokens
+
+# Tiny per-language stopword profiles (top function words).
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "in", "to", "and", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "de", "et", "un", "est", "dans", "pour", "que", "sur"],
+    "es": ["el", "la", "de", "y", "un", "es", "en", "por", "que", "con"],
+    "zh": ["de5", "shi4", "zai4", "he2", "le5", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+# Word fragments up to 4 chars, else single non-space symbol — a
+# BPE-piece-shaped segmentation.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+ROLL_BASE = 31
+# Odd 42-bit modulus: acc*31 stays < 2^47, so the fold never overflows
+# int64 — the same portability constraint as the dedup hash family.
+ROLL_MOD = (1 << 42) - 3
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio over whitespace tokens."""
+    toks = tokens(text)
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda only: a second parameter (even a default)
+        # receives the array index in PySpark HOFs
+        return F.filter(toks, lambda t: F.array_contains(arr, t))
+
+    return {
+        lang: F.size(hits(words)) / F.greatest(F.size(toks), F.lit(1))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (lang_pred, lang_score): argmax over the language
+    profiles (ties broken toward the lexicographically greatest code —
+    the natural (score, lang) struct-max), 'und' when no profile
+    matches at all."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in langs
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", F.round(best["score"], 6))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex piece segmentation (BPE-shaped: bounded-length word
+    fragments + punctuation singletons)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish piece counts per document."""
+    ws = tokens(F.col(text_col))
+    pieces = bpe_ish_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+        F.round(F.size(pieces) / F.greatest(F.size(ws), F.lit(1)), 6).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    h = (h * 31 + md5_int(tok)) mod (2^61-1), folded left-to-right.
+    Unlike the min-shingle fingerprint, reordering tokens changes it."""
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + md5_int(t) % ROLL_MOD) % ROLL_MOD,
+    )
+    return df.filter(F.size(toks) >= 1).select(
+        F.col(id_col).alias("doc_id"), fp.alias("fingerprint")
+    )

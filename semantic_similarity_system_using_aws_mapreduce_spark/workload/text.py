@@ -175,7 +175,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (n-gram heuristic):
+    predicted language + confidence per doc, with agreement flag
+    against the labeled lang column."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import identify_language
+
+    out = identify_language(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "lang_score",
+        (F.col("lang_pred") == F.col("lang")).alias("agrees"),
+    )
+
+
+def q_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex piece counts."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "q_lang_id": q_lang_id,
+    "q_regex_token_stats": q_regex_token_stats,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_token_counts": q_token_counts,
     "q_token_totals": q_token_totals,
     "q_token_source_assoc": q_token_source_assoc,
@@ -187,7 +219,60 @@ QUERIES = {
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    BPE_ISH_PATTERN,
+    LANG_PROFILES,
+    ROLL_BASE,
+    ROLL_MOD,
+)
+
+_LANG_SCORE_COLS = ",\n               ".join(
+    "len(list_filter(toks, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    + f"], t))) * 1.0 / greatest(len(toks), 1) AS s_{lang}"
+    for lang in sorted(LANG_PROFILES)
+)
+# Spark side picks max (score, lang) struct => on score ties the
+# lexicographically GREATEST language code wins; the reverse-order CASE
+# chain below reproduces that.
+_LANG_PICK = "CASE " + " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'"
+    for lang in sorted(LANG_PROFILES, reverse=True)
+) + " END"
+
 ORACLES = {
+    "q_lang_id": f"""
+        WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        scored AS (SELECT doc_id, lang,
+               {_LANG_SCORE_COLS}
+               FROM d),
+        best AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored)
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN {_LANG_PICK} ELSE 'und' END AS lang_pred,
+               round(best, 6) AS lang_score,
+               (CASE WHEN best > 0 THEN {_LANG_PICK} ELSE 'und' END) = lang AS agrees
+        FROM best
+    """,
+    "q_regex_token_stats": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS ws,
+                          regexp_extract_all(text, '{BPE_ISH_PATTERN}') AS pieces
+                   FROM documents)
+        SELECT doc_id,
+               len(ws)::INT AS n_words,
+               len(pieces)::INT AS n_pieces,
+               round(len(pieces) * 1.0 / greatest(len(ws), 1), 6) AS pieces_per_word
+        FROM d
+    """,
+    "q_rolling_fingerprint": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(toks,
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {ROLL_MOD})),
+                   (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) AS fingerprint
+        FROM d WHERE len(toks) >= 1
+    """,
     "q_token_counts": f"""
         SELECT token, count(*)::BIGINT AS n
         FROM (SELECT unnest({_TOKS}) AS token FROM documents)
