@@ -1,0 +1,72 @@
+"""Iterative graph operators: connected components for near-duplicate
+clustering.
+
+`connected_components` is min-label propagation with pointer doubling:
+each round a node's label becomes the min of its own and its neighbors'
+labels, then labels are compressed through themselves (l := l(l)) —
+the doubling step turns O(diameter) convergence into O(log n), the
+standard trick for long chains.  Near-dup graphs are unions of small
+cliques, so 2-3 rounds in practice.  Each round is a few shuffles;
+`localCheckpoint` truncates the growing lineage so round N doesn't
+re-execute rounds 1..N-1 (the classic iterative-algorithm pitfall).
+
+This is the engine's "iterative algorithm" surface (driver-side loop
+with a convergence check — the one legitimate use of driver control
+flow; the data never leaves the cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``edges``;
+    cluster_id = min node id of the component."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: labels are node ids, so chase one hop
+        # (l := label of the node l points at)
+        parent = propagated.select(
+            F.col("node").alias("cid"), F.col("cluster_id").alias("cc")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.cluster_id == parent.cid, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("cc"), F.col("cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "cluster_id")

@@ -52,7 +52,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: iterative connected components (min-label
+    propagation) over the LSH candidate graph — the engine's iterative
+    algorithm, oracled against a recursive-CTE transitive closure."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+
+    sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
+    cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
+    return connected_components(cands)
+
+
 QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -81,6 +93,32 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {_SIGS_CTE},
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cands
+            UNION SELECT doc_b, doc_a FROM cands
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS node, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """,
     "q_exact_dedup": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)

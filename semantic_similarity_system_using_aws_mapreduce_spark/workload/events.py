@@ -82,7 +82,33 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine-added operator, SURVEY §2.4): each purchase
+    matched to the user's most recent view at-or-before it."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views,
+        on="user_id", left_time="ts", right_time="ts",
+        value_cols=["event_id", "value"], right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
 QUERIES = {
+    "q_asof_view_before_purchase": q_asof_view_before_purchase,
     "q_hourly_event_stats": q_hourly_event_stats,
     "q_sessionization": q_sessionization,
     "q_user_event_pivot": q_user_event_pivot,
@@ -90,6 +116,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_asof_view_before_purchase": """
+        SELECT p.event_id, p.user_id,
+               (SELECT v.event_id FROM events v
+                WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                  AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id,
+               round((SELECT v.value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                        AND v.ts <= p.ts
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), 6) AS view_value
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
     "q_hourly_event_stats": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n,

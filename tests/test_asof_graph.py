@@ -1,0 +1,61 @@
+"""As-of join and connected-components library operators."""
+
+import datetime
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(1)), (3, 20, _ts(9))],
+        ["id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(2), 1.0), (101, 10, _ts(5), 2.0), (102, 20, _ts(10), 3.0)],
+        ["rid", "k", "t", "v"],
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["rid", "v"], right_tiebreak="rid",
+    )
+    got = {r.id: (r.asof_rid, r.asof_v) for r in out.collect()}
+    assert got[1] == (101, 2.0)  # same-instant right row is visible
+    assert got[2] == (None, None)  # nothing at or before t=1
+    assert got[3] == (None, None)  # right row is after left time
+
+
+def test_asof_equal_ts_tiebreak(spark):
+    left = spark.createDataFrame([(1, 5, _ts(3))], ["id", "k", "t"])
+    right = spark.createDataFrame(
+        [(7, 5, _ts(3), 1.0), (9, 5, _ts(3), 2.0), (8, 5, _ts(3), 3.0)],
+        ["rid", "k", "t", "v"],
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["rid"], right_tiebreak="rid",
+    ).collect()[0]
+    assert out.asof_rid == 9  # greatest tiebreak wins deterministically
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; singleton edges absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    n = 24
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
