@@ -107,6 +107,109 @@ def srp_signatures(
     return df.mapInPandas(gen, schema="vec_id long, table int, bucket long")
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantization: k-means centroids (seeded MLlib) and
+    per-vector list assignment.  Returns (assignments DF with a `list`
+    column, centroid matrix as numpy).  At 100 TB, training samples the
+    data and assignment is one map pass."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, vec_col, F.col("prediction").alias("list")
+    )
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    centroid lists and scores exactly within them.
+
+    Plan: one k-means pass -> per-vector probe lists (numpy vs the
+    broadcast centroid matrix, Arrow-batched) -> equi-join probe lists
+    with inverted lists -> exact cosine -> window top-k.  The join is
+    the only shuffle over candidates; list sizes are N/n_lists on
+    average, so scored pairs ~ N * n_probe * N/n_lists instead of N^2.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    assigned, centroids = ivf_assign(df, n_lists, seed, id_col, vec_col)
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    bc = spark.sparkContext.broadcast(cnorm)
+
+    def probes(batches):
+        cn = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_probe),
+                    "list": top.ravel(),
+                }
+            )
+
+    probe_lists = df.select(id_col, vec_col).mapInPandas(
+        probes, schema="vec_id long, list int"
+    )
+    inv = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "list"
+    )
+    cand = (
+        probe_lists.join(inv, "list")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "nv")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    scored = cand.join(vecs, "vec_id").select(
+        "vec_id",
+        "neighbor_id",
+        (dot / (nrm(F.col("qv")) * nrm(F.col("nv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     k: int = 10,

@@ -38,6 +38,24 @@ def test_bruteforce_shapes(spark):
     assert per_vec[0] == per_vec[1] == 5
 
 
+def test_ivf_recall(spark):
+    """IVF with n_probe=8 of 16 lists must beat a healthy recall floor
+    and agree exactly on returned cosines."""
+    import math as m
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import ann_topk_ivf
+
+    bf = cosine_topk_bruteforce(_emb(spark), k=10)
+    ivf = ann_topk_ivf(_emb(spark), k=10, n_lists=16, n_probe=8)
+    truth = {(r.vec_id, r.neighbor_id): r.cosine for r in bf.collect()}
+    got = {(r.vec_id, r.neighbor_id): r.cosine for r in ivf.collect()}
+    hits = set(got) & set(truth)
+    recall = len(hits) / len(truth)
+    assert recall > 0.4, f"IVF recall too low: {recall:.3f}"
+    for key in list(hits)[:50]:
+        assert m.isclose(got[key], truth[key], rel_tol=1e-9)
+
+
 def test_lsh_recall(spark):
     """LSH top-10 must recover a solid fraction of the true top-10.
     On near-uniform random embeddings (this fixture) recall is the

@@ -1,0 +1,37 @@
+"""Physical-layout behaviors that matter at 100 TB: partition pruning
+on partitioned writes, and approximate aggregates."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "li_part")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+
+    pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter must appear as a PartitionFilter on
+    # the scan, not a post-scan row filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_approx_count_distinct(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_percentile_approx(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01
