@@ -45,6 +45,24 @@ class CorpusCounts:
     totals: DataFrame
 
 
+def observed_emissions(emissions: DataFrame, name: str = "totals"):
+    """True single-pass totals via the Observation API: the L/F sums
+    accumulate as a side effect of whatever action executes the
+    emissions next — the exact analog of the reference's Hadoop
+    counters accumulating during the map phase (Step1.java:73-74),
+    without a second scan.  Returns (emissions, observation); read
+    ``observation.get`` after an action has run.
+
+    CAVEAT (Spark 4.1): a used Observation leaves a query-execution
+    listener behind that can break LATER cache materialization in the
+    same session ("Task not serializable" at closure clean).  Use from
+    a dedicated ``spark.newSession()`` when the session lives on."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return emissions.observe(obs, F.sum("count").alias("L"), F.sum("count").alias("F")), obs
+
+
 def corpus_counts(emissions: DataFrame) -> CorpusCounts:
     """Aggregate the per-token emission relation (sources.biarcs.
     token_emissions) into lexeme / feature / pair counts and totals.

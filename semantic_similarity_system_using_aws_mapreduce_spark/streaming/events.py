@@ -97,6 +97,40 @@ def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user (event count, value sum) maintained in the state store
+    across micro-batches, emitting the updated totals each batch.
+
+    This is the template for operators the built-in windows can't
+    express (custom counters, fraud scores, sessionized features);
+    state is per-key and bounded, timeouts would evict idle users in a
+    real deployment."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 4)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
 def run_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -30,6 +30,24 @@ def test_counts_match_reference_oracle(spark):
     assert totals.L == totals.F == oracle_total
 
 
+def test_observed_totals_single_pass(spark):
+    """Observation-API totals accumulate during another action's pass
+    (the reference's Hadoop-counters-during-map optimization).
+
+    Runs in an isolated session: a used Observation leaves a listener
+    behind that breaks later cache materialization in Spark 4.1
+    ('Task not serializable' at closure clean)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import corpus_counts, observed_emissions
+
+    session = spark.newSession()
+    corpus = read_biarcs(session, SMALL_SAMPLE)
+    emissions, obs = observed_emissions(token_emissions(corpus))
+    counts = corpus_counts(emissions)
+    n_lex = counts.lexeme_counts.count()  # one action drives the scan
+    assert n_lex > 0
+    assert obs.get["L"] == obs.get["F"] == 16024
+
+
 def test_malformed_rows_dropped(spark, tmp_path):
     fixture = tmp_path / "corpus.txt"
     fixture.write_text(

@@ -54,6 +54,28 @@ def test_sliding_window(spark):
     assert total_n == 4 * n_events
 
 
+def test_stateful_user_totals(spark):
+    """applyInPandasWithState running totals must converge to the batch
+    per-user aggregates once the bounded stream drains."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import stateful_user_totals
+
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(stateful_user_totals(stream), output_mode="update")
+    # update mode may emit a row per micro-batch; the LAST emission per
+    # user is the final total (single-batch file source -> exactly one)
+    got = {r.user_id: (r.n_events, r.total_value) for r in result.collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as FF
+
+    batch = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(FF.count("*").alias("n"), FF.round(FF.sum("value"), 4).alias("v"))
+        .collect()
+    }
+    assert got == batch
+
+
 def test_session_windows_match_batch_sessionization(spark):
     """session_window(gap=30m) must produce the same per-user session
     counts as the batch lag+cumsum formulation."""
