@@ -82,6 +82,19 @@ def test_stem_rewrite_replaces_all_occurrences(spark, tmp_path):
     assert corpus.collect()[0].tokens == ["meet/NNS/meet/2", "x/NN/dep/0"]
 
 
+def test_gzip_corpus(spark, tmp_path):
+    """The real biarcs corpus ships gzipped; text scan must read .gz
+    transparently with identical results."""
+    import gzip
+    import shutil
+
+    gz = tmp_path / "sample.txt.gz"
+    with open(SMALL_SAMPLE, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    counts = corpus_counts(token_emissions(read_biarcs(spark, str(gz))))
+    assert counts.totals.collect()[0].L == 16024
+
+
 def test_counts_by_year_parsing(spark, tmp_path):
     fixture = tmp_path / "corpus.txt"
     fixture.write_text("h\ta/NN/dep/0\t10\t1999,3\t2000,7\n")
