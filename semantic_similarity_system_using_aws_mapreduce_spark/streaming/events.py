@@ -32,6 +32,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stream_dir = tempfile.mkdtemp(prefix="event_stream_")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))

@@ -15,8 +15,15 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long and convert with exact integer
-    division (a double division would lose microseconds at 1.7e18)."""
+    division (a double division would lose microseconds at 1.7e18).
+
+    The session timezone is pinned to UTC here because timestamp_micros
+    produces a TZ-bearing timestamp: collected values and date_trunc
+    buckets must be UTC wall-clock to match the file's naive nanos (and
+    the DuckDB oracle) regardless of the calling session's timezone —
+    the driver's session is not ours to configure."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
