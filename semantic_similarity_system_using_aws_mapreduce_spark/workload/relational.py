@@ -392,8 +392,28 @@ def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite beyond row_number: lag, lead, rank,
+    dense_rank, ntile over per-customer order sequences."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wp).alias("price_dense_rank"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q_window_functions": q_window_functions,
     "q_percentiles": q_percentiles,
     "q_date_buckets": q_date_buckets,
     "q_string_funcs": q_string_funcs,
@@ -420,6 +440,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_functions": """
+        SELECT o_custkey, o_orderkey,
+               round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), 4) AS prev_price,
+               round(lead(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), 4) AS next_price,
+               rank() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+               dense_rank() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank,
+               ntile(4) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        FROM orders
+    """,
     "q_percentiles": """
         SELECT o_orderstatus,
                round(quantile_cont(o_totalprice, 0.5), 6) AS p50,

@@ -33,16 +33,20 @@ def duck():
 
 
 def _norm_cell(v):
+    # (null_flag, value) keeps rows sortable when a column mixes NULLs
+    # with values (e.g. lag() first rows)
+    if v is None:
+        return (1, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return (0, "NaN")
         if math.isinf(v):
-            return "Inf" if v > 0 else "-Inf"
+            return (0, "Inf" if v > 0 else "-Inf")
         # rounding already applied query-side; normalize -0.0 and fp dust
-        return round(v, 6) + 0.0
+        return (0, round(v, 6) + 0.0)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    return v
+        return (0, v.replace(tzinfo=None).isoformat())
+    return (0, v)
 
 
 def _normalize(columns, rows):
