@@ -210,6 +210,114 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_lsh_portable(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH approximate top-k with a fully deterministic,
+    cross-engine-reproducible hash family — the scale-safe ANN plan the
+    correctness gate can hash-verify against a SQL oracle.
+
+    Differences from :func:`ann_topk_lsh` (which draws Gaussian planes
+    from a seeded numpy RNG inside an Arrow UDF):
+
+      * hyperplanes are ±1 vectors derived from md5 of "srp:t:j:i" —
+        pure JVM expressions, no Python anywhere, and byte-identical
+        reproducible in any engine with md5;
+      * the plane dot products are computed over fixed-point quantized
+        components (``round(x*quant)`` as int64), so bucket assignment
+        is exact integer math — immune to FP summation-order drift
+        between engines (a sign flip near 0.0 would otherwise change
+        buckets);
+      * candidates are scored with exact double cosine and ranked by
+        the ROUNDED cosine (6 dp) with neighbor-id tiebreak, making the
+        top-k deterministic across engines.
+
+    Scale shape (the 100 TB plan): explode -> broadcast-join the tiny
+    plane table -> two keyed aggregations (both shuffle on vec_id) ->
+    bucket self equi-join (the only pairwise stage, bucketed never
+    all-pairs) -> explode-join scoring linear in candidate count ->
+    window top-k.  No driver collect, no broadcast of the data matrix.
+    """
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+
+    planes = (
+        spark.range(n_tables).select(F.col("id").alias("t"))
+        .crossJoin(spark.range(n_planes).select(F.col("id").alias("j")))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("i")))
+        .select(
+            "t", "j", "i",
+            F.when(
+                md5_int(F.concat_ws(":", F.lit("srp"), "t", "j", "i")) % 2 == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).alias("sign"),
+        )
+    )
+    u = df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("x"))
+    q = u.select(
+        "vec_id", "i", F.round(F.col("x") * quant, 0).cast("long").alias("xq")
+    )
+    dots = (
+        q.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.col("xq") * F.col("sign")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id", "t").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    norms = u.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    ub = u.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("x").alias("y"))
+    pair_dots = (
+        cand.join(u, "vec_id")
+        .join(ub, ["neighbor_id", "i"])
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
+    )
+    scored = (
+        pair_dots.join(norms, "vec_id")
+        .join(
+            norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_b")),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("nrm_b")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     k: int = 10,

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 COSINE_THRESHOLD = 0.4
 KNN_QUERY_ID = 0
 KNN_K = 10
+ANN_TOPK = 5
+ANN_N_PLANES = 8
+ANN_N_TABLES = 4
+ANN_QUANT = 1000
+ANN_DIM = 64  # fixture embedding dim (Spark side derives it; oracle fixes it)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +110,25 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB similarity-search plan, under the hash gate: SRP-LSH
+    bucketed candidates + exact within-bucket cosine top-k.  Unlike
+    q_cosine_pairs / q_knn (the brute-force oracles, which broadcast the
+    whole matrix), this plan never collects or broadcasts the data —
+    signatures, bucket join, scoring, and window top-k are all
+    distributed relational ops.  See operators/ann.py
+    ann_topk_lsh_portable for the determinism design."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import ann_topk_lsh_portable
+
+    return ann_topk_lsh_portable(
+        _emb(spark, sf_dir),
+        k=ANN_TOPK,
+        n_planes=ANN_N_PLANES,
+        n_tables=ANN_N_TABLES,
+        quant=ANN_QUANT,
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm: positional explode -> per-(label, dim)
     mean -> norm.  The explode+groupBy plan is how array aggregation
@@ -150,6 +174,7 @@ def q_embedding_parity_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_embedding_norms": q_embedding_norms,
     "q_embedding_parity_measures": q_embedding_parity_measures,
     "q_cosine_pairs": q_cosine_pairs,
@@ -217,6 +242,41 @@ ORACLES = {
         FROM dots d JOIN norms n ON n.vec_id = d.vec_id
         ORDER BY cosine DESC, d.vec_id
         LIMIT {KNN_K}
+    """,
+    "q_ann_lsh_topk": f"""
+        WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                          unnest(range(len(embedding))) AS i
+                   FROM embeddings),
+        planes AS (
+            SELECT t, j, i,
+                   CASE WHEN ('0x' || substr(md5('srp:' || t || ':' || j || ':' || i), 1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM range({ANN_N_TABLES}) t(t), range({ANN_N_PLANES}) j(j), range({ANN_DIM}) i(i)),
+        q AS (SELECT vec_id, i, CAST(round(x * {ANN_QUANT}, 0) AS BIGINT) AS xq FROM u),
+        dots AS (SELECT vec_id, t, j, sum(xq * sign) AS dot
+                 FROM q JOIN planes USING (i) GROUP BY 1, 2, 3),
+        buckets AS (SELECT vec_id, t,
+                           sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS bucket
+                    FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+                 FROM buckets a JOIN buckets b
+                   ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        pdots AS (SELECT c.vec_id, c.neighbor_id, sum(a.x * b.x) AS dot
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.vec_id
+                  JOIN u b ON b.vec_id = c.neighbor_id AND b.i = a.i
+                  GROUP BY 1, 2),
+        scored AS (SELECT p.vec_id, p.neighbor_id,
+                          round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+                   FROM pdots p
+                   JOIN norms na ON na.vec_id = p.vec_id
+                   JOIN norms nb ON nb.vec_id = p.neighbor_id),
+        ranked AS (SELECT vec_id, neighbor_id, cosine,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rnk
+                   FROM scored)
+        SELECT vec_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {ANN_TOPK}
     """,
     "q_label_centroids": """
         WITH u AS (SELECT label, unnest(embedding)::DOUBLE AS v,

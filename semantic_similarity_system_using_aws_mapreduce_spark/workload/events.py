@@ -149,20 +149,24 @@ ORACLES = {
                        PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
             FROM events)
         SELECT user_id,
-               sum(CASE WHEN gap_us IS NULL
+               -- count(*) FILTER keeps BIGINT; sum(CASE ...) is HUGEINT in
+               -- DuckDB and trips the type-sensitive driver hash.
+               count(*) FILTER (WHERE gap_us IS NULL
                          OR gap_us > {SESSION_GAP_MINUTES} * 60 * 1000000
-                        THEN 1 ELSE 0 END) AS n_sessions,
+                        ) AS n_sessions,
                count(*) AS n_events,
                round(sum(value), 4) AS total_value
         FROM g GROUP BY user_id
     """,
     "q_user_event_pivot": """
+        -- count(*) FILTER keeps BIGINT; sum(CASE ...) is HUGEINT in DuckDB
+        -- and trips the type-sensitive driver hash.
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error
         FROM events GROUP BY user_id
     """,
     "q_json_props": """

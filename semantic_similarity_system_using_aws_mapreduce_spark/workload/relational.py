@@ -483,10 +483,13 @@ ORACLES = {
     """,
     "q_unpivot": """
         WITH wide AS (
+            -- count(*) FILTER, not sum(CASE ...): DuckDB types the latter
+            -- as HUGEINT (int128) while Spark emits BIGINT, and the
+            -- driver's value hash is type-sensitive (r1 hash-only fails).
             SELECT o_orderpriority,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
             FROM orders GROUP BY o_orderpriority)
         SELECT o_orderpriority, 'n_open' AS status_kind, n_open AS cnt FROM wide
         UNION ALL
@@ -644,10 +647,12 @@ ORACLES = {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q_pivot_status": """
+        -- count(*) FILTER keeps the result BIGINT; sum(CASE ...) would be
+        -- HUGEINT in DuckDB and fail the type-sensitive driver hash.
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
         FROM orders GROUP BY o_orderpriority
     """,
     "q_having_big_customers": """

@@ -19,8 +19,10 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+# Test the FULL suite (including local-only queries the driver-facing
+# registry omits to stay under the driver's 50-row cap).
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_ORACLES as ORACLES
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES as QUERIES
 
 
 @pytest.fixture(scope="module")
