@@ -51,7 +51,9 @@ def _synth_corpus(tmp_dir: str, n_lines: int = PIPELINE_LINES, seed: int = 13):
             toks = []
             for j in range(n):
                 w = rng.choice(vocab)
-                head = rng.randint(0, n)  # 0 = root; may be out of bounds
+                # 0 = root; n+1 is out of bounds (randint is inclusive),
+                # so the head-dereference drop path gets exercised
+                head = rng.randint(0, n + 1)
                 toks.append(f"{w}/{rng.choice(pos)}/{rng.choice(deps)}/{head}")
             count = rng.randint(1, 1000)
             f.write(f"{toks[0].split('/')[0]}\t{' '.join(toks)}\t{count}\t2000,{count}\n")

@@ -104,8 +104,24 @@ def cross_validate_random_forest(
 
 def evaluation_report(predictions: DataFrame) -> dict:
     """Accuracy, kappa, MAE/RMSE, precision/recall/F1 for class
-    ``similar``, and the confusion matrix — the contents of the
-    reference's evaluation report (Step5.java:139-167)."""
+    ``similar``, ROC area, and the confusion matrix — the contents of
+    the reference's evaluation report (Step5.java:139-167; published
+    ROC area 0.899/0.893 in BASELINE.md).
+
+    ``roc_area`` is the AUC of ``p_similar`` as a ranking score
+    (distributed, via BinaryClassificationEvaluator).  For binary
+    problems the class-0 area with score ``1 - p_similar`` is the same
+    number, so one value covers Weka's per-class ROC column.  ``None``
+    when the pooled predictions contain a single label class (AUC is
+    undefined there — Weka prints NaN)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    if predictions.select("label").distinct().count() == 2:
+        roc_area = BinaryClassificationEvaluator(
+            rawPredictionCol="p_similar", labelCol="label", metricName="areaUnderROC"
+        ).evaluate(predictions)
+    else:
+        roc_area = None
     agg = predictions.agg(
         F.count("*").alias("n"),
         F.sum(((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")).alias("tp"),
@@ -136,5 +152,6 @@ def evaluation_report(predictions: DataFrame) -> dict:
         "precision_similar": precision,
         "recall_similar": recall,
         "f1_similar": f1,
+        "roc_area": roc_area,
         "confusion": [[tp, fn], [fp, tn]],
     }

@@ -73,6 +73,65 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def codec_support() -> dict[str, bool]:
+    """Probe which real codec libraries are importable RIGHT NOW.
+    The container this ships in has none of them; the probe (and the
+    skip-marked test over it) makes the real-decoder seam light up the
+    moment PIL / soundfile / av appear, instead of staying silently
+    dead behind a hardcoded NotImplementedError."""
+    import importlib
+
+    support = {}
+    for module, kind in (("PIL.Image", "image"), ("soundfile", "audio"), ("av", "video")):
+        try:
+            importlib.import_module(module)
+            support[kind] = True
+        except Exception:
+            support[kind] = False
+    return support
+
+
+def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
+    import io
+
+    n_bytes, checksums, pixels = [], [], []
+    for kind, data in zip(pdf["kind"], pdf["data"]):
+        if not support.get(kind):
+            raise NotImplementedError(
+                f"no codec available for kind={kind!r} (probe: {support})"
+            )
+        if kind == "image":
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(bytes(data)))
+            arr = np.asarray(img.convert("L"), dtype=np.int64)
+            checksums.append(int(arr.sum()))
+            pixels.append(int(arr.size))
+        elif kind == "audio":
+            import soundfile as sf
+
+            samples, _rate = sf.read(io.BytesIO(bytes(data)))
+            checksums.append(int(np.abs(samples).sum()))
+            pixels.append(int(np.asarray(samples).size))
+        else:  # video
+            import av
+
+            with av.open(io.BytesIO(bytes(data))) as container:
+                frames = sum(1 for _ in container.decode(video=0))
+            checksums.append(frames)
+            pixels.append(frames)
+        n_bytes.append(len(data))
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "n_bytes": n_bytes,
+            "checksum": checksums,
+            "pixels_or_samples": pixels,
+        }
+    )
+
+
 def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     checksums = [
         int(np.frombuffer(d, dtype=np.uint8).astype(np.int64).sum()) for d in pdf["data"]
@@ -95,18 +154,26 @@ def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
 def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode binary payloads to per-item metadata via mapInPandas.
 
-    ``decoder="real"`` is the production seam (PIL / soundfile /
-    pyav) — STUB: raises NotImplementedError in this environment.
+    ``decoder="real"`` uses whatever codec libraries the environment
+    offers (PIL / soundfile / av, per :func:`codec_support`) and raises
+    NotImplementedError up front when none are importable — in this
+    container that is always, so tests exercise the seam via the probe
+    (skip-marked for the real-decode path).  The Spark plan is
+    identical either way; only the inner pandas function changes.
     """
+    if decoder == "real":
+        support = codec_support()
+        if not any(support.values()):
+            raise NotImplementedError(
+                f"no real codecs importable in this environment ({support}); "
+                "use decoder='fake'"
+            )
+    else:
+        support = {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real codecs (PIL/ffmpeg) are not available in this "
-                    "environment; use decoder='fake'"
-                )
-            yield _fake_decode(pdf)
+            yield _real_decode(pdf, support) if decoder == "real" else _fake_decode(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 

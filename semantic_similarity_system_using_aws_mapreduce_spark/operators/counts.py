@@ -63,19 +63,41 @@ def observed_emissions(emissions: DataFrame, name: str = "totals"):
     return emissions.observe(obs, F.sum("count").alias("L"), F.sum("count").alias("F")), obs
 
 
-def corpus_counts(emissions: DataFrame) -> CorpusCounts:
+def corpus_counts(
+    emissions: DataFrame, totals: DataFrame | None = None
+) -> CorpusCounts:
     """Aggregate the per-token emission relation (sources.biarcs.
     token_emissions) into lexeme / feature / pair counts and totals.
 
     Counts are longs (the reference's Integer.parseInt at Step1.java:97
     would overflow at full-corpus scale).
+
+    Only ``pair_counts`` aggregates the emissions relation; the lexeme
+    and feature marginals and the totals all re-aggregate
+    ``pair_counts`` (sum of per-pair sums == per-key sum exactly —
+    integer arithmetic).  This is the reference's own single-shuffle
+    design (Step1 funnels all three counts through one shuffle): at
+    100 TB the enormous stemmed-emissions relation is scanned and
+    shuffled ONCE, and the marginal aggregations shuffle only the
+    (vocabulary-sized) pair relation.  The pipeline persists
+    pair_counts in non-checkpointed mode so all four branches share
+    one materialization even when physical-plan canonicalization
+    (per-branch join-key isnotnull pushdown) defeats ReusedExchange.
+
+    Callers that already know L/F (e.g. the checkpointed pipeline's
+    Observation side-channel) pass a literal 1-row ``totals``.
     """
-    lexeme_counts = emissions.groupBy("lexeme").agg(F.sum("count").alias("l_count"))
-    feature_counts = emissions.groupBy("feature").agg(F.sum("count").alias("f_count"))
     pair_counts = emissions.groupBy("lexeme", "feature").agg(
         F.sum("count").alias("lf_count")
     )
-    totals = emissions.agg(
-        F.sum("count").alias("L"), F.sum("count").alias("F")
+    lexeme_counts = pair_counts.groupBy("lexeme").agg(
+        F.sum("lf_count").alias("l_count")
     )
+    feature_counts = pair_counts.groupBy("feature").agg(
+        F.sum("lf_count").alias("f_count")
+    )
+    if totals is None:
+        totals = pair_counts.agg(
+            F.sum("lf_count").alias("L"), F.sum("lf_count").alias("F")
+        )
     return CorpusCounts(lexeme_counts, feature_counts, pair_counts, totals)

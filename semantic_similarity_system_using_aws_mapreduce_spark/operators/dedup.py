@@ -102,24 +102,60 @@ def lsh_candidates(sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2) ->
 
 
 def ngram_jaccard_pairs(
-    hashes: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+    hashes: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) pairs above threshold via inverted
-    shingle-hash index.  Pass ``candidates`` (e.g. lsh_candidates
-    output) to verify only those pairs — the production path at scale;
-    without it, all colliding pairs are scored (exact ground truth)."""
+    """(doc_a, doc_b, jaccard) pairs above threshold.
+
+    Two plans, chosen by ``candidates``:
+
+      * candidate-verify (the production path at scale): join the
+        candidate pairs (e.g. :func:`lsh_candidates` output) with the
+        shingle relation on each side — the intersection is computed
+        ONLY for candidate pairs, so work is linear in
+        ``|candidates| * avg_doc_shingles`` and no all-pairs or
+        inverted-index self-join ever runs.  Jaccard values are exact
+        for every candidate pair.
+      * inverted-index self-join (exact ground truth, no candidates):
+        scores ALL colliding pairs.  A single high-document-frequency
+        shingle makes this quadratic in its posting list; pass
+        ``max_doc_freq`` to drop shingles shared by more than that many
+        documents from the index.  Sizes still count every shingle, so
+        the jaccard of a surviving pair is understated by at most its
+        dropped-shingle overlap (the standard posting-list cutoff
+        trade-off); at 100 TB prefer the candidate-verify plan.
+    """
     sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = hashes.alias("a"), hashes.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        ha = hashes.select(F.col("doc_id").alias("doc_a"), "h")
+        hb = hashes.select(F.col("doc_id").alias("doc_b"), "h")
+        inter = (
+            candidates.join(ha, "doc_a")
+            .join(hb, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        idx = hashes
+        if max_doc_freq is not None:
+            common = (
+                hashes.groupBy("h")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("h")
+            )
+            idx = hashes.join(F.broadcast(common), "h", "left_anti")
+        a, b = idx.alias("a"), idx.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))

@@ -40,33 +40,39 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        propagated = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+        propagated = (
+            labels.select("node", F.col("cluster_id").alias("old"))
+            .join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("old"), F.coalesce(F.col("nmin"), F.col("old"))
+                ).alias("cluster_id"),
+            )
         )
         # pointer doubling: labels are node ids, so chase one hop
         # (l := label of the node l points at)
         parent = propagated.select(
             F.col("node").alias("cid"), F.col("cluster_id").alias("cc")
         )
+        # the changed flag rides the propagation frame itself, so the
+        # convergence check below is a trivial agg over the already
+        # localCheckpoint-materialized partitions — no extra join or
+        # recompute per round (the old version re-joined old vs new
+        # labels, 2 extra jobs every iteration)
         new_labels = (
             propagated.join(parent, propagated.cluster_id == parent.cid, "left")
             .select(
                 "node",
                 F.coalesce(F.col("cc"), F.col("cluster_id")).alias("cluster_id"),
+                (F.coalesce(F.col("cc"), F.col("cluster_id")) != F.col("old")).alias(
+                    "changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "cluster_id")
+        if new_labels.agg(F.max("changed")).first()[0] is not True:
             break
     return labels.select("node", "cluster_id")

@@ -45,11 +45,40 @@ def semantic_similarity_pipeline(
     """
     corpus = read_biarcs(spark, corpus_path)
     emissions = token_emissions(corpus)
+    totals = None
     if checkpoint_dir:
+        # The parquet write is an action anyway, so ride the L/F totals
+        # on it with the Observation API — the exact analog of the
+        # reference's Hadoop counters accumulating during the map phase
+        # (Step1.java:73-74): zero extra passes over the corpus.  Built
+        # against a throwaway child session because a used Observation
+        # leaves a listener that can break later cache materialization
+        # in its session (Spark 4.1; see operators/counts.py).
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import observed_emissions
+
+        obs_spark = spark.newSession()
+        observed, obs = observed_emissions(
+            token_emissions(read_biarcs(obs_spark, corpus_path))
+        )
         path = f"{checkpoint_dir}/emissions.parquet"
-        emissions.write.mode("overwrite").parquet(path)
+        observed.write.mode("overwrite").parquet(path)
+        got = obs.get
         emissions = spark.read.parquet(path)
-    counts = corpus_counts(emissions)
+        totals = spark.createDataFrame(
+            [(got["L"], got["F"])], "L long, F long"
+        )
+    counts = corpus_counts(emissions, totals=totals)
+    if not checkpoint_dir:
+        # All downstream branches (marginals, totals, the assoc join)
+        # read pair_counts; persisting it caps the plan at ONE scan of
+        # the corpus per action — the cache substitution happens on the
+        # logical plan, where the four subtrees are literally identical,
+        # so it is immune to the per-branch isnotnull pushdown that
+        # defeats physical ReusedExchange here.  Checkpointed runs get
+        # the same effect from the emissions parquet.
+        from pyspark import StorageLevel
+
+        counts.pair_counts.persist(StorageLevel.MEMORY_AND_DISK)
     assoc = association_measures(counts, mode=mode)
     if checkpoint_dir:
         path = f"{checkpoint_dir}/assoc.parquet"

@@ -43,9 +43,14 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        shingle_hashes(_docs(spark, sf_dir)), JACCARD_THRESHOLD
-    )
+    """LSH-verify near-dup detection — the production plan at scale:
+    banded-minhash candidates first, exact n-gram jaccard ONLY on those
+    pairs (linear in candidates; the unfiltered inverted-index
+    self-join, quadratic in a hot shingle's posting list, never runs).
+    The exact-all-pairs form stays covered by tests/test_dedup.py."""
+    sh = shingle_hashes(_docs(spark, sf_dir))
+    cands = lsh_candidates(minhash_signatures(sh, N_HASHES), N_BANDS, N_HASHES // N_BANDS)
+    return ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cands)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,11 +146,25 @@ ORACLES = {
          AND a.doc_id < b.doc_id
     """,
     "q_ngram_jaccard_dups": f"""
-        WITH {_SH_CTE},
+        WITH {_SIGS_CTE},
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id
+        ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard

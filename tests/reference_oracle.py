@@ -54,7 +54,11 @@ def step1_counts(lines):
                 if len(p) != 4:
                     continue
                 pointer = int(p[3])
-                if pointer == 0:
+                if pointer <= 0:
+                    # 0 = root (skipped); negative would wrap via Python
+                    # negative indexing — the reference throws
+                    # ArrayIndexOutOfBounds (caught) and the engine's
+                    # F.get returns NULL, so both drop the token
                     continue
                 lex = parts[pointer - 1][0]
                 feat = p[0] + "-" + p[2]

@@ -30,6 +30,26 @@ def test_lsh_verify_composition(spark):
     assert got == want and len(got) == 25
 
 
+def test_ngram_jaccard_doc_freq_cutoff(spark):
+    """max_doc_freq prunes hot shingles from the inverted-index plan.
+    A generous cutoff changes nothing; a tight one may only ever LOWER
+    jaccard (drop pairs), never invent them."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hashes = shingle_hashes(docs)
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(hashes, 0.8).collect()}
+    loose = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(hashes, 0.8, max_doc_freq=10_000).collect()
+    }
+    assert loose == exact
+    tight = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(hashes, 0.8, max_doc_freq=2).collect()
+    }
+    assert set(tight) <= set(exact)
+    assert all(tight[k] <= exact[k] for k in tight)
+
+
 def test_salted_join_equals_plain_join(spark):
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(

@@ -29,6 +29,12 @@ def test_cross_validation(spark, vectors):
     # the tiny sample is almost all not-similar; the classifier should
     # at least beat always-wrong
     assert m["accuracy"] > 0.5
+    # ROC area (reference report's ROC column, ~0.9 at full corpus
+    # scale).  On this 331-instance fixture with ~3% positives the
+    # held-out ranking is noise (measured ~0.38), so assert the metric
+    # is computed and well-formed, not that the tiny model has skill.
+    assert m["roc_area"] is not None
+    assert 0.0 <= m["roc_area"] <= 1.0
 
 
 def test_too_few_instances(spark, vectors):

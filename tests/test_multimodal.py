@@ -6,11 +6,15 @@ import pytest
 
 from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
     FEATURE_DIM,
+    MEDIA_SCHEMA,
+    codec_support,
     decode_media,
     extract_features,
     sample_frames,
     synthesize_media,
 )
+
+SUPPORT = codec_support()
 
 
 @pytest.fixture(scope="module")
@@ -30,12 +34,37 @@ def test_decode_fake(spark, media):
     assert again == {r.media_id: r.checksum for r in rows}
 
 
-def test_decode_real_is_stubbed(spark, media):
-    with pytest.raises(Exception) as exc_info:
-        decode_media(media, decoder="real").collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+@pytest.mark.skipif(
+    any(SUPPORT.values()), reason="real codecs available; covered by the decode test"
+)
+def test_decode_real_raises_without_codecs(spark, media):
+    """With no codec library importable, the real seam fails loudly and
+    immediately (driver side), never silently."""
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decoder="real")
+
+
+@pytest.mark.skipif(
+    not SUPPORT.get("image"), reason="PIL not importable in this environment"
+)
+def test_decode_real_images(spark):
+    """Exercised the moment PIL appears: decode genuine PNG payloads
+    through the same mapInPandas plan as the fake decoder."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.new("L", (8, 6), color=i * 40).save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), "png", 8, 6, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, decoder="real").collect()}
+    assert len(got) == 4
+    for i, r in got.items():
+        assert r.pixels_or_samples == 8 * 6
+        assert r.checksum == 8 * 6 * i * 40
 
 
 def test_feature_extraction(spark, media):

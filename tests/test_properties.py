@@ -41,6 +41,11 @@ def token(draw):
         return f"{w}/{draw(pos)}/{draw(dep)}/x"  # bad pointer
     if kind == 3:
         return f"{w}/{draw(pos)}/{draw(dep)}/{draw(st.integers(5, 9))}"  # OOB-ish
+    if kind == 4:
+        # negative pointer: both sides must DROP (reference catches
+        # ArrayIndexOutOfBounds; a naive oracle would wrap via Python
+        # negative indexing)
+        return f"{w}/{draw(pos)}/{draw(dep)}/{draw(st.integers(-3, -1))}"
     # well-formed, pointer 0..4
     return f"{w}/{draw(pos)}/{draw(dep)}/{draw(st.integers(0, 4))}"
 
