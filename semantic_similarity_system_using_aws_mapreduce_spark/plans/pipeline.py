@@ -57,9 +57,14 @@ def semantic_similarity_pipeline(
         from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import observed_emissions
 
         obs_spark = spark.newSession()
-        observed, obs = observed_emissions(
-            token_emissions(read_biarcs(obs_spark, corpus_path))
-        )
+        raw = read_biarcs(obs_spark, corpus_path)
+        # file-split heuristics often yield fewer input partitions than
+        # cores; the stemmer UDF dominates this stage, so spread it over
+        # every core (the text shuffle is trivial next to stemming)
+        par = obs_spark.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < par:
+            raw = raw.repartition(par)
+        observed, obs = observed_emissions(token_emissions(raw))
         path = f"{checkpoint_dir}/emissions.parquet"
         observed.write.mode("overwrite").parquet(path)
         got = obs.get
@@ -68,17 +73,18 @@ def semantic_similarity_pipeline(
             [(got["L"], got["F"])], "L long, F long"
         )
     counts = corpus_counts(emissions, totals=totals)
-    if not checkpoint_dir:
-        # All downstream branches (marginals, totals, the assoc join)
-        # read pair_counts; persisting it caps the plan at ONE scan of
-        # the corpus per action — the cache substitution happens on the
-        # logical plan, where the four subtrees are literally identical,
-        # so it is immune to the per-branch isnotnull pushdown that
-        # defeats physical ReusedExchange here.  Checkpointed runs get
-        # the same effect from the emissions parquet.
-        from pyspark import StorageLevel
+    # All downstream branches (marginals, totals, the assoc join) read
+    # pair_counts; persisting it caps the plan at ONE aggregation of the
+    # emissions relation per action — the cache substitution happens on
+    # the logical plan, where the subtrees are literally identical, so
+    # it is immune to the per-branch isnotnull pushdown that defeats
+    # physical ReusedExchange here.  This matters in BOTH modes: without
+    # it the non-checkpointed plan scans+stems the corpus once per
+    # branch, and the checkpointed plan re-runs the pair aggregation
+    # under each marginal.
+    from pyspark import StorageLevel
 
-        counts.pair_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    counts.pair_counts.persist(StorageLevel.MEMORY_AND_DISK)
     assoc = association_measures(counts, mode=mode)
     if checkpoint_dir:
         path = f"{checkpoint_dir}/assoc.parquet"

@@ -36,6 +36,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode runs all executor threads inside the driver JVM,
+        # whose default heap is 1g — 32 concurrent tasks OOM on any
+        # real workload.  Honored only at JVM launch (first session).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
