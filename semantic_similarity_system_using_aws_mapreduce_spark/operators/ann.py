@@ -279,6 +279,14 @@ def ann_topk_lsh_portable(
             )
         ).alias("bucket")
     )
+    # Both sides of the self-join read buckets, and exchange reuse does
+    # not fire across the aliases (AQE may broadcast one side) — without
+    # the persist the whole signature pipeline runs twice (measured 2x).
+    # Blocks are dropped by the ContextCleaner once the result DataFrame
+    # is garbage-collected.
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

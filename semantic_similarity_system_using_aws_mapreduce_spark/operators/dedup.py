@@ -43,11 +43,18 @@ def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, h): distinct 60-bit hashes of each document's word
-    n-gram shingles — the shared scan for minhash and jaccard."""
-    toks = tokens(F.col(text_col))
+    n-gram shingles — the shared scan for minhash and jaccard.
+
+    The token array is materialized in its own projection BEFORE the
+    shingle transform: higher-order functions are interpreted, and
+    Catalyst does not collapse a projection through Generate, so an
+    inline ``tokens(text)`` would re-split the full document once per
+    ``element_at`` call inside the lambda (measured 12x slower)."""
+    step = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
     return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(toks, n)).alias("shingle"))
+        step.select("doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle"))
         .select("doc_id", md5_int(F.col("shingle")).alias("h"))
         .distinct()
     )
@@ -89,6 +96,12 @@ def lsh_candidates(sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2) ->
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.*")
+    # Persist: both self-join sides read buckets, and exchange reuse
+    # does not fire across the aliases — without this the signature
+    # aggregation (and everything under it) runs twice.
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     a, b = buckets.alias("a"), buckets.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -172,10 +185,10 @@ def simhash(
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign-sum fingerprint over token
     hashes; near-dup ⇔ small Hamming distance."""
-    toks = tokens(F.col(text_col))
     tf = (
-        df.filter(F.size(toks) >= 1)
-        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.explode("toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("w"))
         .select("doc_id", "w", md5_int(F.col("t")).alias("h"))

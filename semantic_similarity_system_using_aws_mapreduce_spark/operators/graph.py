@@ -26,10 +26,16 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id of the component."""
+    from pyspark import StorageLevel
+
+    # sym is re-joined EVERY iteration — persisting it stops each round
+    # from re-running the whole upstream lineage (for near-dup edges,
+    # the full minhash/LSH pipeline) under the propagation join.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
@@ -75,4 +81,5 @@ def connected_components(
         labels = new_labels.select("node", "cluster_id")
         if new_labels.agg(F.max("changed")).first()[0] is not True:
             break
+    sym.unpersist()
     return labels.select("node", "cluster_id")

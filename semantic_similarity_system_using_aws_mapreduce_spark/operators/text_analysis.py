@@ -34,9 +34,11 @@ ROLL_BASE = 31
 ROLL_MOD = (1 << 42) - 3
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword hit ratio over whitespace tokens."""
-    toks = tokens(text)
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio over a token-array column.
+    Pass a MATERIALIZED column (not an inline split expression): the
+    scores reference it 2x per language, and interpreted HOFs would
+    re-tokenize per use."""
 
     def hits(words):
         arr = F.array(*[F.lit(w) for w in words])
@@ -55,7 +57,8 @@ def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     profiles (ties broken toward the lexicographically greatest code —
     the natural (score, lang) struct-max), 'und' when no profile
     matches at all."""
-    scores = lang_scores(F.col(text_col))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    scores = lang_scores(F.col("__toks"))
     langs = sorted(scores)
     pairs = F.array(
         *[
@@ -64,10 +67,14 @@ def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     best = F.array_max(pairs)  # struct compare: score first, then lang
-    return df.withColumn(
-        "lang_pred",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_score", F.round(best["score"], 6))
+    return (
+        df.withColumn(
+            "lang_pred",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(best["score"], 6))
+        .drop("__toks")
+    )
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -78,13 +85,15 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace vs BPE-ish piece counts per document."""
-    ws = tokens(F.col(text_col))
-    pieces = bpe_ish_tokens(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(ws).alias("n_words"),
-        F.size(pieces).alias("n_pieces"),
-        F.round(F.size(pieces) / F.greatest(F.size(ws), F.lit(1)), 6).alias(
+        F.size(tokens(F.col(text_col))).alias("n_words"),
+        F.size(bpe_ish_tokens(F.col(text_col))).alias("n_pieces"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.round(F.col("n_pieces") / F.greatest("n_words", F.lit(1)), 6).alias(
             "pieces_per_word"
         ),
     )

@@ -48,7 +48,11 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (linear in candidates; the unfiltered inverted-index
     self-join, quadratic in a hot shingle's posting list, never runs).
     The exact-all-pairs form stays covered by tests/test_dedup.py."""
-    sh = shingle_hashes(_docs(spark, sf_dir))
+    from pyspark import StorageLevel
+
+    # sh feeds the signature chain, both verify sides, and the size
+    # relation — persist so the shingle explode+hash+distinct runs once.
+    sh = shingle_hashes(_docs(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidates(minhash_signatures(sh, N_HASHES), N_BANDS, N_HASHES // N_BANDS)
     return ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cands)
 

@@ -121,21 +121,26 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics — all JVM array expressions, no
-    shuffle, no UDF."""
-    toks = _tokens_col()
+    shuffle, no UDF.  The token array is materialized once in its own
+    projection (multi-use non-cheap aliases are not collapsed by
+    Catalyst, so the split runs once per row, not once per use)."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n = F.size(toks)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("type_token_ratio"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n, 6
-        ).alias("avg_token_len"),
-        F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6
-        ).alias("stopword_ratio"),
+    n = F.size("toks")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.round(F.size(F.array_distinct("toks")) / n, 6).alias("type_token_ratio"),
+            F.round(
+                F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)) / n, 6
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / n, 6
+            ).alias("stopword_ratio"),
+        )
     )
 
 
@@ -155,11 +160,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min md5-derived 60-bit integer over word
     3-gram shingles (MinHash with one hash function — the document-level
     fingerprint a near-dup pipeline keys on).  Pure JVM expressions."""
-    toks = _tokens_col()
+    # toks MUST be a materialized column here: the lambda dereferences
+    # it via element_at, and HOF lambdas are interpreted per element —
+    # an inline split-expression would re-tokenize the document for
+    # every element_at call (measured 9x slower).
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
+        F.sequence(F.lit(0), F.size("toks") - 3),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            " ",
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+            F.element_at(F.col("toks"), i + 3),
         ),
     )
     fp = F.array_min(
@@ -170,7 +181,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _docs(spark, sf_dir)
-        .filter(F.size(toks) >= 3)
+        .select("doc_id", _tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select("doc_id", fp.alias("fingerprint"))
     )
 
