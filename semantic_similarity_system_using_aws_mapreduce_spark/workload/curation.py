@@ -1,0 +1,177 @@
+"""Training-data curation workload: deterministic sampling, shard
+packing, and the end-to-end quality/dedup funnel — the operations that
+turn a raw 100 TB crawl into a training corpus.
+
+All four queries are hash-deterministic (operators/sampling.py's
+md5-bucket design), so the DuckDB oracles reproduce them bit-for-bit:
+sampling decisions, shard boundaries, and dedup survivors never depend
+on partitioning, parallelism, or RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_sample, sample_per_group, token_shards
+
+# Training-mixture rates: downsample dominant English, keep rarer
+# languages at higher rates (per-mille of each stratum).
+MIX_RATES = {"en": 400, "de": 800, "es": 800, "fr": 800, "zh": 800}
+SAMPLE_K = 20
+SHARD_BUDGET = 2048
+MIN_TOKENS = 24
+MIN_TTR = 0.35
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling — a pure map-side
+    filter (no shuffle, no RNG): keep iff md5('smp:'||doc_id)%1000
+    falls under the language's per-mille rate."""
+    return hash_sample(_docs(spark, sf_dir), MIX_RATES, "lang", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language uniform sample (hash-ordered
+    row_number inside each stratum)."""
+    out = sample_per_group(_docs(spark, sf_dir), SAMPLE_K, "lang", "doc_id")
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing per language (prefix sum over
+    doc order; one shuffle keyed by lang)."""
+    return token_shards(_docs(spark, sf_dir), SHARD_BUDGET, "lang", "doc_id")
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel, one row per language:
+
+        raw docs -> quality gate (min tokens, min type-token ratio)
+                 -> exact-dedup survivors (min doc_id per content md5)
+                 -> per-language counts + kept-token stats
+
+    Composes the quality operators (q_doc_quality's statistics), exact
+    dedup (same survivor rule as q_exact_dedup), and grouped reporting
+    in a single declarative plan — the shape of a real ingest audit.
+    """
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import _tokens_col
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text", _tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size("toks").alias("n_tokens"),
+            (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        )
+    )
+    kept = toks.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    total = toks.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    kept_stats = kept.groupBy("lang").agg(F.count("*").alias("n_quality"))
+    surv_stats = survivors.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+    return (
+        total.join(kept_stats, "lang", "left")
+        .join(surv_stats, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            "avg_tokens",
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_raw"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "q_stratified_sample": q_stratified_sample,
+    "q_sample_per_group": q_sample_per_group,
+    "q_token_shards": q_token_shards,
+    "q_curation_funnel": q_curation_funnel,
+}
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {permille}" for lang, permille in sorted(MIX_RATES.items())
+) + " ELSE 0 END"
+
+ORACLES = {
+    "q_stratified_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_MD5INT.format(x="'smp:' || doc_id")} % 1000 < {_RATE_CASE}
+    """,
+    "q_sample_per_group": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_MD5INT.format(x="'kpg:' || doc_id")}
+                                % {1 << 60}, doc_id) AS sample_rank
+            FROM documents)
+        SELECT doc_id, lang, sample_rank FROM ranked
+        WHERE sample_rank <= {SAMPLE_K}
+    """,
+    "q_token_shards": f"""
+        WITH d AS (SELECT doc_id, lang AS stratum,
+                          len({_TOKS})::INT AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY stratum ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d)
+        SELECT doc_id, stratum, n_tokens,
+               CAST(floor((cum - n_tokens) * 1.0 / {SHARD_BUDGET}) AS BIGINT) AS shard_id
+        FROM c
+    """,
+    "q_curation_funnel": f"""
+        WITH t AS (SELECT doc_id, lang, text,
+                          len({_TOKS})::INT AS n_tokens,
+                          len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS ttr
+                   FROM documents),
+        kept AS (SELECT * FROM t
+                 WHERE n_tokens >= {MIN_TOKENS} AND ttr >= {MIN_TTR}),
+        surv AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                     FROM kept) WHERE rn = 1),
+        total AS (SELECT lang, count(*)::BIGINT AS n_raw FROM t GROUP BY lang),
+        kq AS (SELECT lang, count(*)::BIGINT AS n_quality FROM kept GROUP BY lang),
+        ss AS (SELECT lang, count(*)::BIGINT AS n_kept,
+                      sum(n_tokens)::BIGINT AS kept_tokens,
+                      round(avg(n_tokens), 6) AS avg_tokens
+               FROM surv GROUP BY lang)
+        SELECT total.lang, n_raw,
+               coalesce(n_quality, 0) AS n_quality,
+               coalesce(n_kept, 0) AS n_kept,
+               coalesce(kept_tokens, 0) AS kept_tokens,
+               avg_tokens,
+               round(coalesce(n_kept, 0) * 1.0 / n_raw, 6) AS keep_rate
+        FROM total
+        LEFT JOIN kq USING (lang)
+        LEFT JOIN ss USING (lang)
+    """,
+}

@@ -1,0 +1,89 @@
+"""Unit tests for the deterministic sampling / shard-packing operators
+(operators/sampling.py).  Oracle equality for the workload queries is
+covered by test_entry_queries.py; these tests pin the operator-level
+contracts: determinism, stratification, rank bounds, and packing
+arithmetic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    hash_sample,
+    sample_per_group,
+    token_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "en" if i % 2 == 0 else "de", " ".join(f"w{j}" for j in range(5 + i % 7)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_hash_sample_deterministic_and_stratified(docs):
+    rates = {"en": 500, "de": 100}
+    a = sorted(r.doc_id for r in hash_sample(docs, rates).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, rates).collect())
+    assert a == b and len(a) > 0
+    by_lang = {
+        r.lang: r.n
+        for r in hash_sample(docs, rates).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 100 docs per stratum: en keeps ~50, de ~10 — must differ materially
+    assert by_lang.get("en", 0) > by_lang.get("de", 0)
+
+
+def test_hash_sample_uniform_rate_and_default(docs):
+    assert hash_sample(docs, 1000).count() == 200
+    assert hash_sample(docs, 0).count() == 0
+    # missing stratum falls back to default_permille
+    assert hash_sample(docs, {"en": 1000}, default_permille=0).count() == 100
+
+
+def test_sample_per_group_rank_bounds(docs):
+    out = sample_per_group(docs, 7, "lang", "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.sample_rank)
+    assert set(per) == {"en", "de"}
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, 8))
+    again = sample_per_group(docs, 7, "lang", "doc_id").collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
+
+
+def test_sample_per_group_prefilter_still_k(docs):
+    # prefilter keeps ~half of each stratum, still >> k=5
+    out = sample_per_group(docs, 5, "lang", "doc_id", prefilter_permille=500)
+    per = (
+        out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r.n == 5 for r in per)
+
+
+def test_token_shards_packing(spark):
+    # 6 docs x 10 tokens, budget 25 -> starts at 0,10,20,30,40,50 ->
+    # shards 0,0,0,1,1,2
+    rows = [(i, "en", " ".join(["t"] * 10)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r.shard_id for r in token_shards(df, 25).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_token_shards_per_stratum_reset(spark):
+    rows = [(i, "en" if i < 3 else "de", " ".join(["t"] * 10)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = token_shards(df, 15)
+    # each stratum starts its own shard 0
+    firsts = {
+        r.stratum: r.shard_id
+        for r in out.filter(F.col("doc_id").isin(0, 3)).collect()
+    }
+    assert firsts == {"en": 0, "de": 0}
