@@ -63,7 +63,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import _tokens_col
 
-    toks = (
+    flagged = (
         _docs(spark, sf_dir)
         .select("doc_id", "lang", "text", _tokens_col().alias("toks"))
         .select(
@@ -73,35 +73,32 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("n_tokens"),
             (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
         )
-    )
-    kept = toks.filter(
-        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR)
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    survivors = (
-        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    )
-    total = toks.groupBy("lang").agg(F.count("*").alias("n_raw"))
-    kept_stats = kept.groupBy("lang").agg(F.count("*").alias("n_quality"))
-    surv_stats = survivors.groupBy("lang").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("n_tokens").alias("kept_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-    )
-    return (
-        total.join(kept_stats, "lang", "left")
-        .join(surv_stats, "lang", "left")
-        .select(
-            "lang",
-            "n_raw",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
-            "avg_tokens",
-            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_raw"), 6).alias(
-                "keep_rate"
-            ),
+        .withColumn(
+            "is_kept",
+            (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR),
         )
+    )
+    # Survivor = first kept doc per content digest.  Partitioning the
+    # window by (digest, is_kept) ranks kept docs among themselves, so
+    # the whole funnel is ONE scan -> one window shuffle (by digest) ->
+    # one aggregation shuffle (by lang) — no re-scan per funnel stage.
+    w = Window.partitionBy(F.md5("text"), "is_kept").orderBy("doc_id")
+    flagged = flagged.withColumn(
+        "is_surv", F.col("is_kept") & (F.row_number().over(w) == 1)
+    )
+    kept_long = F.col("is_kept").cast("long")
+    surv_long = F.col("is_surv").cast("long")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(kept_long).alias("n_quality"),
+        F.sum(surv_long).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_surv"), F.col("n_tokens"))), F.lit(0)
+        ).alias("kept_tokens"),
+        F.round(F.avg(F.when(F.col("is_surv"), F.col("n_tokens"))), 6).alias(
+            "avg_tokens"
+        ),
+        F.round(F.sum(surv_long) / F.count("*"), 6).alias("keep_rate"),
     )
 
 
