@@ -18,7 +18,10 @@ import sys
 import time
 
 from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
-from semantic_similarity_system_using_aws_mapreduce_spark.workload import QUERIES
+# ALL_QUERIES, not the 50-capped driver export: the headline set must
+# stay identical round-over-round even when a query rotates out of the
+# driver registry (q_window_topk is LOCAL_ONLY since r2).
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES as QUERIES
 
 PIPELINE_LINES = 200_000
 

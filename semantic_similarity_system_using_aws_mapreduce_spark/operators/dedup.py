@@ -180,6 +180,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    corpus_hashes: DataFrame,
+    benchmark_hashes: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct n-gram hashes appear ANYWHERE in the benchmark/eval set
+    (the standard n-gram-collision test used to scrub eval data out of
+    training corpora).
+
+    Inputs are two :func:`shingle_hashes` relations.  Plan: the
+    benchmark side (eval suites are tiny next to a 100 TB corpus) is
+    collapsed to its distinct hash set and broadcast, so the overlap
+    test is a map-side hash probe on the corpus scan; the only shuffle
+    is the per-document groupBy — one pass computes both the document's
+    shingle count and its benchmark-hit count.
+
+    Returns (doc_id, n_shingles, n_overlap, contaminated).
+    """
+    bench = benchmark_hashes.select("h").distinct().withColumn("bhit", F.lit(1))
+    return (
+        corpus_hashes.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("bhit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 60
 ) -> DataFrame:

@@ -62,11 +62,14 @@ for _m in _MODULES:
 #   q_doc_fingerprint - min-shingle-hash == minhash with one hash fn
 #                      (q_minhash_signatures); fingerprinting also
 #                      evidenced by q_rolling_fingerprint
+#   q_nations_intersect - INTERSECT ~ distinct semi-join (q_semi_join);
+#                      set-op family still evidenced by q_tagged_union
 LOCAL_ONLY = [
     "q_running_total",
     "q_rollup_qty",
     "q_window_topk",
     "q_nations_except",
+    "q_nations_intersect",
     "q_embedding_norms",
     "q_doc_fingerprint",
 ]
@@ -76,6 +79,7 @@ LOCAL_ONLY = [
 # them again.
 _PRIORITY = [
     "q_json_props",
+    "q_decontaminate",
     "q_ann_lsh_topk",
     "q_stratified_sample",
     "q_sample_per_group",

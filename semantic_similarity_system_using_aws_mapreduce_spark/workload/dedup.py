@@ -7,6 +7,7 @@ below replicate the identical md5/universal-hash arithmetic in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
     A,
@@ -23,6 +24,8 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
 JACCARD_THRESHOLD = 0.8
+BENCH_PERMILLE = 20  # 2% of docs play the benchmark/eval set
+CONTAM_MIN_OVERLAP = 5  # shared distinct 3-grams to flag a doc
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,6 +64,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 2% of documents play
+    the eval set; every remaining corpus doc is scored by how many of
+    its distinct 3-gram hashes collide with ANY eval doc's.  The eval
+    shingle set is broadcast (eval suites are tiny next to a 100 TB
+    corpus), so the probe is map-side; one shuffle total."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import ngram_contamination
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    is_bench = hash_bucket(F.col("doc_id"), "bench") < BENCH_PERMILLE
+    return ngram_contamination(
+        shingle_hashes(docs.filter(~is_bench)),
+        shingle_hashes(docs.filter(is_bench)),
+        CONTAM_MIN_OVERLAP,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: iterative connected components (min-label
     propagation) over the LSH candidate graph — the engine's iterative
@@ -73,6 +94,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_decontaminate": q_decontaminate,
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_signatures": q_minhash_signatures,
@@ -127,6 +149,23 @@ ORACLES = {
         )
         SELECT a AS node, least(a, min(b)) AS cluster_id
         FROM reach GROUP BY a
+    """,
+    "q_decontaminate": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, {_MD5INT.format(x='shingle')} AS h FROM (
+            SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM d WHERE len(toks) >= 3)),
+        bench_ids AS (
+            SELECT doc_id FROM documents
+            WHERE {_MD5INT.format(x="'bench:' || doc_id")} % 1000 < {BENCH_PERMILLE}),
+        bh AS (SELECT DISTINCT h FROM sh JOIN bench_ids USING (doc_id)),
+        corpus AS (SELECT * FROM sh
+                   WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+        SELECT c.doc_id,
+               count(*)::BIGINT AS n_shingles,
+               count(bh.h)::BIGINT AS n_overlap,
+               count(bh.h) >= {CONTAM_MIN_OVERLAP} AS contaminated
+        FROM corpus c LEFT JOIN bh ON c.h = bh.h
+        GROUP BY c.doc_id
     """,
     "q_exact_dedup": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
