@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
     lsh_candidates,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_pairs,
     shingle_hashes,
 )
@@ -28,6 +29,31 @@ def test_lsh_verify_composition(spark):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
     want = {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
     assert got == want and len(got) == 25
+
+
+def test_ngram_contamination(spark):
+    """Overlap counts against a tiny benchmark set: a verbatim copy of
+    a benchmark doc is fully contaminated, a doc sharing one 3-gram
+    counts exactly that overlap, disjoint text counts zero."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "he saw the quick brown bear by the river bank"),  # 1 shared 3-gram
+            (3, "completely different words appear in this one here today"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = ngram_contamination(
+        shingle_hashes(corpus), shingle_hashes(bench), min_overlap=2
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated) for r in out.collect()}
+    assert got[1] == (7, 7, True)
+    assert got[2] == (8, 1, False)
+    assert got[3] == (7, 0, False)
 
 
 def test_ngram_jaccard_doc_freq_cutoff(spark):
