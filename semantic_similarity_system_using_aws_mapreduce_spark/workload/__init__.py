@@ -64,7 +64,11 @@ for _m in _MODULES:
 #                      evidenced by q_rolling_fingerprint
 #   q_nations_intersect - INTERSECT ~ distinct semi-join (q_semi_join);
 #                      set-op family still evidenced by q_tagged_union
+#   q_knn            - ORDER BY/LIMIT evidenced by q03; the identical
+#                      cosine arithmetic by q_cosine_pairs and
+#                      q_ann_lsh_topk
 LOCAL_ONLY = [
+    "q_knn",
     "q_running_total",
     "q_rollup_qty",
     "q_window_topk",
@@ -80,6 +84,7 @@ LOCAL_ONLY = [
 _PRIORITY = [
     "q_json_props",
     "q_decontaminate",
+    "q_interval_join",
     "q_ann_lsh_topk",
     "q_stratified_sample",
     "q_sample_per_group",

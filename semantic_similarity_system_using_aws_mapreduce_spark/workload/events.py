@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 SESSION_GAP_MINUTES = 30
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+IV_USERS = 20       # users whose first event anchors an analysis window
+IV_MINUTES = 45     # window length
+IV_BIN_SECONDS = 900  # interval-join bucket width (~window/3)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +69,31 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: per analysis window (first event of each of
+    the {IV_USERS} lowest user ids + {IV_MINUTES} min), count and sum
+    ALL users' events inside it.  Runs through the bin-bucketed
+    interval_join operator — an equi-join on time buckets instead of
+    the BroadcastNestedLoopJoin a raw range predicate would produce."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.range_join import interval_join
+
+    ev = _events(spark, sf_dir)
+    iv = (
+        ev.filter(F.col("user_id") < IV_USERS)
+        .groupBy(F.col("user_id").alias("iv_id"))
+        .agg(F.min("ts").alias("iv_start"))
+        .withColumn("iv_end", F.col("iv_start") + F.expr(f"INTERVAL {IV_MINUTES} MINUTES"))
+    )
+    pts = ev.select("event_id", "ts", "value")
+    joined = interval_join(
+        pts, iv, "ts", "iv_start", "iv_end", bin_seconds=IV_BIN_SECONDS, how="right"
+    )
+    return joined.groupBy("iv_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
@@ -117,6 +145,7 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_asof_view_before_purchase": q_asof_view_before_purchase,
     "q_hourly_event_stats": q_hourly_event_stats,
+    "q_interval_join": q_interval_join,
     "q_sessionization": q_sessionization,
     "q_user_event_pivot": q_user_event_pivot,
     "q_json_props": q_json_props,
@@ -141,6 +170,18 @@ ORACLES = {
                round(sum(value), 4) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_interval_join": f"""
+        WITH iv AS (
+            SELECT user_id AS iv_id, min(ts) AS iv_start,
+                   min(ts) + INTERVAL {IV_MINUTES} MINUTE AS iv_end
+            FROM events WHERE user_id < {IV_USERS} GROUP BY user_id)
+        SELECT iv_id,
+               count(ev.event_id) AS n_events,
+               round(sum(ev.value), 4) AS total_value
+        FROM iv LEFT JOIN events ev
+          ON ev.ts >= iv.iv_start AND ev.ts < iv.iv_end
+        GROUP BY iv_id
     """,
     "q_sessionization": f"""
         WITH g AS (
