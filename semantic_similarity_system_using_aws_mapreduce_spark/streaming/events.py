@@ -132,6 +132,50 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(
+    stream: DataFrame,
+    max_delay_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase event is joined to
+    the same user's view events from the preceding ``max_delay_minutes``
+    (the attribution join — which views led to this purchase).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so Spark can evict view-side state once the
+    purchase watermark passes ``view_ts + max_delay`` — state stays
+    O(active window), independent of stream length.  This is the
+    streaming twin of operators/range_join.interval_join with the
+    user id as an equi-key."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_delay_minutes} MINUTES"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id", "user_id", "p_ts", "view_id", "v_ts", "value"
+    )
+
+
 def run_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

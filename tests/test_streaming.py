@@ -8,6 +8,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events impor
     run_to_memory,
     session_aggregates,
     sliding_value_avg,
+    stream_interval_join,
     tumbling_counts,
 )
 from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import q_hourly_event_stats, q_sessionization
@@ -74,6 +75,34 @@ def test_stateful_user_totals(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream attribution join (views within 30 min before a
+    purchase, per user) must emit exactly the batch join's matches."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import _events
+
+    stream = read_event_stream(spark, SF_DIR)
+    result = run_to_memory(stream_interval_join(stream), output_mode="append")
+    got = {(r.purchase_id, r.view_id) for r in result.collect()}
+
+    ev = _events(spark, SF_DIR)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    want = {(r.purchase_id, r.view_id) for r in p.join(v, cond).collect()}
+    assert len(want) > 0
+    assert got == want
 
 
 def test_session_windows_match_batch_sessionization(spark):
