@@ -49,6 +49,13 @@ def interval_join(
     """
     if how not in ("inner", "right"):
         raise ValueError(f"how must be inner|right, got {how!r}")
+    if how == "right":
+        # the right path reads intervals three times (bin explode, the
+        # matched projection, the anti-join re-attach); persist so the
+        # intervals subplan — possibly a full derivation — runs once
+        from pyspark import StorageLevel
+
+        intervals = intervals.persist(StorageLevel.MEMORY_AND_DISK)
     w = F.lit(int(bin_seconds))
     to_bin = lambda c: F.floor(F.col(c).cast("double") / w)  # noqa: E731
     pb = points.withColumn("_bin", to_bin(point_time))
