@@ -67,8 +67,11 @@ for _m in _MODULES:
 #   q_knn            - ORDER BY/LIMIT evidenced by q03; the identical
 #                      cosine arithmetic by q_cosine_pairs and
 #                      q_ann_lsh_topk
+#   q_lang_stats     - per-lang rollup of the same lang-ID expression
+#                      q_lang_id oracles per-doc (500 rows)
 LOCAL_ONLY = [
     "q_knn",
+    "q_lang_stats",
     "q_running_total",
     "q_rollup_qty",
     "q_window_topk",
@@ -85,6 +88,7 @@ _PRIORITY = [
     "q_json_props",
     "q_decontaminate",
     "q_interval_join",
+    "q_quality_gate",
     "q_ann_lsh_topk",
     "q_stratified_sample",
     "q_sample_per_group",

@@ -102,7 +102,42 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: per language, drop documents whose
+    type-token ratio sits below that language's 25th percentile.
+
+    The threshold is an exact interpolated percentile per group
+    (sort-based aggregate, one shuffle on lang), broadcast back onto
+    the scored scan — the second pass is map-side.  Thresholds are
+    rounded to 6 dp on BOTH engines before comparing so borderline
+    membership can't flip on a last-ulp interpolation difference."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import _tokens_col
+
+    scored = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", _tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        )
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(ttr, 0.25)"), 6).alias("p25_ttr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "p25_ttr")
+        .agg(
+            F.count_if(F.col("ttr") >= F.col("p25_ttr")).alias("n_kept"),
+            F.count_if(F.col("ttr") < F.col("p25_ttr")).alias("n_dropped"),
+        )
+        .select("lang", "p25_ttr", "n_kept", "n_dropped")
+    )
+
+
 QUERIES = {
+    "q_quality_gate": q_quality_gate,
     "q_stratified_sample": q_stratified_sample,
     "q_sample_per_group": q_sample_per_group,
     "q_token_shards": q_token_shards,
@@ -117,6 +152,20 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_quality_gate": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+            FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)),
+        thr AS (
+            SELECT lang, round(quantile_cont(ttr, 0.25), 6) AS p25_ttr
+            FROM scored GROUP BY lang)
+        SELECT lang, p25_ttr,
+               count(*) FILTER (WHERE ttr >= p25_ttr) AS n_kept,
+               count(*) FILTER (WHERE ttr < p25_ttr) AS n_dropped
+        FROM scored JOIN thr USING (lang)
+        GROUP BY lang, p25_ttr
+    """,
     "q_stratified_sample": f"""
         SELECT doc_id, lang, source FROM documents
         WHERE {_MD5INT.format(x="'smp:' || doc_id")} % 1000 < {_RATE_CASE}
