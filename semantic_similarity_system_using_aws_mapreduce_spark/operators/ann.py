@@ -263,6 +263,14 @@ def ann_topk_lsh_portable(
     u = df.select(
         F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "v")
     ).select("vec_id", "i", F.col("v").cast("double").alias("x"))
+    # u feeds four subplans (quantized dots, norms, and both sides of
+    # the candidate scoring join); persist so the scan+explode runs
+    # once.  At cluster scale with embeddings too big to cache, drop
+    # this and let the (cheap, column-pruned) scans repeat — the
+    # shuffles dominate there, not the scans.
+    from pyspark import StorageLevel
+
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
     q = u.select(
         "vec_id", "i", F.round(F.col("x") * quant, 0).cast("long").alias("xq")
     )
