@@ -112,6 +112,16 @@ HEADLINE = [
     "q_sessionization",
 ]
 
+# Queries added after BENCH_r01: timed and reported in `extra_queries`
+# but excluded from `value`, so the headline number stays
+# round-over-round comparable (q_ann_lsh_topk predates this split and
+# stays in HEADLINE/value from r2 on).
+EXTRA = [
+    "q_decontaminate",
+    "q_interval_join",
+    "q_quality_gate",
+]
+
 # (n_lines, checkpointed) pipeline configurations reported every round;
 # keep these stable so BENCH_r{N} files are directly comparable.
 PIPELINE_CONFIGS = [
@@ -131,11 +141,14 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    extra_queries: dict[str, float] = {}
+    for name, dest in [(n, timings) for n in HEADLINE] + [
+        (n, extra_queries) for n in EXTRA
+    ]:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        dest[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {dest[name]:.3f}s", file=sys.stderr)
 
     # Unreported warmup at 20k lines in both modes: the first pipeline
     # execution pays one-time whole-stage-codegen compilation (~20 s)
@@ -166,6 +179,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_queries,
                 "pipeline": extra,
                 "sf": float(sf),
             }

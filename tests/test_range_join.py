@@ -4,6 +4,8 @@ a hash/sort-merge equi-join, not BroadcastNestedLoopJoin."""
 
 import datetime
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.range_join import interval_join
@@ -64,6 +66,44 @@ def test_interval_join_right_keeps_empty_intervals(spark):
     assert sorted(by_iv[1]) == [0, 3, 6, 9]
     # half-open end: the t == e point is excluded
     assert 12 not in by_iv.get(3, [])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 1200)),
+        min_size=1,
+        max_size=15,
+    ),
+    bin_seconds=st.sampled_from([7, 60, 997, 4096]),
+)
+def test_interval_join_differential(spark, pts, ivs, bin_seconds):
+    """Numeric-time differential: bin-bucketed result == naive range
+    join for arbitrary points, intervals (possibly empty or
+    overlapping), and bin widths."""
+    points = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(pts)], ["pid", "t"]
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(ivs)],
+        ["iv", "s", "e"],
+    )
+    want = sorted(
+        (r.iv, r.pid)
+        for r in intervals.join(
+            points, (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+        ).collect()
+    )
+    got = sorted(
+        (r.iv, r.pid)
+        for r in interval_join(points, intervals, "t", "s", "e", bin_seconds).collect()
+    )
+    assert got == want
 
 
 def test_interval_join_plan_is_equi_join(spark):

@@ -1,0 +1,34 @@
+"""Driver-registry contract: the export must stay exactly at the
+driver's 50-row cap, priority (not-yet-hash-verified) entries first,
+every query paired with an oracle, and local-only rotations justified
+by still being tested here."""
+
+import __spark_entry__ as entry_mod
+from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
+    ALL_ORACLES,
+    ALL_QUERIES,
+    LOCAL_ONLY,
+    ORACLES,
+    QUERIES,
+)
+
+
+def test_export_is_exactly_the_driver_cap():
+    assert len(QUERIES) == 50
+    assert set(QUERIES) == set(ORACLES)
+    assert list(QUERIES) == list(ORACLES)  # same order too
+
+
+def test_local_only_is_the_exact_complement():
+    assert set(LOCAL_ONLY) <= set(ALL_QUERIES)
+    assert set(QUERIES) | set(LOCAL_ONLY) == set(ALL_QUERIES)
+    assert not set(QUERIES) & set(LOCAL_ONLY)
+
+
+def test_every_query_everywhere_has_an_oracle():
+    assert set(ALL_QUERIES) == set(ALL_ORACLES)
+
+
+def test_entry_module_exports_the_registry():
+    assert list(entry_mod.queries()) == list(QUERIES)
+    assert entry_mod.oracle_sql() == dict(ORACLES)
