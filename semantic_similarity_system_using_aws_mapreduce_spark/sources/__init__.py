@@ -1,4 +1,5 @@
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.biarcs import read_biarcs, token_emissions
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import read_bucketed, write_bucketed
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.gold import read_gold_standard
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import load_table, load_tables
 
@@ -8,4 +9,6 @@ __all__ = [
     "read_gold_standard",
     "load_table",
     "load_tables",
+    "read_bucketed",
+    "write_bucketed",
 ]
