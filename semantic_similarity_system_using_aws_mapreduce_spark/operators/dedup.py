@@ -220,24 +220,30 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 60
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign-sum fingerprint over token
-    hashes; near-dup ⇔ small Hamming distance."""
-    tf = (
+    hashes; near-dup ⇔ small Hamming distance.
+
+    The tf weighting needs no (doc_id, token) pre-aggregation: the
+    sign-sum is linear in occurrences (Σ_t tf(t)·sign_b(h(t)) ==
+    Σ_occurrences sign_b(h(tok))), so hashing each occurrence and
+    aggregating straight to doc_id costs one shuffle instead of two —
+    and the one shuffle carries only the 60 partially-aggregated sums
+    per (doc, map partition), not every distinct (doc, token) pair.
+    """
+    occurrences = (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.explode("toks").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("w"))
-        .select("doc_id", "w", md5_int(F.col("t")).alias("h"))
+        .select("doc_id", md5_int(F.col("t")).alias("h"))
     )
     bit_aggs = [
         F.sum(
             F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")
-            ).otherwise(-F.col("w"))
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(n_bits)
     ]
-    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    sums = occurrences.groupBy("doc_id").agg(*bit_aggs)
     out = None
     for b in range(n_bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(

@@ -216,7 +216,89 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of word bigrams that are repeats and the share taken by
+    the single most frequent bigram (high values flag boilerplate /
+    degenerate text for a training-data quality gate).
+
+    Plan: explode bigrams once, count per (doc, bigram), then roll up
+    per doc — both aggregations are partial-aggregated map-side and
+    keyed by doc_id (+bigram), so no key is hotter than the longest
+    single document.  Nothing here is quadratic in document length.
+    """
+    bigrams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    cnt = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_c"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+            F.round(F.col("dup_c") / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document-term weighting with the top-3 terms per doc:
+    term frequency per (doc, token), document frequency per token,
+    idf = ln(N/df), window top-k by weight.
+
+    Scale notes: the df relation is vocabulary-sized — joined on token
+    (shuffle join; the Zipfian head is exactly the low-idf tail, and
+    AQE skew-split covers it).  N is a 1-row aggregate broadcast via
+    crossJoin (the S5 counters pattern).  Ties in tfidf break on token
+    so the top-3 cut is deterministic.
+    """
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 QUERIES = {
+    "q_repetition_signals": q_repetition_signals,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_lang_id": q_lang_id,
     "q_regex_token_stats": q_regex_token_stats,
     "q_rolling_fingerprint": q_rolling_fingerprint,
@@ -253,6 +335,35 @@ _LANG_PICK = "CASE " + " ".join(
 ) + " END"
 
 ORACLES = {
+    "q_repetition_signals": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+               FROM d WHERE len(toks) >= 2),
+        cnt AS (SELECT doc_id, bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(c)::BIGINT AS n_bigrams,
+               round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+                   AS dup_bigram_frac
+        FROM cnt GROUP BY doc_id
+    """,
+    "q_tfidf_top_terms": f"""
+        WITH tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+                    GROUP BY 1, 2),
+        df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.token,
+                          tf.tf * ln(n.n_docs / df.df) AS tfidf
+                   FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY tfidf DESC, token) AS rank
+                   FROM scored)
+        SELECT doc_id, token, rank::INT AS rank, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rank <= 3
+    """,
     "q_lang_id": f"""
         WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
         scored AS (SELECT doc_id, lang,
