@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.merge import merge_upsert
+
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the local test
@@ -174,6 +176,81 @@ def stream_interval_join(
     return purchases.join(views, cond, "inner").select(
         "purchase_id", "user_id", "p_ts", "view_id", "v_ts", "value"
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    a key's dedup state once the watermark passes its event time — so
+    state is O(keys active inside the watermark window), independent of
+    stream length.  This is the streaming twin of the batch exact-dedup
+    operator (a replayed Kafka partition or an at-least-once upstream
+    produces duplicate event_ids; this removes them before they reach
+    an aggregation).
+
+    Plain ``dropDuplicates`` on a stream would keep every key seen
+    FOREVER (unbounded state) — the WithinWatermark variant is the only
+    scale-safe form.
+    """
+    keys = keys or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Streaming CDC sink: drive the (bounded) stream through
+    ``foreachBatch``, MERGE-upserting each micro-batch into a parquet
+    target table — the standard sink pattern when no lakehouse format
+    is available (foreachBatch hands you a batch DataFrame, so the
+    batch merge_upsert operator applies unchanged).
+
+    Each micro-batch is first reduced to its latest version per key
+    (greatest ``order_col``; later batches overwrite earlier ones by
+    stream order), satisfying merge_upsert's one-source-row-per-key
+    contract.  The merged result is cached and counted BEFORE the
+    overwrite so the copy-on-write never reads the files it is
+    deleting.  At scale the target would be partitioned and the
+    rewrite restricted via dynamic partition overwrite
+    (operators/merge.py docstring).
+    """
+    from pyspark.sql import Window
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(c) for c in batch.columns]
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, latest, keys, validate=False)
+        except Exception:  # first batch: no target yet
+            merged = latest
+        merged = merged.cache()
+        merged.count()  # materialize before overwriting the input files
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    q = stream.writeStream.foreachBatch(_apply).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_to_memory(

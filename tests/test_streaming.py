@@ -105,6 +105,65 @@ def test_stream_interval_join_matches_batch(spark):
     assert got == want
 
 
+def test_dedup_stream_removes_replayed_duplicates(spark, tmp_path):
+    """A source that replays every event twice (two symlinks to the
+    same parquet — an at-least-once upstream) must come out exactly
+    once per event_id, matching the batch distinct count."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import dedup_stream
+
+    src = os.path.abspath(f"{SF_DIR}/events.parquet")
+    stream_dir = tmp_path / "replayed"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "a.parquet")
+    os.symlink(src, stream_dir / "b.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    result = run_to_memory(dedup_stream(stream), output_mode="append")
+    n_events = spark.read.parquet(src).count()
+    assert result.count() == n_events
+    assert result.select("event_id").distinct().count() == n_events
+
+
+def test_foreach_batch_upsert_converges_to_latest_per_key(spark, tmp_path):
+    """Streaming CDC sink: upserting purchase events keyed by user_id
+    must leave the parquet target holding exactly each user's latest
+    purchase (the batch window row_number()=1 answer)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import run_foreach_batch_upsert
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import _events
+
+    target = str(tmp_path / "target")
+    stream = read_event_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    run_foreach_batch_upsert(stream, target, keys=["user_id"], order_col="ts")
+
+    got = {
+        r.user_id: (r.event_id, r.ts)
+        for r in spark.read.parquet(target).collect()
+    }
+
+    from pyspark.sql import Window
+
+    ev = _events(spark, SF_DIR).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), *[F.col(c) for c in ev.columns]
+    )
+    want = {
+        r.user_id: (r.event_id, r.ts)
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_session_windows_match_batch_sessionization(spark):
     """session_window(gap=30m) must produce the same per-user session
     counts as the batch lag+cumsum formulation."""
