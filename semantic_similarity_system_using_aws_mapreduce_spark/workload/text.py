@@ -275,12 +275,20 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin (the S5 counters pattern).  Ties in tfidf break on token
     so the top-3 cut is deterministic.
     """
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
     tf = (
         docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
+    # tf feeds both the df aggregation and the scoring join, and the
+    # two consumers' exchanges differ (different agg functions), so
+    # Catalyst gets no exchange reuse — without the persist the corpus
+    # is tokenized and shuffled twice (visible as two parquet scans in
+    # the physical plan).
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
