@@ -391,3 +391,46 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector linear quantization of an embedding column
+    to ``bits``-bit integer codes — the standard 4x storage/bandwidth
+    reduction for embedding tables at corpus scale (codes ship as
+    int8; the float vector reconstructs as ``code * scale``).
+
+    scale  = max|x| / (2^(bits-1) - 1)
+    code_i = floor(x_i / scale + 0.5)   ∈ [-(2^(bits-1)-1), 2^(bits-1)-1]
+
+    floor-based rounding (not half-even round()) keeps the arithmetic
+    bit-identical across engines: /, +0.5 and floor are all exactly-
+    rounded IEEE ops.  All-zero vectors get scale 0 and all-zero codes.
+    Entirely map-side — no shuffle, no UDF.
+
+    Returns (id, scale:double, codes:array<int>); reconstruction error
+    is bounded by scale/2 per element.  ``keep_vec=True`` passes the
+    original vector column through (for fidelity audits) so consumers
+    never need a join to re-attach it.
+    """
+    qmax = 2 ** (bits - 1) - 1
+    amax = F.array_max(F.transform(vec_col, lambda v: F.abs(v.cast("double"))))
+    with_scale = df.select(
+        F.col(id_col), F.col(vec_col), (amax / F.lit(float(qmax))).alias("scale")
+    )
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            vec_col,
+            lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(vec_col, lambda v: F.lit(0)))
+    kept = [F.col(vec_col)] if keep_vec else []
+    return with_scale.select(id_col, "scale", codes.alias("codes"), *kept)

@@ -69,7 +69,11 @@ for _m in _MODULES:
 #                      q_ann_lsh_topk
 #   q_lang_stats     - per-lang rollup of the same lang-ID expression
 #                      q_lang_id oracles per-doc (500 rows)
+#   q_percentiles    - exact interpolated percentile aggregate; the
+#                      identical percentile() surface (per-group, so
+#                      strictly more) is oracled by q_quality_gate
 LOCAL_ONLY = [
+    "q_percentiles",
     "q_knn",
     "q_lang_stats",
     "q_running_total",
@@ -87,6 +91,7 @@ LOCAL_ONLY = [
 _PRIORITY = [
     "q_repetition_signals",
     "q_tfidf_top_terms",
+    "q_embedding_quantization",
     "q_json_props",
     "q_decontaminate",
     "q_interval_join",

@@ -173,8 +173,39 @@ def q_embedding_parity_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit: quantize every embedding (symmetric
+    per-vector scale, floor-rounded codes — operators/ann.py
+    quantize_embeddings), dequantize, and report per-vector scale, max
+    reconstruction error, and cosine(original, dequantized).  Entirely
+    map-side — quantization at 100 TB is a scan, not a shuffle.
+
+    floor(x/scale + 0.5) instead of round() keeps the codes
+    bit-identical across engines (/, +0.5, floor are exactly-rounded
+    IEEE ops; round() ties differ by dialect)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import quantize_embeddings
+
+    e = _emb(spark, sf_dir)
+    q = quantize_embeddings(e, bits=8, keep_vec=True).filter(F.col("scale") > 0)
+    deq = F.transform("codes", lambda c: c.cast("double") * F.col("scale"))
+    with_deq = q.select("vec_id", "embedding", "scale", deq.alias("deq"))
+    err = F.array_max(
+        F.zip_with("embedding", "deq", lambda x, w: F.abs(x.cast("double") - w))
+    )
+    cos = _dot(F.col("embedding"), F.col("deq")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("deq")))
+    )
+    return with_deq.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round(err, 9).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_fidelity"),
+    )
+
+
 QUERIES = {
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_embedding_quantization": q_embedding_quantization,
     "q_embedding_norms": q_embedding_norms,
     "q_embedding_parity_measures": q_embedding_parity_measures,
     "q_cosine_pairs": q_cosine_pairs,
@@ -217,6 +248,19 @@ ORACLES = {
         WITH {_UNNEST}
         SELECT vec_id, round(sqrt(sum(v * v)), 6) AS l2_norm
         FROM u GROUP BY vec_id
+    """,
+    "q_embedding_quantization": f"""
+        WITH {_UNNEST},
+        s AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM u GROUP BY vec_id),
+        dq AS (SELECT u.vec_id, s.scale, u.v,
+                      floor(u.v / s.scale + 0.5) * s.scale AS w
+               FROM u JOIN s USING (vec_id) WHERE s.scale > 0)
+        SELECT vec_id,
+               round(min(scale), 9) AS scale,
+               round(max(abs(v - w)), 9) AS max_abs_err,
+               round(sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))), 6)
+                   AS cos_fidelity
+        FROM dq GROUP BY vec_id
     """,
     "q_cosine_pairs": f"""
         WITH {_UNNEST},

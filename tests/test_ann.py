@@ -70,3 +70,31 @@ def test_lsh_recall(spark):
     assert recall > 0.3, f"LSH recall too low: {recall:.3f}"
     for key in list(hits)[:50]:
         assert math.isclose(got[key], truth[key], rel_tol=1e-9)
+
+
+def test_quantize_embeddings_bounds_and_zero_guard(spark):
+    """Codes must stay in the int8 symmetric range, reconstruction
+    error must respect the scale/2 bound, and all-zero vectors must
+    get scale 0 with all-zero codes (not a division blowup)."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import quantize_embeddings
+
+    base = _emb(spark).limit(50)
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * 8, -1)], "vec_id long, embedding array<float>, label int"
+    )
+    q = quantize_embeddings(
+        base.unionByName(zero.select(*base.columns)), keep_vec=True
+    )
+    rows = q.collect()
+    assert len(rows) == 51
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        if r.scale == 0:
+            assert all(c == 0 for c in r.codes)
+            continue
+        for x, c in zip(r.embedding, r.codes):
+            assert abs(x - c * r.scale) <= r.scale / 2 + 1e-12
+    zero_row = [r for r in rows if r.vec_id == 10_000]
+    assert len(zero_row) == 1 and zero_row[0].scale == 0.0
