@@ -120,6 +120,10 @@ EXTRA = [
     "q_decontaminate",
     "q_interval_join",
     "q_quality_gate",
+    "q_repetition_signals",
+    "q_tfidf_top_terms",
+    "q_embedding_quantization",
+    "q_simhash_near_dups",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -1,3 +1,4 @@
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import quantize_embeddings
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.assoc import association_measures, joined_counts
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import corpus_counts, observed_emissions
@@ -8,6 +9,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
     ngram_jaccard_pairs,
     shingle_hashes,
     simhash,
+    simhash_near_dups,
 )
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.pair_vectors import pair_feature_matrix, pair_vectors
@@ -33,10 +35,12 @@ __all__ = [
     "observed_emissions",
     "pair_feature_matrix",
     "pair_vectors",
+    "quantize_embeddings",
     "rolling_fingerprint",
     "salted_join",
     "shingle_hashes",
     "simhash",
+    "simhash_near_dups",
     "similarity_measures",
     "token_stats",
     "top_keys",

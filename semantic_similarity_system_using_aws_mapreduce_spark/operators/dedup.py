@@ -251,3 +251,76 @@ def simhash(
         )
         out = term if out is None else out + term
     return sums.select("doc_id", out.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    threshold: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance, found WITHOUT
+    an all-pairs comparison: split the fingerprint into ``n_bands``
+    equal bit-bands and self-join on (band index, band value) — by
+    pigeonhole, two fingerprints within ``threshold`` differing bits
+    (threshold < n_bands) must agree on at least one whole band, so
+    banded candidates have perfect recall; the exact bit_count(XOR)
+    check then drops false positives.  This is the classic
+    multi-segment simhash dedup design for web-scale corpora.
+
+    Plan: one simhash pass (persisted — a self-join would otherwise
+    recompute the whole fingerprint pipeline per side), explode to
+    n_bands rows per doc, equi-join on the band key, distinct, exact
+    Hamming filter.  The only shuffles are the band join and distinct;
+    hot bands (boilerplate-heavy corpora) split under AQE.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if threshold >= n_bands:
+        raise ValueError(
+            f"threshold {threshold} needs n_bands > threshold for full recall"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits {n_bits} not divisible by n_bands {n_bands}")
+    from pyspark import StorageLevel
+
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
+    )

@@ -72,8 +72,12 @@ for _m in _MODULES:
 #   q_percentiles    - exact interpolated percentile aggregate; the
 #                      identical percentile() surface (per-group, so
 #                      strictly more) is oracled by q_quality_gate
+#   q_simhash        - the fingerprint relation is a strict subplan of
+#                      q_simhash_near_dups' oracle (sim CTE), which
+#                      hash-verifies the identical 60 bit-aggregates
 LOCAL_ONLY = [
     "q_percentiles",
+    "q_simhash",
     "q_knn",
     "q_lang_stats",
     "q_running_total",
@@ -92,6 +96,7 @@ _PRIORITY = [
     "q_repetition_signals",
     "q_tfidf_top_terms",
     "q_embedding_quantization",
+    "q_simhash_near_dups",
     "q_json_props",
     "q_decontaminate",
     "q_interval_join",

@@ -26,6 +26,7 @@ N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
 JACCARD_THRESHOLD = 0.8
 BENCH_PERMILLE = 20  # 2% of docs play the benchmark/eval set
 CONTAM_MIN_OVERLAP = 5  # shared distinct 3-grams to flag a doc
+SIMHASH_HAMMING = 3  # near-dup bit budget; < n_bands(4) for full recall
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,6 +63,16 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs (Hamming <= 3) via banded bucketing —
+    the multi-segment design: 4 disjoint 15-bit bands, pigeonhole
+    guarantees full recall at this threshold, exact bit_count(XOR)
+    verify.  No all-pairs stage (operators/dedup.simhash_near_dups)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), threshold=SIMHASH_HAMMING)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +112,7 @@ QUERIES = {
     "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
     "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
     "q_simhash": q_simhash,
+    "q_simhash_near_dups": q_simhash_near_dups,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -229,5 +241,28 @@ ORACLES = {
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
+    """,
+    "q_simhash_near_dups": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE len({_TOKS}) >= 1),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        tf AS (SELECT doc_id, t, count(*)::BIGINT AS w,
+                      {_MD5INT.format(x="t")} AS h
+               FROM tok GROUP BY doc_id, t),
+        bits AS (SELECT doc_id, b.b AS b,
+                        sum(CASE WHEN (h >> b.b) & 1 = 1 THEN w ELSE -w END) AS s
+                 FROM tf CROSS JOIN (SELECT unnest(range(60)) AS b) b
+                 GROUP BY doc_id, b.b),
+        sim AS (SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id),
+        bands AS (SELECT doc_id, simhash, i,
+                         (simhash >> (15 * i)) & 32767 AS val
+                  FROM sim, range(4) r(i)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS s1, b.simhash AS s2
+                 FROM bands a JOIN bands b
+                   ON a.i = b.i AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(s1, s2))::INT AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAMMING}
     """,
 }

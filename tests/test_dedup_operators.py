@@ -99,3 +99,26 @@ def test_top_keys(spark):
     rows = top_keys(li, ["l_returnflag"], k=2).collect()
     assert len(rows) == 2
     assert rows[0].n_rows >= rows[1].n_rows
+
+
+def test_simhash_near_dups_matches_bruteforce_hamming(spark):
+    """Pigeonhole recall check: the banded-bucket plan must find
+    EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
+    threshold < n_bands (4 bands tolerate any 3 differing bits)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import simhash, simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(docs, threshold=3).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert len(want) > 0
+    assert got == want
