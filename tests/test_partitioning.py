@@ -35,3 +35,15 @@ def test_percentile_approx(spark):
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_map_side_queries_have_no_exchange(spark):
+    """Per-document / per-vector operators must compile to shuffle-free
+    plans (a scan at 100 TB, never a shuffle): doc quality stats and
+    embedding quantization audit."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    for name in ("q_doc_quality", "q_embedding_quantization"):
+        df = ALL_QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
