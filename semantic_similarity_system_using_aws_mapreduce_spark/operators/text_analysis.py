@@ -114,3 +114,85 @@ def rolling_fingerprint(
     return df.filter(F.size(toks) >= 1).select(
         F.col(id_col).alias("doc_id"), fp.alias("fingerprint")
     )
+
+
+# --- PII redaction -----------------------------------------------------
+# Ordered (kind, pattern, replacement): email first (its local part can
+# contain digits a later pattern would otherwise claim), then IPv4 (its
+# dotted digit groups must not feed the phone pattern's digit run), then
+# phone.  Patterns are deliberately RE2-compatible (no lookaround, no
+# backrefs) so the same strings run unchanged on Spark's Java regex and
+# DuckDB's RE2 — counts and replacements agree bit-for-bit.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts on the RAW text (before redaction), so the
+    counts are independent of replacement order."""
+    return {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its placeholder token.  A chain of
+    JVM regexp_replace calls — map-side, codegen'd, no shuffle; at
+    100 TB this is a pure scan-transform with no exchange."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+# --- Document chunking -------------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-size
+    windows (the context-window packing step of a training pipeline):
+    chunk i covers tokens [1 + i*stride, 1 + i*stride + chunk_size).
+    The final chunk may be short; every token lands in >=1 chunk.
+
+    Scale design: a pure map-side fan-out — sequence + posexplode +
+    slice, no shuffle, no UDF.  The token array is materialized once
+    per row before the explode so the (interpreted) slice lambda does
+    not re-tokenize per chunk.
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_hash) where chunk_hash
+    is md5 of the space-joined chunk text — the identity a chunk-level
+    dedup or shard-packing stage keys on downstream.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start"), chunk_size)
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk.alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("__chunk").alias("n_tokens"),
+            F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
+        )
+    )

@@ -93,6 +93,8 @@ LOCAL_ONLY = [
 # skipped last round) go first so an order-sensitive cap can't starve
 # them again.
 _PRIORITY = [
+    "q_doc_chunks",
+    "q_pii_redaction",
     "q_repetition_signals",
     "q_tfidf_top_terms",
     "q_embedding_quantization",
@@ -108,15 +110,19 @@ _PRIORITY = [
     "q_curation_funnel",
 ]
 
-# Exported last: if the driver's 50-row cap is real these two are the
+# Exported last: if the driver's 50-row cap is real these four are the
 # ones that fall off, and each was green in r1 AND is coverage-subsumed
 # by queries that stay (q_full_outer_align's zero-filled J4 alignment
 # is a subplan of q_source_similarity; q_having_big_customers' HAVING
 # is sugar for the agg->filter-on-aggregate shape that
 # q_curation_funnel's quality gate and q_dedup_clusters' cluster-size
-# filter also carry).  Both remain verified by the local mirror test
-# either way.
+# filter also carry; q_date_buckets' date_trunc bucketing is a subplan
+# of q_hourly_event_stats; q_string_funcs' scalar string expressions
+# recur across the fingerprint/dedup/pii queries).  All remain
+# verified by the local mirror test either way.
 _LAST = [
+    "q_date_buckets",
+    "q_string_funcs",
     "q_full_outer_align",
     "q_having_big_customers",
 ]

@@ -136,7 +136,45 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + PII scrub per document: lowercase, drop English
+    stopwords, redact emails / IPv4s / phone numbers, and report the
+    per-kind match counts plus a digest of the cleaned text.
+
+    Scale design: entirely map-side (split/filter/array_join + a chain
+    of codegen'd regexp_replace) — no shuffle, no UDF; the digest lets
+    a downstream dedup run on normalized content.  The PII patterns are
+    RE2-compatible so the DuckDB oracle hash-verifies the exact
+    replacement semantics, not just counts.
+    """
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        LANG_PROFILES,
+        pii_counts,
+        redact_pii,
+    )
+
+    stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    kept = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda t: (t != "") & ~F.array_contains(stop_arr, t),
+    )
+    counts = pii_counts(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.size("__kept").alias("n_tokens_kept"),
+            counts["n_email"].alias("n_email"),
+            counts["n_ipv4"].alias("n_ipv4"),
+            counts["n_phone"].alias("n_phone"),
+            F.md5(redact_pii(F.array_join("__kept", " "))).alias("clean_hash"),
+        )
+    )
+
+
 QUERIES = {
+    "q_pii_redaction": q_pii_redaction,
     "q_quality_gate": q_quality_gate,
     "q_stratified_sample": q_stratified_sample,
     "q_sample_per_group": q_sample_per_group,
@@ -147,11 +185,38 @@ QUERIES = {
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    LANG_PROFILES,
+    PII_PATTERNS,
+)
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+_KEPT = (
+    "list_filter(string_split(lower(text), ' '), "
+    f"t -> t <> '' AND NOT list_contains([{_STOP_LIST}], t))"
+)
+# Same replacement order as redact_pii: email, then ipv4, then phone.
+_REDACTED = "array_to_string(kept, ' ')"
+for _, _pat, _rep in PII_PATTERNS:
+    _REDACTED = f"regexp_replace({_REDACTED}, '{_pat}', '{_rep}', 'g')"
+_PII_COUNT_COLS = ",\n               ".join(
+    f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{kind}"
+    for kind, pat, _ in PII_PATTERNS
+)
+
 _RATE_CASE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {permille}" for lang, permille in sorted(MIX_RATES.items())
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_pii_redaction": f"""
+        WITH d AS (SELECT doc_id, text, {_KEPT} AS kept FROM documents)
+        SELECT doc_id,
+               len(kept)::INT AS n_tokens_kept,
+               {_PII_COUNT_COLS},
+               md5({_REDACTED}) AS clean_hash
+        FROM d
+    """,
     "q_quality_gate": f"""
         WITH scored AS (
             SELECT doc_id, lang,

@@ -304,7 +304,25 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per document (context-window
+    packing): chunk i covers tokens [1+i*stride, 1+i*stride+size).
+    Pure map-side fan-out — sequence + posexplode + slice, no shuffle —
+    so at 100 TB it is a scan-transform with zero exchanges; the
+    chunk_hash column is the identity a chunk-level dedup keys on."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
 QUERIES = {
+    "q_doc_chunks": q_doc_chunks,
     "q_repetition_signals": q_repetition_signals,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_lang_id": q_lang_id,
@@ -343,6 +361,21 @@ _LANG_PICK = "CASE " + " ".join(
 ) + " END"
 
 ORACLES = {
+    "q_doc_chunks": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}))
+                         AS start
+              FROM d)
+        SELECT doc_id,
+               ((start - 1) // {CHUNK_STRIDE})::INT AS chunk_idx,
+               len(list_slice(toks, start, start + {CHUNK_SIZE} - 1))::INT
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' '))
+                   AS chunk_hash
+        FROM s
+    """,
     "q_repetition_signals": f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         bg AS (SELECT doc_id,

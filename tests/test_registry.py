@@ -15,11 +15,16 @@ from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
 
 
 def test_export_ordered_for_the_driver_cap():
-    # 52 registered: if the driver caps at 50 (insertion order, as
-    # observed in r1), the two sacrificial tail entries fall off and
+    # 54 registered: if the driver caps at 50 (insertion order, as
+    # observed in r1), the four sacrificial tail entries fall off and
     # everything else still gets a CORRECTNESS row.
-    assert len(QUERIES) == 52
-    assert list(QUERIES)[-2:] == ["q_full_outer_align", "q_having_big_customers"]
+    assert len(QUERIES) == 54
+    assert list(QUERIES)[-4:] == [
+        "q_date_buckets",
+        "q_string_funcs",
+        "q_full_outer_align",
+        "q_having_big_customers",
+    ]
     assert set(QUERIES) == set(ORACLES)
     assert list(QUERIES) == list(ORACLES)  # same order too
 

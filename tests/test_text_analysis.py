@@ -41,3 +41,65 @@ def test_rolling_fingerprint_order_sensitive(spark):
     fp = {r.doc_id: r.fingerprint for r in rolling_fingerprint(df).collect()}
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]  # reordering changes the fingerprint
+
+
+def test_redact_pii_and_counts(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 555 123 4567"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "no pii here at all"),
+            (4, "a@b.io a@b.io twice"),
+        ],
+        ["doc_id", "text"],
+    )
+    counts = pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("clean"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    assert out[1].clean == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 0)
+    assert out[2].clean == "server <IP> and <IP> are up"
+    assert out[2].n_ipv4 == 2
+    assert out[3].clean == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    # global replacement: every occurrence, not just the first
+    assert out[4].clean == "<EMAIL> <EMAIL> twice"
+    assert out[4].n_email == 2
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7,10 -> sizes 4,4,4,1
+    sizes = [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    assert sizes == [4, 4, 4, 1]
+    assert [r.chunk_idx for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [0, 1, 2, 3]
+    # chunk_size > stride => consecutive chunks share chunk_size-stride tokens;
+    # total emitted token slots exceed the 10 source tokens
+    assert sum(sizes) == 13
+    # single-token doc: exactly one chunk of one token
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 1
+    # deterministic content hash: same text => same hash
+    df2 = spark.createDataFrame([(3, " ".join(words))], ["doc_id", "text"])
+    h1 = {r.chunk_idx: r.chunk_hash for r in by_doc[1]}
+    h2 = {
+        r.chunk_idx: r.chunk_hash
+        for r in chunk_documents(df2, chunk_size=4, stride=3).collect()
+    }
+    assert h1 == h2
