@@ -117,6 +117,8 @@ HEADLINE = [
 # round-over-round comparable (q_ann_lsh_topk predates this split and
 # stays in HEADLINE/value from r2 on).
 EXTRA = [
+    "q_doc_chunks",
+    "q_pii_redaction",
     "q_decontaminate",
     "q_interval_join",
     "q_quality_gate",

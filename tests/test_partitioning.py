@@ -39,11 +39,16 @@ def test_percentile_approx(spark):
 
 def test_map_side_queries_have_no_exchange(spark):
     """Per-document / per-vector operators must compile to shuffle-free
-    plans (a scan at 100 TB, never a shuffle): doc quality stats and
-    embedding quantization audit."""
+    plans (a scan at 100 TB, never a shuffle): doc quality stats,
+    embedding quantization audit, chunking fan-out, PII scrub."""
     from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
 
-    for name in ("q_doc_quality", "q_embedding_quantization"):
+    for name in (
+        "q_doc_quality",
+        "q_embedding_quantization",
+        "q_doc_chunks",
+        "q_pii_redaction",
+    ):
         df = ALL_QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
