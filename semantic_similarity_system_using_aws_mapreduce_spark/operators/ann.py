@@ -238,64 +238,76 @@ def ann_topk_lsh_portable(
         the ROUNDED cosine (6 dp) with neighbor-id tiebreak, making the
         top-k deterministic across engines.
 
-    Scale shape (the 100 TB plan): explode -> broadcast-join the tiny
-    plane table -> two keyed aggregations (both shuffle on vec_id) ->
-    bucket self equi-join (the only pairwise stage, bucketed never
-    all-pairs) -> explode-join scoring linear in candidate count ->
-    window top-k.  No driver collect, no broadcast of the data matrix.
+    Scale shape (the 100 TB plan): signatures are MAP-SIDE — the ±1
+    plane components are md5-derived, so the driver precomputes them
+    with hashlib (bit-identical to the engine/oracle md5 expression)
+    and embeds them as array literals; each row computes its n_tables
+    buckets with integer zip_with/aggregate lambdas in one scan, no
+    shuffle.  Then: bucket self equi-join (the only pairwise stage,
+    bucketed never all-pairs) -> per-pair array-dot scoring, linear in
+    candidate count with precomputed map-side norms -> window top-k.
+    No driver collect, no broadcast of the data matrix; the earlier
+    explode-to-components formulation shuffled |pairs| * dim rows where
+    this shuffles |pairs|.
     """
-    spark = df.sparkSession
+    import hashlib
+
     dim = len(df.select(vec_col).first()[0])
-    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
 
-    planes = (
-        spark.range(n_tables).select(F.col("id").alias("t"))
-        .crossJoin(spark.range(n_planes).select(F.col("id").alias("j")))
-        .crossJoin(spark.range(dim).select(F.col("id").alias("i")))
-        .select(
-            "t", "j", "i",
-            F.when(
-                md5_int(F.concat_ws(":", F.lit("srp"), "t", "j", "i")) % 2 == 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)).alias("sign"),
-        )
-    )
-    u = df.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast("double").alias("x"))
-    # u feeds four subplans (quantized dots, norms, and both sides of
-    # the candidate scoring join); persist so the scan+explode runs
-    # once.  At cluster scale with embeddings too big to cache, drop
-    # this and let the (cheap, column-pruned) scans repeat — the
-    # shuffles dominate there, not the scans.
-    from pyspark import StorageLevel
+    # ±1 from md5("srp:t:j:i") parity — hashlib here, F.md5 in-engine,
+    # and md5() in the DuckDB oracle all agree byte-for-byte, so the
+    # plane table can be a literal instead of a computed relation.
+    def _sign(t: int, j: int, i: int) -> int:
+        h = hashlib.md5(f"srp:{t}:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 0 else -1
 
-    u = u.persist(StorageLevel.MEMORY_AND_DISK)
-    q = u.select(
-        "vec_id", "i", F.round(F.col("x") * quant, 0).cast("long").alias("xq")
+    signs = [
+        [[_sign(t, j, i) for i in range(dim)] for j in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    # Fixed-point quantized components: bucket assignment is exact
+    # integer math, immune to FP summation-order drift between engines.
+    xq = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * quant, 0).cast("long"),
     )
-    dots = (
-        q.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "t", "j")
-        .agg(F.sum(F.col("xq") * F.col("sign")).alias("dot"))
-    )
-    buckets = dots.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
+    vecs = df.select(F.col(id_col).alias("vec_id"), xq.alias("xq"))
+
+    def bucket_expr(t: int):
+        acc = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(s) for s in signs[t][j]])
+            dot = F.aggregate(
+                F.zip_with("xq", plane, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
             )
-        ).alias("bucket")
-    )
-    # Both sides of the self-join read buckets, and exchange reuse does
-    # not fire across the aliases (AQE may broadcast one side) — without
-    # the persist the whole signature pipeline runs twice (measured 2x).
-    # Blocks are dropped by the ContextCleaner once the result DataFrame
-    # is garbage-collected.
+            acc = acc + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return acc
+
+    sigs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("t"), bucket_expr(t).alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # Both sides of the self-join derive sigs; persist so the (pure
+    # map-side, but 32-lambda) signature scan runs once.  Blocks are
+    # dropped by the ContextCleaner once the result is gc'd.
     from pyspark import StorageLevel
 
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
             b,
@@ -306,24 +318,29 @@ def ann_topk_lsh_portable(
         .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
         .distinct()
     )
-    norms = u.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
-    ub = u.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("x").alias("y"))
-    pair_dots = (
-        cand.join(u, "vec_id")
-        .join(ub, ["neighbor_id", "i"])
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qa = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"), nrm.alias("na"))
+    qb = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), nrm.alias("nb")
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     scored = (
-        pair_dots.join(norms, "vec_id")
-        .join(
-            norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_b")),
-            "neighbor_id",
-        )
+        cand.join(qa, "vec_id")
+        .join(qb, "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(F.col("dot") / (F.col("nrm") * F.col("nrm_b")), 6).alias("cosine"),
+            F.round(pair_dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
