@@ -148,11 +148,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra_queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, dest in [(n, timings) for n in HEADLINE] + [
         (n, extra_queries) for n in EXTRA
     ]:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # One broken query must not zero out the whole round's bench
+        # (BENCH_r02 lost every number to a single AnalysisException).
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dest[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {dest[name]:.3f}s", file=sys.stderr)
 
@@ -161,7 +169,10 @@ def main() -> None:
     # that would otherwise land on whichever config runs first and make
     # round-over-round numbers incomparable.
     for checkpointed in (True, False):
-        _bench_pipeline(spark, 20_000, checkpointed)
+        try:
+            _bench_pipeline(spark, 20_000, checkpointed)
+        except Exception:  # noqa: BLE001 — real failure reported below
+            break
     # The 200k checkpointed config is part of `value` (same composition
     # as BENCH_r01, so the headline number stays round-over-round
     # comparable); the two 1M configs are reported separately in
@@ -172,25 +183,29 @@ def main() -> None:
         # min of 2: single-run pipeline wall-clocks vary up to 5x on a
         # noisy shared box (measured); min is the stable comparable
         dest = timings if (n_lines, checkpointed) == (PIPELINE_LINES, True) else extra
-        dest[key] = min(
-            _bench_pipeline(spark, n_lines, checkpointed) for _ in range(2)
-        )
+        try:
+            dest[key] = min(
+                _bench_pipeline(spark, n_lines, checkpointed) for _ in range(2)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {key}: ERROR {errors[key]}", file=sys.stderr)
+            continue
         print(f"  {key}: {dest[key]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, noop sink",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra_queries,
-                "pipeline": extra,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall-clock, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra_queries,
+        "pipeline": extra,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -95,10 +95,18 @@ def asof_join(
             for c in fill_cols
         ]
 
+    ntz_time = dict(left.dtypes)[left_time] == "timestamp_ntz"
+
     def _dist(matched_time: Column) -> Column:
         # double cast: timestamps become epoch seconds, numerics pass
         # through — one distance expression for both time flavors.
-        return F.abs(F.col("_t").cast("double") - matched_time.cast("double"))
+        # TIMESTAMP_NTZ has no numeric cast; reinterpret as TIMESTAMP
+        # first (both operands shift identically, so the difference is
+        # timezone-invariant).
+        t, m = F.col("_t"), matched_time
+        if ntz_time:
+            t, m = t.cast("timestamp"), m.cast("timestamp")
+        return F.abs(t.cast("double") - m.cast("double"))
 
     if direction == "backward":
         filled = merged.select("*", *_fills(w_bw, F.last, "m"))

@@ -27,7 +27,7 @@ never double-match a boundary point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,10 +57,20 @@ def interval_join(
 
         intervals = intervals.persist(StorageLevel.MEMORY_AND_DISK)
     w = F.lit(int(bin_seconds))
-    to_bin = lambda c: F.floor(F.col(c).cast("double") / w)  # noqa: E731
-    pb = points.withColumn("_bin", to_bin(point_time))
+
+    def to_bin(df: DataFrame, c: str) -> Column:
+        col = F.col(c)
+        # TIMESTAMP_NTZ has no direct numeric cast; reinterpret as
+        # TIMESTAMP first.  Both sides go through the same session-TZ
+        # mapping, so bin assignment stays consistent (callers pin UTC).
+        if dict(df.dtypes)[c] == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / w)
+
+    pb = points.withColumn("_bin", to_bin(points, point_time))
     ib = intervals.withColumn(
-        "_bin", F.explode(F.sequence(to_bin(start_col), to_bin(end_col)))
+        "_bin",
+        F.explode(F.sequence(to_bin(intervals, start_col), to_bin(intervals, end_col))),
     )
     in_range = (F.col(point_time) >= F.col(start_col)) & (
         F.col(point_time) < F.col(end_col)

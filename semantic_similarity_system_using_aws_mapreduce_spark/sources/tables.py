@@ -5,10 +5,30 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """The events fixture's timestamp physical encoding has varied
+    across driver versions: TIMESTAMP(NANOS) (readable only as int64
+    via ``spark.sql.legacy.parquet.nanosAsLong``), parquet
+    ``timestamp[us]`` with ``isAdjustedToUTC=false`` (which Spark 4's
+    reader infers as TIMESTAMP_NTZ), and plain UTC-adjusted TIMESTAMP.
+    Normalize all three to TIMESTAMP so downstream epoch math
+    (``unix_micros``, double casts) resolves.  Callers pin the session
+    timezone to UTC before building on the result, so the NTZ→LTZ cast
+    is a pure reinterpretation and wall-clock values match the file
+    (and the DuckDB oracle, which reads the same column as naive)."""
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":  # nanos-as-long
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

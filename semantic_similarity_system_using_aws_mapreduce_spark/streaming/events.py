@@ -40,9 +40,9 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import normalize_ts
+
+    return normalize_ts(stream)
 
 
 def tumbling_counts(

@@ -16,21 +16,20 @@ IV_BIN_SECONDS = 900  # interval-join bucket width (~window/3)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long and convert with exact integer
-    division (a double division would lose microseconds at 1.7e18).
+    """Load the events fixture with `ts` normalized to TIMESTAMP
+    (the physical encoding has varied across driver versions — nanos,
+    NTZ micros, UTC micros; see sources.tables.normalize_ts).
 
-    The session timezone is pinned to UTC here because timestamp_micros
-    produces a TZ-bearing timestamp: collected values and date_trunc
-    buckets must be UTC wall-clock to match the file's naive nanos (and
-    the DuckDB oracle) regardless of the calling session's timezone —
-    the driver's session is not ours to configure."""
+    The session timezone is pinned to UTC here because the normalized
+    column is TZ-bearing: collected values and date_trunc buckets must
+    be UTC wall-clock to match the file's naive encoding (and the
+    DuckDB oracle) regardless of the calling session's timezone — the
+    driver's session is not ours to configure."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

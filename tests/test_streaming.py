@@ -120,9 +120,9 @@ def test_dedup_stream_removes_replayed_duplicates(spark, tmp_path):
     os.symlink(src, stream_dir / "b.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import normalize_ts
+
+    stream = normalize_ts(spark.readStream.schema(schema).parquet(str(stream_dir)))
 
     result = run_to_memory(dedup_stream(stream), output_mode="append")
     n_events = spark.read.parquet(src).count()
