@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_SRP_SIGNS: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _srp_sign_matrix(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """±1 plane matrix, row (t*n_planes + j), from md5('srp:t:j:i')
+    parity — hashlib here and md5() in the DuckDB oracle agree
+    byte-for-byte.  Cached per (tables, planes, dim): built once per
+    Python worker, reused across Arrow batches."""
+    key = (n_tables, n_planes, dim)
+    if key not in _SRP_SIGNS:
+        import hashlib
+
+        s = np.empty((n_tables * n_planes, dim), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(n_planes):
+                for i in range(dim):
+                    h = hashlib.md5(f"srp:{t}:{j}:{i}".encode()).hexdigest()
+                    s[t * n_planes + j, i] = 1 if int(h[:15], 16) % 2 == 0 else -1
+        _SRP_SIGNS[key] = s
+    return _SRP_SIGNS[key]
+
+
 def _normalized_matrix(df: DataFrame, id_col: str, vec_col: str):
     local = df.select(id_col, vec_col).toPandas()
     ids = local[id_col].to_numpy()
@@ -238,69 +260,48 @@ def ann_topk_lsh_portable(
         the ROUNDED cosine (6 dp) with neighbor-id tiebreak, making the
         top-k deterministic across engines.
 
-    Scale shape (the 100 TB plan): signatures are MAP-SIDE — the ±1
-    plane components are md5-derived, so the driver precomputes them
-    with hashlib (bit-identical to the engine/oracle md5 expression)
-    and embeds them as array literals; each row computes its n_tables
-    buckets with integer zip_with/aggregate lambdas in one scan, no
-    shuffle.  Then: bucket self equi-join (the only pairwise stage,
-    bucketed never all-pairs) -> per-pair array-dot scoring, linear in
-    candidate count with precomputed map-side norms -> window top-k.
-    No driver collect, no broadcast of the data matrix; the earlier
-    explode-to-components formulation shuffled |pairs| * dim rows where
-    this shuffles |pairs|.
+    Scale shape (the 100 TB plan): signatures are MAP-SIDE — one
+    Arrow-batched int64 matmul per batch against the md5-derived ±1
+    plane matrix (built once per worker from hashlib, bit-identical to
+    the oracle's md5 expression; integer arithmetic has a single
+    correct answer, so the numpy kernel and the SQL formulation agree
+    exactly).  An earlier formulation spelled the same math as 2048
+    column literals + 32 interpreted zip_with/aggregate lambdas per
+    row; the Arrow kernel builds in milliseconds instead of seconds
+    and vectorizes the per-row work.  Then: bucket self equi-join (the
+    only pairwise stage, bucketed never all-pairs) -> per-pair
+    array-dot scoring, linear in candidate count -> window top-k.  No
+    driver collect, no broadcast of the data matrix.
     """
-    import hashlib
 
-    dim = len(df.select(vec_col).first()[0])
+    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * quant
+            # HALF_UP (ties away from zero) — the rounding Spark's
+            # round() and DuckDB's round() both use; np.rint would
+            # round ties to even and flip buckets near the boundary.
+            xq = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            s = _srp_sign_matrix(n_tables, n_planes, xq.shape[1])
+            dots = xq @ s.T  # (batch, n_tables*n_planes), exact int64
+            bits = (dots >= 0).astype(np.int64).reshape(
+                len(xq), n_tables, n_planes
+            )
+            buckets = (bits * weights).sum(axis=2)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+                    "bucket": buckets.ravel(),
+                }
+            )
 
-    # ±1 from md5("srp:t:j:i") parity — hashlib here, F.md5 in-engine,
-    # and md5() in the DuckDB oracle all agree byte-for-byte, so the
-    # plane table can be a literal instead of a computed relation.
-    def _sign(t: int, j: int, i: int) -> int:
-        h = hashlib.md5(f"srp:{t}:{j}:{i}".encode()).hexdigest()
-        return 1 if int(h[:15], 16) % 2 == 0 else -1
-
-    signs = [
-        [[_sign(t, j, i) for i in range(dim)] for j in range(n_planes)]
-        for t in range(n_tables)
-    ]
-
-    # Fixed-point quantized components: bucket assignment is exact
-    # integer math, immune to FP summation-order drift between engines.
-    xq = F.transform(
-        F.col(vec_col),
-        lambda v: F.round(v.cast("double") * quant, 0).cast("long"),
+    sigs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        sig_gen, schema="vec_id long, t long, bucket long"
     )
-    vecs = df.select(F.col(id_col).alias("vec_id"), xq.alias("xq"))
-
-    def bucket_expr(t: int):
-        acc = F.lit(0).cast("long")
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(s) for s in signs[t][j]])
-            dot = F.aggregate(
-                F.zip_with("xq", plane, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-            acc = acc + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return acc
-
-    sigs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).cast("long").alias("t"), bucket_expr(t).alias("bucket")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     # Both sides of the self-join derive sigs; persist so the (pure
     # map-side, but 32-lambda) signature scan runs once.  Blocks are
     # dropped by the ContextCleaner once the result is gc'd.
