@@ -93,6 +93,7 @@ LOCAL_ONLY = [
 # skipped last round) go first so an order-sensitive cap can't starve
 # them again.
 _PRIORITY = [
+    "q_range_frame",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_repetition_signals",
@@ -110,17 +111,21 @@ _PRIORITY = [
     "q_curation_funnel",
 ]
 
-# Exported last: if the driver's 50-row cap is real these four are the
-# ones that fall off, and each was green in r1 AND is coverage-subsumed
-# by queries that stay (q_full_outer_align's zero-filled J4 alignment
-# is a subplan of q_source_similarity; q_having_big_customers' HAVING
-# is sugar for the agg->filter-on-aggregate shape that
-# q_curation_funnel's quality gate and q_dedup_clusters' cluster-size
-# filter also carry; q_date_buckets' date_trunc bucketing is a subplan
-# of q_hourly_event_stats; q_string_funcs' scalar string expressions
-# recur across the fingerprint/dedup/pii queries).  All remain
-# verified by the local mirror test either way.
+# Exported last: if the driver's 50-row cap is real these five are the
+# ones that fall off, and each was green in a prior round AND is
+# coverage-subsumed by queries that stay (q_full_outer_align's
+# zero-filled J4 alignment is a subplan of q_source_similarity;
+# q_having_big_customers' HAVING is sugar for the
+# agg->filter-on-aggregate shape that q_curation_funnel's quality gate
+# and q_dedup_clusters' cluster-size filter also carry;
+# q_date_buckets' date_trunc bucketing is a subplan of
+# q_hourly_event_stats; q_string_funcs' scalar string expressions
+# recur across the fingerprint/dedup/pii queries;
+# q05_local_supplier's multiway-equi-join+agg shape is evidenced by
+# q_part_brand_revenue and q03_shipping_priority, both green in r2).
+# All remain verified by the local mirror test either way.
 _LAST = [
+    "q05_local_supplier",
     "q_date_buckets",
     "q_string_funcs",
     "q_full_outer_align",

@@ -93,6 +93,38 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for every event, the count and value
+    sum over the same user's events in the trailing hour (RANGE BETWEEN
+    3600 PRECEDING AND CURRENT ROW over epoch seconds) — the trailing-
+    aggregate shape of rolling rate limits and activity scores.
+
+    Distinct from every ROWS-frame query in the workload: the frame is
+    bounded by the ORDER BY *value* distance, not a row count, and
+    equal-timestamp peers all enter the frame.  One shuffle on user_id.
+    The summed value is quantized to integer cents (round-half-away on
+    both engines) so the sliding-window sum is exact integer math —
+    engines disagree on FP summation order inside segment-tree window
+    implementations, integer sums have one answer."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("es"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.sum("cents").over(w).alias("cents_trailing_hour"),
+    )
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
@@ -145,6 +177,7 @@ QUERIES = {
     "q_asof_view_before_purchase": q_asof_view_before_purchase,
     "q_hourly_event_stats": q_hourly_event_stats,
     "q_interval_join": q_interval_join,
+    "q_range_frame": q_range_frame,
     "q_sessionization": q_sessionization,
     "q_user_event_pivot": q_user_event_pivot,
     "q_json_props": q_json_props,
@@ -181,6 +214,17 @@ ORACLES = {
         FROM iv LEFT JOIN events ev
           ON ev.ts >= iv.iv_start AND ev.ts < iv.iv_end
         GROUP BY iv_id
+    """,
+    "q_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing_hour,
+               sum(cents) OVER w AS cents_trailing_hour
+        FROM (SELECT event_id, user_id,
+                     epoch_us(ts) // 1000000 AS es,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "q_sessionization": f"""
         WITH g AS (
