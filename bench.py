@@ -142,9 +142,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM/session (codegen, parquet footer caches) outside the
-    # measured region.
+    # Warm the JVM/session (codegen, parquet footer caches) and the
+    # Python/Arrow worker pool outside the measured region — the first
+    # mapInPandas in a session otherwise pays ~2-7 s of interpreter
+    # spawn + Arrow init on whichever query happens to run it first.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     extra_queries: dict[str, float] = {}

@@ -224,10 +224,20 @@ def simhash(
 
     The tf weighting needs no (doc_id, token) pre-aggregation: the
     sign-sum is linear in occurrences (Σ_t tf(t)·sign_b(h(t)) ==
-    Σ_occurrences sign_b(h(tok))), so hashing each occurrence and
-    aggregating straight to doc_id costs one shuffle instead of two —
-    and the one shuffle carries only the 60 partially-aggregated sums
-    per (doc, map partition), not every distinct (doc, token) pair.
+    Σ_occurrences sign_b(h(tok))), so each occurrence is hashed once
+    and fans out to its ``n_bits`` (bit, ±1) rows.
+
+    Plan shape: explode to (doc_id, bit, sign) -> groupBy (doc_id, bit)
+    -> groupBy doc_id packing ``Σ s_b>0 ? 2^b``.  An earlier
+    formulation computed the 60 bit-sums as 60 parallel sum(when(...))
+    aggregate buffers in ONE shuffle — fewer shuffles on paper, but the
+    generated aggregate class blew the JVM's 64 KB method/codegen
+    limits ("plan string too large"), fell back to interpreted
+    evaluation, and ran 4x slower end-to-end with a 10 s one-time
+    compile.  Here every expression is small enough for whole-stage
+    codegen; partial aggregation collapses the explode to ~docs x
+    n_bits rows per map partition before either shuffle, and the
+    second shuffle carries one row per (doc, bit).
     """
     occurrences = (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
@@ -235,22 +245,21 @@ def simhash(
         .select("doc_id", F.explode("toks").alias("t"))
         .select("doc_id", md5_int(F.col("t")).alias("h"))
     )
-    bit_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(n_bits)
-    ]
-    sums = occurrences.groupBy("doc_id").agg(*bit_aggs)
-    out = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sign = F.when(
+        F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1).cast("long")
+    ).otherwise(F.lit(-1).cast("long"))
+    per_bit = (
+        occurrences.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b")
         )
-        out = term if out is None else out + term
-    return sums.select("doc_id", out.alias("simhash"))
+        .select("doc_id", "b", sign.alias("sign"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("sign").alias("s"))
+    )
+    bit_value = F.when(
+        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+    ).otherwise(F.lit(0).cast("long"))
+    return per_bit.groupBy("doc_id").agg(F.sum(bit_value).alias("simhash"))
 
 
 def simhash_near_dups(
