@@ -94,6 +94,7 @@ LOCAL_ONLY = [
 # them again.
 _PRIORITY = [
     "q_range_frame",
+    "q_sketch_accuracy",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_repetition_signals",
@@ -122,9 +123,12 @@ _PRIORITY = [
 # q_hourly_event_stats; q_string_funcs' scalar string expressions
 # recur across the fingerprint/dedup/pii queries;
 # q05_local_supplier's multiway-equi-join+agg shape is evidenced by
-# q_part_brand_revenue and q03_shipping_priority, both green in r2).
+# q_part_brand_revenue and q03_shipping_priority, both green in r2;
+# q_distinct_counts' exact COUNT(DISTINCT) aggregation is carried by
+# q_sketch_accuracy's hash-checked n_orders column).
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_distinct_counts",
     "q05_local_supplier",
     "q_date_buckets",
     "q_string_funcs",

@@ -296,6 +296,34 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB cardinality/quantile operators
+    (HyperLogLog++ approx distinct, GK approx percentile).  At scale
+    the exact forms are shuffle-heavy (count-distinct expands rows,
+    percentile sorts groups); sketches are single-pass, mergeable,
+    fixed-size state.
+
+    Oracle design: the exact aggregates are hash-checked value-for-
+    value; sketch results are asserted as tolerance BOOLEANS computed
+    Spark-side against the exact values in the same plan (the oracle
+    emits literal TRUE) — the acceptance-test pattern used for ANN
+    recall.  Sketches are order-insensitive (HLL register maxes merge
+    commutatively), so the flags are deterministic for a fixed dataset.
+    Thresholds: 5x the configured HLL rsd (0.02), 1% relative on the
+    median vs a 1/10000 rank-error sketch."""
+    l = _t(spark, sf_dir, "lineitem")
+    exact_d = F.countDistinct("l_orderkey")
+    approx_d = F.approx_count_distinct("l_orderkey", 0.02)
+    exact_p = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_p = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return l.groupBy("l_returnflag").agg(
+        exact_d.alias("n_orders"),
+        (F.abs(approx_d - exact_d) / exact_d <= 0.10).alias("hll_ok"),
+        F.round(exact_p, 6).alias("p50_price"),
+        (F.abs(approx_p - exact_p) / exact_p <= 0.01).alias("quantile_sketch_ok"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based aggregate)."""
     o = _t(spark, sf_dir, "orders")
@@ -437,6 +465,7 @@ QUERIES = {
     "q_pivot_status": q_pivot_status,
     "q_having_big_customers": q_having_big_customers,
     "q_distinct_counts": q_distinct_counts,
+    "q_sketch_accuracy": q_sketch_accuracy,
 }
 
 ORACLES = {
@@ -665,6 +694,17 @@ ORACLES = {
                count(DISTINCT l_partkey) AS n_parts,
                count(DISTINCT l_suppkey) AS n_supps,
                count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # Exact columns hash-checked; the sketch-accuracy booleans are
+    # asserted TRUE (computed Spark-side against the exact values in
+    # the same plan — see q_sketch_accuracy docstring).
+    "q_sketch_accuracy": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               TRUE AS hll_ok,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+               TRUE AS quantile_sketch_ok
         FROM lineitem GROUP BY l_returnflag
     """,
 }

