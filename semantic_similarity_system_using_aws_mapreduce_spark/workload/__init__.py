@@ -95,6 +95,7 @@ LOCAL_ONLY = [
 _PRIORITY = [
     "q_range_frame",
     "q_sketch_accuracy",
+    "q_ann_ivf_recall",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_repetition_signals",
@@ -125,9 +126,13 @@ _PRIORITY = [
 # q05_local_supplier's multiway-equi-join+agg shape is evidenced by
 # q_part_brand_revenue and q03_shipping_priority, both green in r2;
 # q_distinct_counts' exact COUNT(DISTINCT) aggregation is carried by
-# q_sketch_accuracy's hash-checked n_orders column).
+# q_sketch_accuracy's hash-checked n_orders column;
+# q_acctbal_share's counters-side-channel shape (1-row aggregate +
+# broadcast cross-join, SURVEY S5) is carried by q_token_totals and
+# the pipeline tests).
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_acctbal_share",
     "q_distinct_counts",
     "q05_local_supplier",
     "q_date_buckets",

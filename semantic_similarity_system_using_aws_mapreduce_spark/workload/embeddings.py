@@ -129,6 +129,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 10
+IVF_LISTS = 16
+# The fixture embeddings are near-uniform random — IVF's worst case
+# (neighbors spread across cells): measured recall@10 is ~0.56 at
+# n_probe=4 and ~0.79 at n_probe=8 (stable across runs at sf0.001 and
+# sf0.01).  Probe half the lists and gate at 0.65 — enough margin over
+# noise, tight enough that a probe-join regression (e.g. losing a
+# probe list) trips the flag.
+IVF_PROBE = 8
+IVF_RECALL_MIN = 0.65
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN under the correctness gate — the second
+    scale-safe similarity-search path (k-means coarse lists + n_probe
+    equi-join; scored pairs ~ N * n_probe * N/n_lists, never N^2).
+
+    K-means list assignment is seeded but not bit-stable across
+    partitionings, so per-pair results can't be hash-compared the way
+    the SRP-LSH path is; instead this query AUDITS the path: recall of
+    IVF top-k against the exact brute-force top-k (computed in the same
+    plan), reported as one row of deterministic values — query count,
+    k, and a recall >= {IVF_RECALL_MIN} acceptance flag.  The oracle
+    emits the same exact values and literal TRUE."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import ann_topk_ivf, cosine_topk_bruteforce
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    ivf = ann_topk_ivf(e, k=IVF_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE)
+    truth = cosine_topk_bruteforce(e, k=IVF_K)
+    hits = truth.select("vec_id", "neighbor_id").join(
+        ivf.select("vec_id", "neighbor_id"), ["vec_id", "neighbor_id"]
+    )
+    recall = hits.count() / truth.count()
+    return e.agg(
+        F.count("*").alias("n_vectors"),
+        F.lit(IVF_K).cast("int").alias("k"),
+        F.lit(bool(recall >= IVF_RECALL_MIN)).alias("recall_ok"),
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm: positional explode -> per-(label, dim)
     mean -> norm.  The explode+groupBy plan is how array aggregation
@@ -204,6 +244,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_ann_ivf_recall": q_ann_ivf_recall,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_embedding_quantization": q_embedding_quantization,
     "q_embedding_norms": q_embedding_norms,
@@ -221,6 +262,14 @@ _UNNEST = """
 """
 
 ORACLES = {
+    # Deterministic audit row; recall_ok is computed Spark-side against
+    # the in-plan brute-force ground truth (see q_ann_ivf_recall).
+    "q_ann_ivf_recall": f"""
+        SELECT count(*) AS n_vectors,
+               {IVF_K}::INT AS k,
+               TRUE AS recall_ok
+        FROM embeddings
+    """,
     "q_embedding_parity_measures": f"""
         WITH {_UNNEST},
         aligned AS (
