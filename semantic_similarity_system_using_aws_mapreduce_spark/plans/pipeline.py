@@ -44,35 +44,31 @@ def semantic_similarity_pipeline(
     plans against a fully native columnar scan (SURVEY.md §4).
     """
     corpus = read_biarcs(spark, corpus_path)
-    emissions = token_emissions(corpus)
-    totals = None
     if checkpoint_dir:
-        # The parquet write is an action anyway, so ride the L/F totals
-        # on it with the Observation API — the exact analog of the
-        # reference's Hadoop counters accumulating during the map phase
-        # (Step1.java:73-74): zero extra passes over the corpus.  Built
-        # against a throwaway child session because a used Observation
-        # leaves a listener that can break later cache materialization
-        # in its session (Spark 4.1; see operators/counts.py).
-        from semantic_similarity_system_using_aws_mapreduce_spark.operators.counts import observed_emissions
-
-        obs_spark = spark.newSession()
-        raw = read_biarcs(obs_spark, corpus_path)
+        src = corpus
         # file-split heuristics often yield fewer input partitions than
         # cores; the stemmer UDF dominates this stage, so spread it over
-        # every core (the text shuffle is trivial next to stemming)
-        par = obs_spark.sparkContext.defaultParallelism
-        if raw.rdd.getNumPartitions() < par:
-            raw = raw.repartition(par)
-        observed, obs = observed_emissions(token_emissions(raw))
+        # every core (the text shuffle is trivial next to stemming —
+        # measured 8x on a 19-partition 1M-line corpus at local[32])
+        par = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
         path = f"{checkpoint_dir}/emissions.parquet"
-        observed.write.mode("overwrite").parquet(path)
-        got = obs.get
+        token_emissions(src).write.mode("overwrite").parquet(path)
         emissions = spark.read.parquet(path)
-        totals = spark.createDataFrame(
-            [(got["L"], got["F"])], "L long, F long"
-        )
-    counts = corpus_counts(emissions, totals=totals)
+    else:
+        emissions = token_emissions(corpus)
+    # L/F totals fall out of corpus_counts' pair_counts re-aggregation
+    # (persisted below), costing nothing extra in either mode.  An
+    # earlier revision rode them on the parquet write with the
+    # Observation API ("zero extra passes") — measured: CollectMetrics'
+    # per-row accumulation made the 1M-line write 2.3x slower (7.7s ->
+    # 17.7s), far more than the vocabulary-sized aggregation it saved,
+    # and it needed a throwaway child session to dodge the Spark 4.1
+    # listener leak.  observed_emissions remains available
+    # (operators/counts.py) for sinks where a re-scan is genuinely
+    # expensive and the totals must ride a write.
+    counts = corpus_counts(emissions)
     # All downstream branches (marginals, totals, the assoc join) read
     # pair_counts; persisting it caps the plan at ONE aggregation of the
     # emissions relation per action — the cache substitution happens on
