@@ -44,17 +44,20 @@ def semantic_similarity_pipeline(
     plans against a fully native columnar scan (SURVEY.md §4).
     """
     corpus = read_biarcs(spark, corpus_path)
+    # Text file-split heuristics yield few, skewed input partitions
+    # (a 1M-line corpus arrived as 19 splits with most data in a
+    # handful); the stemmer UDF dominates this stage, so spread it
+    # evenly over every core — the round-robin text shuffle is trivial
+    # next to stemming (measured 8x: 19s -> 2.4s for the stemmed
+    # emissions pass at local[32]).  Applies to BOTH modes: the lazy
+    # plan stems inside the map stage of the first aggregation and
+    # inherits this partitioning.
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     if checkpoint_dir:
-        src = corpus
-        # file-split heuristics often yield fewer input partitions than
-        # cores; the stemmer UDF dominates this stage, so spread it over
-        # every core (the text shuffle is trivial next to stemming —
-        # measured 8x on a 19-partition 1M-line corpus at local[32])
-        par = spark.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
         path = f"{checkpoint_dir}/emissions.parquet"
-        token_emissions(src).write.mode("overwrite").parquet(path)
+        token_emissions(corpus).write.mode("overwrite").parquet(path)
         emissions = spark.read.parquet(path)
     else:
         emissions = token_emissions(corpus)
