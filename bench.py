@@ -117,6 +117,9 @@ HEADLINE = [
 # round-over-round comparable (q_ann_lsh_topk predates this split and
 # stays in HEADLINE/value from r2 on).
 EXTRA = [
+    "q_range_frame",
+    "q_sketch_accuracy",
+    "q_ann_ivf_recall",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_decontaminate",

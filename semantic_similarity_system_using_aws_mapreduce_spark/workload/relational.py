@@ -312,15 +312,29 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds: 5x the configured HLL rsd (0.02), 1% relative on the
     median vs a 1/10000 rank-error sketch."""
     l = _t(spark, sf_dir, "lineitem")
-    exact_d = F.countDistinct("l_orderkey")
-    approx_d = F.approx_count_distinct("l_orderkey", 0.02)
-    exact_p = F.expr("percentile(l_extendedprice, 0.5)")
-    approx_p = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-    return l.groupBy("l_returnflag").agg(
-        exact_d.alias("n_orders"),
-        (F.abs(approx_d - exact_d) / exact_d <= 0.10).alias("hll_ok"),
-        F.round(exact_p, 6).alias("p50_price"),
-        (F.abs(approx_p - exact_p) / exact_p <= 0.01).alias("quantile_sketch_ok"),
+    # Exact and sketch branches aggregate separately and meet on the
+    # 3-row group key: mixing count(DISTINCT) with the other aggregates
+    # in one agg triggers Catalyst's distinct rewrite, which carries
+    # the percentile/sketch partial buffers per (flag, orderkey) group
+    # through the first shuffle (a 400+-column ObjectHashAggregate).
+    # Split, each branch gets its clean plan — the sketch branch is the
+    # single-pass shape you would actually run at 100 TB.
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_orders",
+        (F.abs(F.col("n_approx") - F.col("n_orders")) / F.col("n_orders") <= 0.10).alias("hll_ok"),
+        F.round("p50_exact", 6).alias("p50_price"),
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact") <= 0.01).alias(
+            "quantile_sketch_ok"
+        ),
     )
 
 
