@@ -99,3 +99,54 @@ def write_arff(vectors: DataFrame, path: str) -> None:
         f.write("@attribute class {similar, not-similar}\n\n@data\n")
         for r in rows:
             f.write(",".join([*[r[c] for c in VECTOR_COLUMNS], r.klass]) + "\n")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    budget_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a document relation as shard-packed training data:
+    Hive-partitioned parquet with one directory per (stratum, shard_id)
+    and exactly ONE file per shard, rows inside each file in
+    deterministic ``order_col`` order.  Returns the shard manifest
+    (stratum, shard_id, n_docs, n_tokens) — the index a training job
+    reads to schedule shards.
+
+    Shard assignment is operators/sampling.py:token_shards (hash-free
+    prefix-sum packing, reproducible on re-runs).  The one-file-per-
+    shard guarantee comes from repartitioning on the shard key before a
+    partitionBy write: every shard's rows land in exactly one task, and
+    a task writes one file per partition value it holds.
+
+    Scale design: shards are ~budget_tokens by construction, so task
+    memory is bounded regardless of corpus size; distribution across
+    executors is the hash of (stratum, shard_id).  The repartition is
+    the only shuffle beyond the packing prefix-sum itself.  Compare the
+    reference's text sinks (one part-file per reducer, no data-aware
+    layout, Step1.java:120): here layout IS the contract.
+    """
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import token_shards
+
+    assignment = token_shards(
+        docs, budget_tokens, part_col=part_col, order_col=order_col, text_col=text_col
+    ).select("doc_id", "stratum", "n_tokens", "shard_id")
+    packed = docs.select(
+        F.col(order_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(assignment, "doc_id")
+    (
+        packed.repartition(F.col("stratum"), F.col("shard_id"))
+        .sortWithinPartitions("stratum", "shard_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("stratum", "shard_id")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("stratum", "shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )

@@ -87,3 +87,43 @@ def test_token_shards_per_stratum_reset(spark):
         for r in out.filter(F.col("doc_id").isin(0, 3)).collect()
     }
     assert firsts == {"en": 0, "de": 0}
+
+
+def test_write_training_shards_layout_contract(docs, tmp_path):
+    """The physical shard sink: one parquet file per (stratum, shard)
+    directory, lossless round trip, manifest arithmetic consistent
+    with the logical packing."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import write_training_shards
+
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, budget_tokens=50).cache()
+
+    back = docs.sparkSession.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    # exactly one data file per shard directory
+    import glob
+    import os
+
+    shard_dirs = glob.glob(os.path.join(path, "stratum=*", "shard_id=*"))
+    assert len(shard_dirs) == manifest.count() > 2
+    for d in shard_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    # manifest matches the logical packing: every shard except a
+    # stratum's last holds >= budget - (max doc len - 1) tokens and
+    # overhangs by at most one document
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import token_shards
+
+    logical = token_shards(docs, 50)
+    lm = {
+        (r.stratum, r.shard_id): r.n
+        for r in logical.groupBy("stratum", "shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    pm = {(r.stratum, r.shard_id): r.n_docs for r in manifest.collect()}
+    assert lm == pm
+    manifest.unpersist()
