@@ -83,6 +83,12 @@ def classify(
         f"Precision (similar): {m['precision_similar']:.4f}",
         f"Recall    (similar): {m['recall_similar']:.4f}",
         f"F1        (similar): {m['f1_similar']:.4f}",
+        # reference report includes per-class ROC area (Step5.java:139-167)
+        (
+            f"ROC Area           : {m['roc_area']:.4f}"
+            if m.get("roc_area") is not None
+            else "ROC Area           : n/a (single-class)"
+        ),
         "",
         "=== Confusion Matrix ===",
         f"  similar:     TP={m['confusion'][0][0]}  FN={m['confusion'][0][1]}",
