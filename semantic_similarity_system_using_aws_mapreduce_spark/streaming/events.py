@@ -178,6 +178,22 @@ def stream_interval_join(
     )
 
 
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the
+    static dimension relation on ``on`` — the lookup-table pattern
+    (user profile, feature flags, model routing) of a production event
+    pipeline.
+
+    Stateless by construction: the static side is re-planned per
+    micro-batch (a refreshed dim table is picked up on the next batch),
+    no watermark or join state is kept, and the broadcast hint keeps
+    the per-batch join map-side — at 100 TB of stream the dim table is
+    the only thing that must fit in executor memory."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str] | None = None,

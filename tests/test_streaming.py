@@ -180,3 +180,73 @@ def test_session_windows_match_batch_sessionization(spark):
         for r in q_sessionization(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+def test_normalize_ts_unifies_all_three_parquet_encodings(spark, tmp_path):
+    """The driver's events fixture has shipped ts as TIMESTAMP(NANOS),
+    as timestamp[us] without isAdjustedToUTC (read as TIMESTAMP_NTZ),
+    and as UTC-adjusted micros — r2's correctness run broke on the NTZ
+    flavor.  normalize_ts must yield identical TIMESTAMP values (and
+    working epoch math) for all three."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import normalize_ts
+
+    base = [
+        datetime.datetime(2026, 1, 1, 0, 0, 0),
+        datetime.datetime(2026, 1, 1, 12, 34, 56, 789000),
+        datetime.datetime(2026, 6, 30, 23, 59, 59, 999999),
+    ]
+    ids = list(range(len(base)))
+    paths = {}
+    for name, typ in (
+        ("ntz_us", pa.timestamp("us")),
+        ("utc_us", pa.timestamp("us", tz="UTC")),
+        ("nanos", pa.timestamp("ns")),
+    ):
+        table = pa.table({"event_id": pa.array(ids, pa.int64()),
+                          "ts": pa.array(base, typ)})
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(table, p, store_schema=False)
+        paths[name] = p
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    results = {}
+    for name, p in paths.items():
+        df = normalize_ts(spark.read.parquet(p))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        rows = df.select(
+            "event_id", "ts", F.expr("unix_micros(ts)").alias("us")
+        ).orderBy("event_id").collect()
+        results[name] = [(r.event_id, r.ts, r.us) for r in rows]
+    assert results["ntz_us"] == results["utc_us"] == results["nanos"]
+
+
+def test_enrich_stream_matches_batch_broadcast_join(spark):
+    """Stream-static enrichment must converge to the batch broadcast
+    join: every event row picks up its user's dim attributes."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import enrich_stream
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import _events
+
+    ev = _events(spark, SF_DIR)
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.col("user_id") % 3).alias("tier"),
+    )
+    stream = read_event_stream(spark, SF_DIR)
+    enriched = enrich_stream(
+        stream.select("event_id", "user_id"), dim, on="user_id"
+    )
+    result = run_to_memory(enriched, output_mode="append")
+    got = {(r.event_id, r.user_id, r.tier) for r in result.collect()}
+    want = {
+        (r.event_id, r.user_id, r.tier)
+        for r in ev.select("event_id", "user_id").join(dim, "user_id")
+        .select("event_id", "user_id", "tier").collect()
+    }
+    assert len(want) > 0
+    assert got == want
