@@ -75,7 +75,13 @@ for _m in _MODULES:
 #   q_simhash        - the fingerprint relation is a strict subplan of
 #                      q_simhash_near_dups' oracle (sim CTE), which
 #                      hash-verifies the identical 60 bit-aggregates
+#   q_asof_next_view_after_purchase / q_asof_nearest_view - the
+#                      forward/nearest as-of directions, oracled
+#                      locally; the driver slot carries the backward
+#                      direction (q_asof_view_before_purchase)
 LOCAL_ONLY = [
+    "q_asof_next_view_after_purchase",
+    "q_asof_nearest_view",
     "q_percentiles",
     "q_simhash",
     "q_knn",

@@ -173,7 +173,61 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (LOCAL_ONLY oracle coverage of the direction
+    the driver-exported backward query doesn't exercise): each purchase
+    matched to the user's EARLIEST view at-or-after it."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views,
+        on="user_id", left_time="ts", right_time="ts",
+        value_cols=["event_id", "value"], direction="forward",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
+def q_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (ties prefer the backward match,
+    like pandas merge_asof) — LOCAL_ONLY oracle coverage."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views,
+        on="user_id", left_time="ts", right_time="ts",
+        value_cols=["event_id"], direction="nearest",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+    )
+
+
 QUERIES = {
+    "q_asof_next_view_after_purchase": q_asof_next_view_after_purchase,
+    "q_asof_nearest_view": q_asof_nearest_view,
     "q_asof_view_before_purchase": q_asof_view_before_purchase,
     "q_hourly_event_stats": q_hourly_event_stats,
     "q_interval_join": q_interval_join,
@@ -184,6 +238,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # forward: earliest view at-or-after; equal-timestamp views resolve
+    # to the greatest event_id (the engine's right_tiebreak semantics:
+    # the greatest wins in every direction)
+    "q_asof_next_view_after_purchase": """
+        SELECT p.event_id, p.user_id,
+               (SELECT v.event_id FROM events v
+                WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                  AND v.ts >= p.ts
+                ORDER BY v.ts ASC, v.event_id DESC LIMIT 1) AS view_event_id,
+               round((SELECT v.value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                        AND v.ts >= p.ts
+                      ORDER BY v.ts ASC, v.event_id DESC LIMIT 1), 6) AS view_value
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    # nearest: minimal |Δt|; distance ties prefer the backward side
+    # (v.ts <= p.ts); equal-timestamp ties the greatest event_id
+    "q_asof_nearest_view": """
+        SELECT p.event_id, p.user_id,
+               (SELECT v.event_id FROM events v
+                WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                         CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                         v.event_id DESC LIMIT 1) AS view_event_id
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
     "q_asof_view_before_purchase": """
         SELECT p.event_id, p.user_id,
                (SELECT v.event_id FROM events v
