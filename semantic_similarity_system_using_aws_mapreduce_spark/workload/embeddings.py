@@ -158,10 +158,18 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     ivf = ann_topk_ivf(e, k=IVF_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE)
     truth = cosine_topk_bruteforce(e, k=IVF_K)
-    hits = truth.select("vec_id", "neighbor_id").join(
-        ivf.select("vec_id", "neighbor_id"), ["vec_id", "neighbor_id"]
+    # one action: left-join the truth pairs against IVF's and count
+    # total + matched together (separate hits.count()/truth.count()
+    # actions would run the k-means + brute-force pipeline twice)
+    marked = truth.select("vec_id", "neighbor_id").join(
+        ivf.select("vec_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["vec_id", "neighbor_id"],
+        "left",
     )
-    recall = hits.count() / truth.count()
+    row = marked.agg(
+        F.count("*").alias("n_true"), F.count("_hit").alias("n_hit")
+    ).first()
+    recall = row.n_hit / row.n_true
     return e.agg(
         F.count("*").alias("n_vectors"),
         F.lit(IVF_K).cast("int").alias("k"),
