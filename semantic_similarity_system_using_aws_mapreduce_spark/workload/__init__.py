@@ -79,9 +79,15 @@ for _m in _MODULES:
 #                      forward/nearest as-of directions, oracled
 #                      locally; the driver slot carries the backward
 #                      direction (q_asof_view_before_purchase)
+#   q_grouping_sets  - GROUPING SETS is the general form cube/rollup
+#                      desugar to; q_cube_qty holds the driver slot
+#   q_rank_distribution - percent_rank/cume_dist; the rank family's
+#                      driver slot is q_window_functions
 LOCAL_ONLY = [
     "q_asof_next_view_after_purchase",
     "q_asof_nearest_view",
+    "q_grouping_sets",
+    "q_rank_distribution",
     "q_percentiles",
     "q_simhash",
     "q_knn",

@@ -262,6 +262,38 @@ def q_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup desugar
+    to: exactly the requested grouping combinations ((flag, status),
+    (flag), ()), no others, one Expand + one aggregation."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the distribution-valued window ranks
+    (the rest of the rank family lives in q_window_functions)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot via conditional aggregation (engine-portable form)."""
     o = _t(spark, sf_dir, "orders")
@@ -480,6 +512,8 @@ QUERIES = {
     "q_having_big_customers": q_having_big_customers,
     "q_distinct_counts": q_distinct_counts,
     "q_sketch_accuracy": q_sketch_accuracy,
+    "q_grouping_sets": q_grouping_sets,
+    "q_rank_distribution": q_rank_distribution,
 }
 
 ORACLES = {
@@ -709,6 +743,22 @@ ORACLES = {
                count(DISTINCT l_suppkey) AS n_supps,
                count(DISTINCT l_orderkey) AS n_orders
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "q_rank_distribution": """
+        SELECT o_orderkey, o_orderstatus,
+               round(percent_rank() OVER w, 6) AS price_pct_rank,
+               round(cume_dist() OVER w, 6) AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
     """,
     # Exact columns hash-checked; the sketch-accuracy booleans are
     # asserted TRUE (computed Spark-side against the exact values in
