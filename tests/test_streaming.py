@@ -250,3 +250,74 @@ def test_enrich_stream_matches_batch_broadcast_join(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """True late-data semantics, not just append⊆complete.  Spark
+    evicts window state at batch END, so a late row landing in the
+    same batch where the watermark first passes its window still
+    merges — the drop needs three batches (maxFilesPerTrigger=1,
+    modification-time ordering):
+
+      b0: events 00:10 and 05:00  -> watermark after b0 = 04:00
+      b1: event 06:00             -> 00:00 window evicted+emitted (n=1)
+      b2: LATE event 00:20        -> below watermark, state gone: DROPPED
+
+    The 00:00 window must emit exactly once with n=1 and the batch-2
+    progress must report the drop."""
+    import datetime
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import normalize_ts
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.events import tumbling_counts
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    d = tmp_path / "late_src"
+    d.mkdir()
+
+    def write(name, specs):
+        ids = list(range(len(specs)))
+        tss = [t0 + datetime.timedelta(minutes=m) for m, _ in specs]
+        ets = [et for _, et in specs]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                    "value": pa.array([1.0] * len(ids)),
+                    "event_type": pa.array(ets),
+                }
+            ),
+            str(d / name),
+        )
+
+    write("f1.parquet", [(10, "a"), (300, "a")])
+    time.sleep(1.2)  # the file source orders batches by mtime
+    write("f2.parquet", [(360, "a")])
+    time.sleep(1.2)
+    write("f3.parquet", [(20, "a")])
+
+    schema = spark.read.parquet(str(d / "f1.parquet")).schema
+    stream = normalize_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    agg = tumbling_counts(stream, watermark="1 hour")
+    import uuid
+
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    got = [(r.hour, r.event_type, r.n) for r in spark.table(qname).collect() if r.hour == t0]
+    assert got == [(t0, "a", 1)]  # emitted once, late row not merged
+    assert dropped == 1
