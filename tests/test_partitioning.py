@@ -52,3 +52,28 @@ def test_map_side_queries_have_no_exchange(spark):
         df = ALL_QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
+
+
+def test_filters_and_pruning_reach_the_scan(spark):
+    """Predicate pushdown + column pruning evidence on representative
+    workload queries: the scan node must carry PushedFilters for the
+    query's selective predicate, and ReadSchema must contain only the
+    columns the query touches (a 2-column projection reading 16 columns
+    is wrong at 100 TB)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    cases = {
+        # query -> (a pushed-filter fragment, a column that must NOT be read)
+        "q01_pricing_summary": ("l_shipdate", "l_comment"),
+        "q03_shipping_priority": ("c_mktsegment", "c_comment"),
+        "q_semi_join": ("o_orderstatus", "o_comment"),
+    }
+    for name, (pushed_col, pruned_col) in cases.items():
+        plan = ALL_QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        scans = [seg for seg in plan.split("FileScan") if "PushedFilters" in seg]
+        assert scans, f"{name}: no parquet scan with PushedFilters\n{plan[:1200]}"
+        assert any(
+            pushed_col in seg.split("PushedFilters")[1].split("]")[0] for seg in scans
+        ), f"{name}: {pushed_col} not pushed to any scan"
+        assert pruned_col not in plan.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in plan else True
+        assert pruned_col not in plan, f"{name}: reads pruned column {pruned_col}"
