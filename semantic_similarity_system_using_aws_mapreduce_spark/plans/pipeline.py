@@ -29,12 +29,21 @@ class PipelineResult:
     vectors: DataFrame
 
 
+def _stage_complete(spark: SparkSession, path: str) -> bool:
+    """A checkpointed stage is resumable iff its parquet directory has
+    a _SUCCESS marker (a crashed write leaves the dir without one)."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def semantic_similarity_pipeline(
     spark: SparkSession,
     corpus_path: str,
     gold_path: str,
     mode: str = "standard",
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PipelineResult:
     """corpus text + gold pairs -> labelled 24-dim pair vectors.
 
@@ -42,6 +51,13 @@ def semantic_similarity_pipeline(
     ``checkpoint_dir`` is given the post-stem emission relation is
     persisted as Parquet and re-read — every downstream stage then
     plans against a fully native columnar scan (SURVEY.md §4).
+
+    ``resume=True`` (with a ``checkpoint_dir``) skips any stage whose
+    checkpoint already exists with a _SUCCESS marker — the reference's
+    per-step resume path (any StepN.main pointed at existing S3 dirs,
+    App.java:133) without five separate clusters.  The caller owns
+    cache invalidation: resume assumes the inputs that produced the
+    checkpoints have not changed.
     """
     corpus = read_biarcs(spark, corpus_path)
     # Text file-split heuristics yield few, skewed input partitions
@@ -57,7 +73,8 @@ def semantic_similarity_pipeline(
         corpus = corpus.repartition(par)
     if checkpoint_dir:
         path = f"{checkpoint_dir}/emissions.parquet"
-        token_emissions(corpus).write.mode("overwrite").parquet(path)
+        if not (resume and _stage_complete(spark, path)):
+            token_emissions(corpus).write.mode("overwrite").parquet(path)
         emissions = spark.read.parquet(path)
     else:
         emissions = token_emissions(corpus)
@@ -87,7 +104,8 @@ def semantic_similarity_pipeline(
     assoc = association_measures(counts, mode=mode)
     if checkpoint_dir:
         path = f"{checkpoint_dir}/assoc.parquet"
-        assoc.write.mode("overwrite").parquet(path)
+        if not (resume and _stage_complete(spark, path)):
+            assoc.write.mode("overwrite").parquet(path)
         assoc = spark.read.parquet(path)
     gold = read_gold_standard(spark, gold_path)
     vectors = pair_vectors(assoc, gold, mode=mode)

@@ -41,10 +41,11 @@ def run(
     folds: int = 10,
     trees: int = 100,
     text_dumps: bool = False,
+    resume: bool = False,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
     result = semantic_similarity_pipeline(
-        spark, corpus, gold, mode=mode, checkpoint_dir=outdir
+        spark, corpus, gold, mode=mode, checkpoint_dir=outdir, resume=resume
     )
     result.counts.pair_counts.write.mode("overwrite").parquet(f"{outdir}/pair_counts.parquet")
     result.counts.lexeme_counts.write.mode("overwrite").parquet(f"{outdir}/lexeme_counts.parquet")
@@ -108,6 +109,12 @@ def main() -> None:
     ap.add_argument("--folds", type=int, default=10)
     ap.add_argument("--trees", type=int, default=100)
     ap.add_argument("--text-dumps", action="store_true")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip stages whose OUTDIR checkpoint already exists "
+        "(the reference's per-step resume, App.java:133)",
+    )
     ap.add_argument("--classify-only", metavar="VECTORS_PARQUET")
     args = ap.parse_args()
 
@@ -118,7 +125,7 @@ def main() -> None:
         metrics = run(
             spark, args.corpus, args.gold, args.outdir,
             mode=args.mode, folds=args.folds, trees=args.trees,
-            text_dumps=args.text_dumps,
+            text_dumps=args.text_dumps, resume=args.resume,
         )
     print(json.dumps({k: v for k, v in metrics.items()}))
 

@@ -104,3 +104,40 @@ def test_runner_cli(tmp_path):
         "assoc_text", "pair_vectors_text", "pair_vectors.arff", "report.txt",
     ]:
         assert (out / artifact).exists(), artifact
+
+
+def test_pipeline_resume_skips_completed_stages(spark, tmp_path):
+    """resume=True must reuse existing stage checkpoints — proven by
+    poisoning the corpus after the first run: the resumed run still
+    answers from the checkpoints (same 331 vectors), while a
+    non-resume run re-reads the poisoned corpus and differs."""
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.plans.pipeline import semantic_similarity_pipeline
+
+    corpus = tmp_path / "corpus.txt"
+    shutil.copy(SMALL_SAMPLE, corpus)
+    gold = "/root/reference/word-relatedness.txt"
+    ck = str(tmp_path / "ck")
+
+    first = semantic_similarity_pipeline(
+        spark, str(corpus), gold, mode="parity", checkpoint_dir=ck
+    )
+    assert first.vectors.count() == 331
+    first.counts.pair_counts.unpersist()
+
+    # poison the corpus: keep only the first 10 lines
+    lines = corpus.read_text().splitlines()[:10]
+    corpus.write_text("\n".join(lines) + "\n")
+
+    resumed = semantic_similarity_pipeline(
+        spark, str(corpus), gold, mode="parity", checkpoint_dir=ck, resume=True
+    )
+    assert resumed.vectors.count() == 331  # checkpoints, not the poisoned file
+    resumed.counts.pair_counts.unpersist()
+
+    fresh = semantic_similarity_pipeline(
+        spark, str(corpus), gold, mode="parity", checkpoint_dir=ck
+    )
+    assert fresh.vectors.count() < 331  # non-resume recomputes
+    fresh.counts.pair_counts.unpersist()
