@@ -83,11 +83,15 @@ for _m in _MODULES:
 #                      desugar to; q_cube_qty holds the driver slot
 #   q_rank_distribution - percent_rank/cume_dist; the rank family's
 #                      driver slot is q_window_functions
+#   q_except_all / q_intersect_all - bag-semantics set ops; the
+#                      distinct forms hold the family's test slots
 LOCAL_ONLY = [
     "q_asof_next_view_after_purchase",
     "q_asof_nearest_view",
     "q_grouping_sets",
     "q_rank_distribution",
+    "q_except_all",
+    "q_intersect_all",
     "q_percentiles",
     "q_simhash",
     "q_knn",

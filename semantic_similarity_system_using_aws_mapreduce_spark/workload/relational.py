@@ -294,6 +294,25 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference, keeping multiplicity:
+    per order key, R-flag lineitem occurrences minus A-flag occurrences
+    (the DISTINCT set-ops live in q_nations_except/_intersect)."""
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    return r.exceptAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n_surplus"))
+
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (min of the two sides'
+    multiplicities per value)."""
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    return r.intersectAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n_common"))
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot via conditional aggregation (engine-portable form)."""
     o = _t(spark, sf_dir, "orders")
@@ -514,6 +533,8 @@ QUERIES = {
     "q_sketch_accuracy": q_sketch_accuracy,
     "q_grouping_sets": q_grouping_sets,
     "q_rank_distribution": q_rank_distribution,
+    "q_except_all": q_except_all,
+    "q_intersect_all": q_intersect_all,
 }
 
 ORACLES = {
@@ -743,6 +764,20 @@ ORACLES = {
                count(DISTINCT l_suppkey) AS n_supps,
                count(DISTINCT l_orderkey) AS n_orders
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_except_all": """
+        SELECT l_orderkey, count(*) AS n_surplus
+        FROM (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+              EXCEPT ALL
+              SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+        GROUP BY l_orderkey
+    """,
+    "q_intersect_all": """
+        SELECT l_orderkey, count(*) AS n_common
+        FROM (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+              INTERSECT ALL
+              SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+        GROUP BY l_orderkey
     """,
     "q_grouping_sets": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
