@@ -52,14 +52,17 @@ def tumbling_counts(
     append-mode (finalized windows only); without, complete-mode."""
     if watermark:
         stream = stream.withWatermark("ts", watermark)
+    # integer-micros sum, matching the batch twin q_hourly_event_stats
+    # (exact summation regardless of micro-batch arrival order)
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return (
         stream.groupBy(F.window("ts", window), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(micros).alias("_sm"))
         .select(
             F.col("window.start").alias("hour"),
             "event_type",
             "n",
-            "sum_value",
+            F.round(F.col("_sm") / 1_000_000.0, 4).alias("sum_value"),
         )
     )
 

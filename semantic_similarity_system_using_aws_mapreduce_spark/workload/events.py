@@ -33,16 +33,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type counts and value stats.
+
+    Values are quantized to integer micros before summing: double
+    summation is order-dependent, and at sf0.1 one group's true mean
+    landed exactly on a 6th-decimal rounding boundary
+    (…43.4728125), flipping the last digit between engines.  An int64
+    sum has one answer, so the final divide+round sees bit-identical
+    input everywhere."""
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return (
         _events(spark, sf_dir)
         .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             "event_type",
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+        .agg(F.count("*").alias("n"), F.sum(micros).alias("_sm"))
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            F.round(F.col("_sm") / 1_000_000.0, 4).alias("sum_value"),
+            F.round(F.col("_sm") / 1_000_000.0 / F.col("n"), 6).alias("avg_value"),
         )
     )
 
@@ -277,11 +289,13 @@ ORACLES = {
         FROM events p WHERE p.event_type = 'purchase'
     """,
     "q_hourly_event_stats": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
-               count(*) AS n,
-               round(sum(value), 4) AS sum_value,
-               round(avg(value), 6) AS avg_value
-        FROM events GROUP BY 1, 2
+        SELECT hour, event_type, n,
+               round(sm / 1000000.0, 4) AS sum_value,
+               round(sm / 1000000.0 / n, 6) AS avg_value
+        FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n,
+                     sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS sm
+              FROM events GROUP BY 1, 2)
     """,
     "q_interval_join": f"""
         WITH iv AS (
