@@ -68,6 +68,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1)
         .otherwise(0)
     )
+    # int64-micros sum: double summation order differs between engines
+    # and a group mean/sum on the rounding boundary flips the hash
+    # (observed on q_hourly_event_stats at sf0.1)
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return (
         _events(spark, sf_dir)
         .withColumn("new_session", is_new)
@@ -75,7 +79,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("new_session").alias("n_sessions"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(micros).alias("_sm"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            F.round(F.col("_sm") / 1_000_000.0, 4).alias("total_value"),
         )
     )
 
@@ -99,9 +109,10 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join(
         pts, iv, "ts", "iv_start", "iv_end", bin_seconds=IV_BIN_SECONDS, how="right"
     )
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return joined.groupBy("iv_id").agg(
         F.count("event_id").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(micros) / 1_000_000.0, 4).alias("total_value"),
     )
 
 
@@ -304,7 +315,8 @@ ORACLES = {
             FROM events WHERE user_id < {IV_USERS} GROUP BY user_id)
         SELECT iv_id,
                count(ev.event_id) AS n_events,
-               round(sum(ev.value), 4) AS total_value
+               round(sum(CAST(round(ev.value * 1000000, 0) AS BIGINT)) / 1000000.0, 4)
+                   AS total_value
         FROM iv LEFT JOIN events ev
           ON ev.ts >= iv.iv_start AND ev.ts < iv.iv_end
         GROUP BY iv_id
@@ -333,7 +345,8 @@ ORACLES = {
                          OR gap_us > {SESSION_GAP_MINUTES} * 60 * 1000000
                         ) AS n_sessions,
                count(*) AS n_events,
-               round(sum(value), 4) AS total_value
+               round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 4)
+                   AS total_value
         FROM g GROUP BY user_id
     """,
     "q_user_event_pivot": """
