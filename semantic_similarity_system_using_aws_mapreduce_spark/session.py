@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # NOT set: spark.sql.parquet.aggregatePushdown — it only applies
+        # to the DSv2 parquet reader (v1 is the default path here), so
+        # it would be a dead config implying a benefit that never fires.
+        # Runtime bloom-filter join filters and dynamic partition
+        # pruning are on by default in Spark 4 (verified).
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     for key, value in (extra_conf or {}).items():
