@@ -98,6 +98,69 @@ def sample_per_group(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    seq_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-budget sequence packing: concatenate each stratum's token
+    stream in ``order_col`` order and cut it every ``seq_tokens``
+    tokens, SPLITTING documents across cut points — the layout a
+    training job actually feeds the model (contrast
+    :func:`token_shards`, which assigns whole documents greedily and
+    lets shards overhang).
+
+    Output: one row per (document x overlapped sequence):
+    (doc_id, stratum, seq_id, tok_start, tok_end) where
+    [tok_start, tok_end) is the half-open token range of THIS document
+    (0-based) that lands in sequence ``seq_id``.  A document spanning k
+    cut points emits k+1 rows; Σ(tok_end - tok_start) == n_tokens
+    exactly — packing never drops or duplicates a token.
+
+    Plan: per-stratum prefix sum (one shuffle, same as token_shards)
+    then a per-row ``sequence()`` explode over the spanned sequence
+    ids — fan-out is ceil(n_tokens/seq_tokens)+1 per doc, no join, no
+    second shuffle.  At 100 TB: the prefix-sum window is the only
+    ordered stage; everything after is map-side.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        df.select(
+            F.col(order_col).alias("doc_id"),
+            F.col(part_col).alias("stratum"),
+            n_tok.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("off", F.col("cum") - F.col("n_tokens"))  # global start offset
+    )
+    first_seq = F.floor(F.col("off") / seq_tokens).cast("long")
+    last_seq = F.floor((F.col("cum") - 1) / seq_tokens).cast("long")
+    seqs = base.select(
+        "doc_id",
+        "stratum",
+        "off",
+        "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_tokens
+    seq_end = seq_start + seq_tokens
+    return seqs.select(
+        "doc_id",
+        "stratum",
+        "seq_id",
+        F.greatest(seq_start - F.col("off"), F.lit(0).cast("long")).alias("tok_start"),
+        F.least(seq_end - F.col("off"), F.col("n_tokens").cast("long")).alias("tok_end"),
+    )
+
+
 def token_shards(
     df: DataFrame,
     budget_tokens: int,

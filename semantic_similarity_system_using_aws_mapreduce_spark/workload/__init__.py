@@ -112,6 +112,7 @@ _PRIORITY = [
     "q_range_frame",
     "q_sketch_accuracy",
     "q_ann_ivf_recall",
+    "q_sequence_packing",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_repetition_signals",
@@ -145,9 +146,12 @@ _PRIORITY = [
 # q_sketch_accuracy's hash-checked n_orders column;
 # q_acctbal_share's counters-side-channel shape (1-row aggregate +
 # broadcast cross-join, SURVEY S5) is carried by q_token_totals and
-# the pipeline tests).
+# the pipeline tests; q_array_agg's sorted-collect aggregation also
+# rides the pair-vector text/ARFF sink tests, which materialize the
+# same collect-and-order shape with golden output).
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_array_agg",
     "q_acctbal_share",
     "q_distinct_counts",
     "q05_local_supplier",

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_sample, sample_per_group, token_shards
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    hash_sample,
+    sample_per_group,
+    sequence_pack,
+    token_shards,
+)
 
 # Training-mixture rates: downsample dominant English, keep rarer
 # languages at higher rates (per-mille of each stratum).
@@ -48,6 +53,16 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget shard packing per language (prefix sum over
     doc order; one shuffle keyed by lang)."""
     return token_shards(_docs(spark, sf_dir), SHARD_BUDGET, "lang", "doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (operators/sampling.sequence_pack):
+    the per-stratum token stream cut every {SHARD_BUDGET} tokens with
+    documents SPLIT across cut points — one row per (doc x sequence)
+    with the half-open token range that lands in that sequence.  The
+    layout a training job feeds the model; token-conservation
+    (Σ ranges == doc tokens) is part of the oracle check."""
+    return sequence_pack(_docs(spark, sf_dir), SHARD_BUDGET, "lang", "doc_id")
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +189,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_sequence_packing": q_sequence_packing,
     "q_pii_redaction": q_pii_redaction,
     "q_quality_gate": q_quality_gate,
     "q_stratified_sample": q_stratified_sample,
@@ -209,6 +225,24 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_sequence_packing": f"""
+        WITH d AS (SELECT doc_id, lang AS stratum,
+                          len({_TOKS})::BIGINT AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY stratum ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d WHERE n_tokens > 0),
+        spans AS (SELECT doc_id, stratum, n_tokens,
+                         cum - n_tokens AS off,
+                         unnest(range(CAST(floor((cum - n_tokens) * 1.0 / {SHARD_BUDGET}) AS BIGINT),
+                                      CAST(floor((cum - 1) * 1.0 / {SHARD_BUDGET}) AS BIGINT) + 1)) AS seq_id
+                  FROM c)
+        SELECT doc_id, stratum, seq_id,
+               greatest(seq_id * {SHARD_BUDGET} - off, 0) AS tok_start,
+               least((seq_id + 1) * {SHARD_BUDGET} - off, n_tokens) AS tok_end
+        FROM spans
+    """,
     "q_pii_redaction": f"""
         WITH d AS (SELECT doc_id, text, {_KEPT} AS kept FROM documents)
         SELECT doc_id,

