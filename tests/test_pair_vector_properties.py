@@ -8,7 +8,10 @@ Small integer counts make degenerate association values (t-test exactly
 fire.
 """
 
+
 from __future__ import annotations
+
+import os
 
 import math
 
@@ -52,7 +55,7 @@ def gold_lines(draw):
 
 
 @settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -12,7 +12,10 @@ generator (documented in sources/biarcs.py):
     padded count fields don't occur in the corpus format.
 """
 
+
 from __future__ import annotations
+
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -68,7 +71,7 @@ def line(draw):
 
 
 @settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -2,6 +2,8 @@
 range-predicate join on every bin width, and its physical plan must be
 a hash/sort-merge equi-join, not BroadcastNestedLoopJoin."""
 
+import os
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -69,7 +71,7 @@ def test_interval_join_right_keeps_empty_intervals(spark):
 
 
 @settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
