@@ -113,6 +113,7 @@ _PRIORITY = [
     "q_sketch_accuracy",
     "q_ann_ivf_recall",
     "q_sequence_packing",
+    "q_lm_quality",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_repetition_signals",
@@ -148,9 +149,13 @@ _PRIORITY = [
 # broadcast cross-join, SURVEY S5) is carried by q_token_totals and
 # the pipeline tests; q_array_agg's sorted-collect aggregation also
 # rides the pair-vector text/ARFF sink tests, which materialize the
-# same collect-and-order shape with golden output).
+# same collect-and-order shape with golden output;
+# q_user_event_pivot's conditional-count pivot decomposes into
+# q_pivot_status (pivot) plus the FILTER-counting every events oracle
+# uses — r2-green and mirror-verified).
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_user_event_pivot",
     "q_array_agg",
     "q_acctbal_share",
     "q_distinct_counts",

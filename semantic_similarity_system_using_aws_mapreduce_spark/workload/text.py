@@ -216,6 +216,48 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score (the CCNet/C4 signal,
+    self-trained): per-document cross-entropy under the corpus's own
+    character-bigram distribution.  Degenerate/boilerplate/wrong-
+    charset text scores far from the corpus norm; production pipelines
+    use a pretrained KenLM — the relational shape is identical, only
+    the probability table changes.
+
+    Plan: one scan explodes character bigrams (map-side), the bigram
+    frequency table is a groupBy whose partial aggregation collapses
+    to ~|alphabet|^2 keys per partition before the shuffle, and the
+    scoring join broadcasts that tiny table back onto the bigram
+    stream — per-doc aggregation is the only other shuffle.  At 100 TB
+    the probability table is corpus-wide yet kilobytes."""
+    t = F.lower(F.col("text"))
+    bigrams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", t.alias("s"))
+        .filter(F.length("s") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("i"),
+            "s",
+        )
+        .select("doc_id", F.expr("substring(s, i, 2)").alias("bg"))
+    )
+    freq = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    # normalizer as a lazy 1-row broadcast cross-join (the S5 counters
+    # pattern) — no driver action at plan-build time
+    tot = freq.agg(F.sum("c").alias("n"))
+    neg_log_p = -F.log2(F.col("c") / F.col("n"))
+    return (
+        bigrams.join(F.broadcast(freq), "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(neg_log_p), 6).alias("cross_entropy"),
+        )
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: the
     fraction of word bigrams that are repeats and the share taken by
@@ -322,6 +364,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_lm_quality": q_lm_quality,
     "q_doc_chunks": q_doc_chunks,
     "q_repetition_signals": q_repetition_signals,
     "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -361,6 +404,19 @@ _LANG_PICK = "CASE " + " ".join(
 ) + " END"
 
 ORACLES = {
+    "q_lm_quality": """
+        WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
+                   WHERE length(lower(text)) >= 2),
+        b AS (SELECT doc_id, substr(s, CAST(i AS INT), 2) AS bg
+              FROM t, LATERAL unnest(range(1, length(s))) AS r(i)),
+        freq AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+        tot AS (SELECT sum(c) AS n FROM freq)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-log2(c * 1.0 / n)), 6) AS cross_entropy
+        FROM b JOIN freq USING (bg) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "q_doc_chunks": f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         s AS (SELECT doc_id, toks,

