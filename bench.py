@@ -122,6 +122,8 @@ HEADLINE = [
 EXTRA = [
     "q_range_frame",
     "q_sketch_accuracy",
+    "q_sequence_packing",
+    "q_lm_quality",
     "q_doc_chunks",
     "q_pii_redaction",
     "q_decontaminate",
