@@ -224,12 +224,14 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     use a pretrained KenLM — the relational shape is identical, only
     the probability table changes.
 
-    Plan: one scan explodes character bigrams (map-side), the bigram
-    frequency table is a groupBy whose partial aggregation collapses
-    to ~|alphabet|^2 keys per partition before the shuffle, and the
-    scoring join broadcasts that tiny table back onto the bigram
-    stream — per-doc aggregation is the only other shuffle.  At 100 TB
-    the probability table is corpus-wide yet kilobytes."""
+    Plan: two corpus scans, each exploding character bigrams map-side —
+    one feeds the frequency table (partial aggregation collapses to
+    ~|alphabet|^2 keys per partition before its shuffle), one feeds
+    scoring (broadcast join against that kilobyte table + per-doc
+    aggregation).  Deliberately NOT persisted between the passes: the
+    exploded bigram relation is ~2 bytes-per-char x corpus — far larger
+    than the compressed parquet it derives from, so recomputing the
+    explode is cheaper than materializing it at 100 TB."""
     t = F.lower(F.col("text"))
     bigrams = (
         _docs(spark, sf_dir)
