@@ -106,56 +106,16 @@ LOCAL_ONLY = [
     "q_doc_fingerprint",
 ]
 
-# Queries the driver has not hash-verified yet (new this round, or
-# skipped last round) go first so an order-sensitive cap can't starve
-# them again.
+# Queries the driver has not hash-verified recently go first so an
+# order-sensitive cap can't starve them again.  ROTATION (round 4):
+# the 9 entries the 50-row cap evicted in round 3 (recorded verbatim
+# in VERDICT.md r3 "What's missing" #1) move to the front, together
+# with the 2 rows that were hash-red in CORRECTNESS_r03 (q_range_frame,
+# q_sequence_packing — oracle HUGEINT typing, fixed this round) so the
+# fix is driver-witnessed.  Every exported query thereby holds a
+# driver-green row within two consecutive rounds.
 _PRIORITY = [
-    "q_range_frame",
-    "q_sketch_accuracy",
-    "q_ann_ivf_recall",
-    "q_sequence_packing",
-    "q_lm_quality",
-    "q_doc_chunks",
-    "q_pii_redaction",
-    "q_repetition_signals",
-    "q_tfidf_top_terms",
-    "q_embedding_quantization",
-    "q_simhash_near_dups",
-    "q_json_props",
-    "q_decontaminate",
-    "q_interval_join",
-    "q_quality_gate",
-    "q_ann_lsh_topk",
-    "q_stratified_sample",
-    "q_sample_per_group",
-    "q_token_shards",
-    "q_curation_funnel",
-]
-
-# Exported last: if the driver's 50-row cap is real these five are the
-# ones that fall off, and each was green in a prior round AND is
-# coverage-subsumed by queries that stay (q_full_outer_align's
-# zero-filled J4 alignment is a subplan of q_source_similarity;
-# q_having_big_customers' HAVING is sugar for the
-# agg->filter-on-aggregate shape that q_curation_funnel's quality gate
-# and q_dedup_clusters' cluster-size filter also carry;
-# q_date_buckets' date_trunc bucketing is a subplan of
-# q_hourly_event_stats; q_string_funcs' scalar string expressions
-# recur across the fingerprint/dedup/pii queries;
-# q05_local_supplier's multiway-equi-join+agg shape is evidenced by
-# q_part_brand_revenue and q03_shipping_priority, both green in r2;
-# q_distinct_counts' exact COUNT(DISTINCT) aggregation is carried by
-# q_sketch_accuracy's hash-checked n_orders column;
-# q_acctbal_share's counters-side-channel shape (1-row aggregate +
-# broadcast cross-join, SURVEY S5) is carried by q_token_totals and
-# the pipeline tests; q_array_agg's sorted-collect aggregation also
-# rides the pair-vector text/ARFF sink tests, which materialize the
-# same collect-and-order shape with golden output;
-# q_user_event_pivot's conditional-count pivot decomposes into
-# q_pivot_status (pivot) plus the FILTER-counting every events oracle
-# uses — r2-green and mirror-verified).
-# All remain verified by the local mirror test either way.
-_LAST = [
+    # evicted by the cap in r3 — rotate back in front:
     "q_user_event_pivot",
     "q_array_agg",
     "q_acctbal_share",
@@ -165,6 +125,47 @@ _LAST = [
     "q_string_funcs",
     "q_full_outer_align",
     "q_having_big_customers",
+    # hash-red in r3 (oracle typing fixed this round) — re-witness:
+    "q_range_frame",
+    "q_sequence_packing",
+]
+
+# Exported last: if the driver's 50-row cap holds these nine fall off
+# this round.  Each was fully green in CORRECTNESS_r03 (so rotation
+# keeps every export driver-green within two consecutive rounds) AND
+# is coverage-subsumed by queries that keep a slot:
+#   q01_pricing_summary   - grouped-agg surface carried by q_cube_qty,
+#                           q_part_brand_revenue, q03_shipping_priority
+#   q_window_functions    - rank/row_number windows; window family's
+#                           r4 slots are q_range_frame (RANGE frame)
+#                           and q_hourly_event_stats
+#   q_token_counts        - A1 sum-by-key is a strict subplan of
+#                           q_token_source_assoc (joins all 3 count
+#                           kinds); totals stay via q_token_totals
+#   q_semi_join           - left-semi shape rides q_decontaminate's
+#                           keep-side probe and q05_local_supplier
+#   q_anti_join           - NOT EXISTS shape is q_decontaminate's
+#                           drop-side semantics, driver-witnessed
+#   q_pivot_status        - pivot surface carried by the rotating-in
+#                           q_user_event_pivot (+ q_unpivot stays)
+#   q_exact_dedup         - md5 groupBy subsumed by q_minhash_signatures
+#                           hashing + q_dedup_clusters grouping
+#   q_label_centroids     - array-aggregate centroid; array aggs via
+#                           rotating-in q_array_agg, embedding math via
+#                           q_cosine_pairs / q_embedding_parity_measures
+#   q_above_nation_avg    - 1-row-agg broadcast compare carried by the
+#                           rotating-in q_acctbal_share and q_token_totals
+# All remain verified by the local mirror test either way.
+_LAST = [
+    "q01_pricing_summary",
+    "q_window_functions",
+    "q_token_counts",
+    "q_semi_join",
+    "q_anti_join",
+    "q_pivot_status",
+    "q_exact_dedup",
+    "q_label_centroids",
+    "q_above_nation_avg",
 ]
 
 _EXPORTED = (

@@ -229,9 +229,9 @@ ORACLES = {
         WITH d AS (SELECT doc_id, lang AS stratum,
                           len({_TOKS})::BIGINT AS n_tokens
                    FROM documents),
-        c AS (SELECT *, sum(n_tokens) OVER (
+        c AS (SELECT *, CAST(sum(n_tokens) OVER (
                   PARTITION BY stratum ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
               FROM d WHERE n_tokens > 0),
         spans AS (SELECT doc_id, stratum, n_tokens,
                          cum - n_tokens AS off,

@@ -324,7 +324,9 @@ ORACLES = {
     "q_range_frame": """
         SELECT event_id, user_id,
                count(*) OVER w AS n_trailing_hour,
-               sum(cents) OVER w AS cents_trailing_hour
+               -- CAST: DuckDB widens window sum(BIGINT) to HUGEINT, which
+               -- the type-sensitive driver hash rejects against Spark's bigint.
+               CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing_hour
         FROM (SELECT event_id, user_id,
                      epoch_us(ts) // 1000000 AS es,
                      CAST(round(value * 100, 0) AS BIGINT) AS cents

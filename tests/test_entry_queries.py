@@ -84,6 +84,27 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_types_never_hugeint(duck, name):
+    """Structural guard for the oracle-typing bug class that cost green
+    driver rows in rounds 1 and 3: DuckDB silently widens SUM over
+    BIGINT/INTEGER (plain, windowed, or via CASE) to HUGEINT, which the
+    driver's type-sensitive value hash rejects against Spark's bigint
+    even when every value is equal.  Sweep every oracle's result type
+    signature (relation types, no execution) and fail on any HUGEINT /
+    INT128 — including inside STRUCT/LIST — so the next uncast sum()
+    fails at commit time instead of in CORRECTNESS_r{N}.json."""
+    types = duck.sql(ORACLES[name]).types
+    offenders = [
+        str(t) for t in types
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits HUGEINT column(s) {offenders}; "
+        "CAST the aggregate to BIGINT (driver hash is type-sensitive)"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
