@@ -232,6 +232,116 @@ def ann_topk_ivf(
     )
 
 
+def _cos(u, v):
+    """Exact double cosine between two array columns, as a Column.
+    zip_with/aggregate iterate the arrays sequentially, so the result is
+    deterministic across partitionings (unlike a shuffled double sum)."""
+    dot = F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (nrm(u) * nrm(v))
+
+
+def cosine_topk_exact_join(
+    df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors as a PURE relational plan (crossJoin +
+    window): (vec_id, neighbor_id, cosine, rank).
+
+    Unlike :func:`cosine_topk_bruteforce` (which collects the matrix to
+    the driver at BUILD time), this is fully lazy — building the
+    DataFrame runs no jobs.  It is still O(N^2): a correctness / audit
+    baseline, not the scale path (that's ann_topk_lsh_portable /
+    ann_topk_ivf_lazy).  Ties break by neighbor_id, so the ranking is
+    deterministic across engines."""
+    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", _cos(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_ivf_lazy(
+    df: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with coarse quantization expressed entirely
+    IN the plan — no MLlib fit, no driver collect, no Python kernel, so
+    building the DataFrame triggers zero Spark jobs (the laziness
+    contract every workload query promises; ann_topk_ivf's KMeans.fit
+    is unavoidably eager, which is fine for the operator API but not
+    for a declared query).
+
+    Centroids are a deterministic hash-sample of the data itself: the
+    ``n_lists`` vectors with the smallest ``md5(vec_id)`` (selected
+    in-plan with orderBy+limit — a 16-row relation Spark broadcasts).
+    For IVF the centroids only need to induce a balanced Voronoi
+    partition; on embedding corpora a random sample is the standard
+    cheap initializer (it is exactly k-means||'s seed step), and
+    skipping Lloyd iterations trades a little recall for a one-pass,
+    fully declarative plan.  Assignment and probe lists come from ONE
+    shared scored relation (vector x centroid broadcast join, window
+    rank): rank 1 is the inverted-list assignment, ranks <= n_probe are
+    the probes.  Candidates = probes equi-joined with inverted lists —
+    the only shuffle; scored pairs ~ N * n_probe * N/n_lists, never
+    N^2.  At 100 TB you would persist/checkpoint the assignment once
+    and reuse it across queries."""
+    cent = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_lists)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "qv", "cid", _cos(F.col("qv"), F.col("cv")).alias("csim")
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= max(n_probe, 1))
+    )
+    probes = ranked.select("vec_id", F.col("cid").alias("list"))
+    inv = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("nv"),
+        F.col("cid").alias("list"),
+    )
+    cand = (
+        probes.join(inv, "list")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "nv")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+    scored = cand.join(vecs, "vec_id").select(
+        "vec_id", "neighbor_id", _cos(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_lsh_portable(
     df: DataFrame,
     k: int = 5,

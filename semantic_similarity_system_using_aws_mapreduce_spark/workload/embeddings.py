@@ -132,48 +132,59 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 10
 IVF_LISTS = 16
 # The fixture embeddings are near-uniform random — IVF's worst case
-# (neighbors spread across cells): measured recall@10 is ~0.56 at
-# n_probe=4 and ~0.79 at n_probe=8 (stable across runs at sf0.001 and
-# sf0.01).  Probe half the lists and gate at 0.65 — enough margin over
-# noise, tight enough that a probe-join regression (e.g. losing a
-# probe list) trips the flag.
+# (neighbors spread across cells): with the in-plan hash-sampled
+# centroids (ann_topk_ivf_lazy) measured recall@10 at n_probe=8 is
+# ~0.73 (sf0.001) / ~0.71 (sf0.01), deterministic given the data.
+# Probe half the lists and gate at 0.65 — enough margin over the
+# centroid draw, tight enough that a probe-join regression (e.g.
+# losing a probe list) trips the flag.
 IVF_PROBE = 8
 IVF_RECALL_MIN = 0.65
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF multi-probe ANN under the correctness gate — the second
-    scale-safe similarity-search path (k-means coarse lists + n_probe
+    scale-safe similarity-search path (coarse lists + n_probe
     equi-join; scored pairs ~ N * n_probe * N/n_lists, never N^2).
 
-    K-means list assignment is seeded but not bit-stable across
-    partitionings, so per-pair results can't be hash-compared the way
-    the SRP-LSH path is; instead this query AUDITS the path: recall of
-    IVF top-k against the exact brute-force top-k (computed in the same
-    plan), reported as one row of deterministic values — query count,
-    k, and a recall >= {IVF_RECALL_MIN} acceptance flag.  The oracle
-    emits the same exact values and literal TRUE."""
-    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import ann_topk_ivf, cosine_topk_bruteforce
+    List assignment depends on centroid choice, so per-pair results
+    can't be hash-compared the way the SRP-LSH path is; instead this
+    query AUDITS the path: recall of IVF top-k against the exact top-k
+    (both computed in the SAME plan), reported as one row of
+    deterministic values — vector count, k, and a recall >=
+    {IVF_RECALL_MIN} acceptance flag.  The oracle emits the same exact
+    values and literal TRUE.
+
+    LAZY by contract, like every declared query: the IVF branch is
+    ann_topk_ivf_lazy (in-plan hash-sampled centroids — no MLlib fit),
+    the truth branch is the declarative crossJoin top-k, and the recall
+    comparison is a column expression over cross-joined 1-row
+    aggregates — building this DataFrame runs no Spark jobs
+    (test_ann.py asserts it via the status tracker)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import (
+        ann_topk_ivf_lazy,
+        cosine_topk_exact_join,
+    )
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    ivf = ann_topk_ivf(e, k=IVF_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE)
-    truth = cosine_topk_bruteforce(e, k=IVF_K)
-    # one action: left-join the truth pairs against IVF's and count
-    # total + matched together (separate hits.count()/truth.count()
-    # actions would run the k-means + brute-force pipeline twice)
+    ivf = ann_topk_ivf_lazy(e, k=IVF_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE)
+    truth = cosine_topk_exact_join(e, k=IVF_K)
     marked = truth.select("vec_id", "neighbor_id").join(
         ivf.select("vec_id", "neighbor_id").withColumn("_hit", F.lit(1)),
         ["vec_id", "neighbor_id"],
         "left",
     )
-    row = marked.agg(
-        F.count("*").alias("n_true"), F.count("_hit").alias("n_hit")
-    ).first()
-    recall = row.n_hit / row.n_true
-    return e.agg(
-        F.count("*").alias("n_vectors"),
-        F.lit(IVF_K).cast("int").alias("k"),
-        F.lit(bool(recall >= IVF_RECALL_MIN)).alias("recall_ok"),
+    stats = marked.agg(F.count("*").alias("n_true"), F.count("_hit").alias("n_hit"))
+    return (
+        e.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(stats)
+        .select(
+            "n_vectors",
+            F.lit(IVF_K).cast("int").alias("k"),
+            (F.col("n_hit") >= F.col("n_true") * F.lit(IVF_RECALL_MIN)).alias(
+                "recall_ok"
+            ),
+        )
     )
 
 
