@@ -230,44 +230,60 @@ def simhash(
     """(doc_id, simhash): tf-weighted sign-sum fingerprint over token
     hashes; near-dup ⇔ small Hamming distance.
 
-    The tf weighting needs no (doc_id, token) pre-aggregation: the
-    sign-sum is linear in occurrences (Σ_t tf(t)·sign_b(h(t)) ==
-    Σ_occurrences sign_b(h(tok))), so each occurrence is hashed once
-    and fans out to its ``n_bits`` (bit, ±1) rows.
+    Simhash is a PER-DOCUMENT computation, so the 100 TB plan is a pure
+    map: one Arrow-batched kernel per partition, ZERO shuffles.  The
+    kernel tokenizes exactly like :func:`tokens` (split on space, drop
+    empties), hashes each distinct token with md5 (first 15 hex chars
+    as int64 — bit-identical to :func:`md5_int` and to the DuckDB
+    oracle expression, and memoized per batch because vocabulary is
+    Zipfian), then computes all ``n_bits`` tf-weighted sign-sums in one
+    numpy matrix op per document.  Integer math end to end, so the
+    fingerprint is deterministic and hash-verifiable cross-engine.
 
-    Plan shape: explode to (doc_id, bit, sign) -> groupBy (doc_id, bit)
-    -> groupBy doc_id packing ``Σ s_b>0 ? 2^b``.  An earlier
-    formulation computed the 60 bit-sums as 60 parallel sum(when(...))
-    aggregate buffers in ONE shuffle — fewer shuffles on paper, but the
-    generated aggregate class blew the JVM's 64 KB method/codegen
-    limits ("plan string too large"), fell back to interpreted
-    evaluation, and ran 4x slower end-to-end with a 10 s one-time
-    compile.  Here every expression is small enough for whole-stage
-    codegen; partial aggregation collapses the explode to ~docs x
-    n_bits rows per map partition before either shuffle, and the
-    second shuffle carries one row per (doc, bit).
-    """
-    occurrences = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .filter(F.size("toks") >= 1)
-        .select("doc_id", F.explode("toks").alias("t"))
-        .select("doc_id", md5_int(F.col("t")).alias("h"))
+    Formulation history (measured at sf0.1, 32 threads): 60 parallel
+    sum(when(...)) aggregate buffers in one shuffle blew the JVM 64 KB
+    codegen limit and fell back to interpreted evaluation (~13 s);
+    explode to (doc_id, bit, sign) + two-level groupBy stayed inside
+    codegen but fanned every token occurrence out 60x (9.0 s, the r3
+    bench regression); this kernel does the same arithmetic in numpy at
+    ~3.5 s cold / ~0.7 s warm — and removes both shuffles, which at
+    100 TB matters more than the constant."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    bits = np.arange(n_bits, dtype=np.int64)
+
+    def gen(batches):
+        cache: dict = {}
+        for pdf in batches:
+            out_ids, out_fp = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tf: dict = {}
+                for t in (text or "").split(" "):
+                    if not t:
+                        continue
+                    h = cache.get(t)
+                    if h is None:
+                        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        cache[t] = h
+                    tf[h] = tf.get(h, 0) + 1
+                if not tf:
+                    continue  # parity: relational form filters size(toks) >= 1
+                hu = np.fromiter(tf.keys(), np.int64, len(tf))
+                w = np.fromiter(tf.values(), np.int64, len(tf))
+                signs = ((hu[:, None] >> bits[None, :]) & 1) * 2 - 1
+                s = (signs * w[:, None]).sum(axis=0)
+                out_fp.append(int(((s > 0).astype(np.int64) << bits).sum()))
+                out_ids.append(doc_id)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(out_ids, "int64"), "simhash": pd.array(out_fp, "int64")}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, schema="doc_id long, simhash long"
     )
-    sign = F.when(
-        F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1).cast("long")
-    ).otherwise(F.lit(-1).cast("long"))
-    per_bit = (
-        occurrences.select(
-            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b")
-        )
-        .select("doc_id", "b", sign.alias("sign"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("sign").alias("s"))
-    )
-    bit_value = F.when(
-        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
-    ).otherwise(F.lit(0).cast("long"))
-    return per_bit.groupBy("doc_id").agg(F.sum(bit_value).alias("simhash"))
 
 
 def simhash_near_dups(
