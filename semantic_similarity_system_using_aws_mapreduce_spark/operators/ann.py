@@ -393,7 +393,13 @@ def ann_topk_lsh_portable(
             # HALF_UP (ties away from zero) — the rounding Spark's
             # round() and DuckDB's round() both use; np.rint would
             # round ties to even and flip buckets near the boundary.
-            xq = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            # Addition-free tie test: floor(|x|+0.5) misrounds doubles
+            # where |x|+0.5 is not representable (0.49999999999999994
+            # + 0.5 == 1.0), which BigDecimal-based HALF_UP does not.
+            ax = np.abs(x)
+            f = np.floor(ax)
+            f += (ax - f) >= 0.5
+            xq = (np.sign(x) * f).astype(np.int64)
             s = _srp_sign_matrix(n_tables, n_planes, xq.shape[1])
             dots = xq @ s.T  # (batch, n_tables*n_planes), exact int64
             bits = (dots >= 0).astype(np.int64).reshape(

@@ -248,14 +248,23 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalizer as a lazy 1-row broadcast cross-join (the S5 counters
     # pattern) — no driver action at plan-build time
     tot = freq.agg(F.sum("c").alias("n"))
-    neg_log_p = -F.log2(F.col("c") / F.col("n"))
+    # Quantize each -log2 p term to int64 micro-bits BEFORE summing:
+    # a double avg() is summation-order dependent across engines and
+    # partitionings, and a group mean landing on the 6-dp rounding
+    # boundary would flip the driver hash at larger scale factors (the
+    # same failure class the events readers fix with micro-quantized
+    # values).  Int64 sums have one correct answer; divide and round
+    # only at the end, identically in the oracle.
+    nlp_micro = F.round(-F.log2(F.col("c") / F.col("n")) * 1000000, 0).cast("long")
     return (
         bigrams.join(F.broadcast(freq), "bg")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(neg_log_p), 6).alias("cross_entropy"),
+            F.round(
+                F.sum(nlp_micro) / F.count("*") / 1000000.0, 6
+            ).alias("cross_entropy"),
         )
     )
 
@@ -415,7 +424,10 @@ ORACLES = {
         tot AS (SELECT sum(c) AS n FROM freq)
         SELECT doc_id,
                count(*) AS n_bigrams,
-               round(avg(-log2(c * 1.0 / n)), 6) AS cross_entropy
+               -- int64 micro-bit quantization before the sum, mirroring
+               -- the Spark side: order-independent, engine-independent
+               round(CAST(sum(CAST(round(-log2(c * 1.0 / n) * 1000000, 0) AS BIGINT))
+                          AS BIGINT) * 1.0 / count(*) / 1000000.0, 6) AS cross_entropy
         FROM b JOIN freq USING (bg) CROSS JOIN tot
         GROUP BY doc_id
     """,
