@@ -149,6 +149,32 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    if "--dry" in sys.argv:
+        # Smoke mode (tests/test_sinks_and_runner.py runs this in CI):
+        # build and analyze every benched query's plan without executing
+        # it — catches the BENCH_r02 failure class (an AnalysisException
+        # at plan time zeroing out the whole round) before the driver
+        # runs the real bench.  Plan build must also run no Spark jobs
+        # beyond parquet schema inference (laziness contract).
+        errors: dict[str, str] = {}
+        for name in HEADLINE + EXTRA:
+            try:
+                QUERIES[name](spark, sf_dir).schema
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        out = {
+            "metric": "dry plan-analysis",
+            "value": 0.0,
+            "unit": "sec",
+            "dry": True,
+            "analyzed": len(HEADLINE) + len(EXTRA) - len(errors),
+            "sf": float(sf),
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
+        sys.exit(1 if errors else 0)
+
     # Warm the JVM/session (codegen, parquet footer caches) and the
     # Python/Arrow worker pool outside the measured region — the first
     # mapInPandas in a session otherwise pays ~2-7 s of interpreter

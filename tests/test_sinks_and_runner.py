@@ -2,6 +2,7 @@
 
 import glob
 import json
+import os
 import subprocess
 import sys
 
@@ -141,3 +142,21 @@ def test_pipeline_resume_skips_completed_stages(spark, tmp_path):
     )
     assert fresh.vectors.count() < 331  # non-resume recomputes
     fresh.counts.pair_counts.unpersist()
+
+
+def test_bench_dry_run(tmp_path):
+    """bench.py --dry analyzes every benched query's plan (no
+    execution) and exits 0 — catches the BENCH_r02 failure class (one
+    AnalysisException zeroing the round's bench) before the driver
+    runs the real thing."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--dry"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["dry"] is True
+    assert out.get("errors") is None
+    assert out["analyzed"] == 28  # 15 headline + 13 extra (r4)
