@@ -1,0 +1,132 @@
+"""Physical-plan shape regression tests: the properties that make the
+workload scale to 100 TB are plan properties, not output properties —
+a refactor can keep every oracle green while silently introducing a
+shuffle, losing a broadcast, or de-vectorizing a kernel.  Lock them.
+
+Each assertion here encodes a design decision documented in the
+operator docstrings:
+
+  * per-document ops (simhash, chunking, PII redaction, hash
+    sampling) are MAPS — zero exchanges of any kind;
+  * small-side joins (frequency tables, thresholds, eval shingle
+    sets, centroid tables) are broadcast, never sort-merge;
+  * bucketed ANN joins are equi-joins — never a cartesian /
+    broadcast-nested-loop explosion;
+  * parquet scans prune columns (a 2-column projection must not read
+    the full 5-column documents schema).
+
+Plan text comes from EXPLAIN FORMATTED; with AQE on, Spark prints the
+initial plan, which is exactly what we want to pin (AQE can only
+improve it at runtime, e.g. demoting a sort-merge to broadcast)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    # Shuffle exchanges print as "Exchange hashpartitioning(...)" /
+    # "Exchange rangepartitioning(...)"; broadcast exchanges print as
+    # "BroadcastExchange" and are NOT counted here.
+    return plan.count("hashpartitioning") + plan.count("rangepartitioning")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_simhash",          # Arrow kernel: fingerprint is per-document
+        "q_doc_chunks",       # sequence+posexplode+slice per doc
+        "q_pii_redaction",    # regexp chain per doc
+        "q_stratified_sample",  # md5-bucket filter per doc
+        "q_lang_id",          # per-doc n-gram scoring
+        "q_rolling_fingerprint",  # per-doc rolling hash
+        "q_regex_token_stats",  # per-doc token counting
+        "q_doc_quality",      # per-doc stats
+        "q_embedding_quantization",  # per-vector int8 quantization
+    ],
+)
+def test_per_document_ops_have_zero_exchanges(spark, name):
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES[name](spark, SF_DIR))
+    assert n_shuffles(plan) == 0, f"{name} gained a shuffle:\n{plan}"
+    assert "BroadcastExchange" not in plan, f"{name} gained a broadcast:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_lm_quality",       # kilobyte frequency table
+        "q_quality_gate",     # per-language thresholds
+        "q_decontaminate",    # eval shingle set
+        "q_tfidf_top_terms",  # document-frequency table
+        "q_acctbal_share",    # S5 counters pattern: 1-row agg side
+    ],
+)
+def test_small_side_joins_are_broadcast(spark, name):
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES[name](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, (
+        f"{name} joins its broadcast-sized side with a sort-merge:\n{plan}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_ann_lsh_topk",
+        "q_minhash_lsh_candidates",
+        "q_simhash_near_dups",
+        "q_interval_join",  # bin-bucketed range join
+    ],
+)
+def test_bucketed_pairwise_stages_never_go_cartesian(spark, name):
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_projection_prunes_parquet_columns(spark):
+    """A 2-column query over the 5-column documents table must push the
+    projection into the scan (ReadSchema lists only what's needed)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_exact_dedup"](spark, SF_DIR))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        assert "n_chars" not in line and "source" not in line, (
+            f"documents scan reads pruned columns:\n{line}"
+        )
+
+
+def test_filter_pushed_to_scan(spark):
+    """A selective filter on a scanned column must reach the parquet
+    reader as PushedFilters, not run post-scan only."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("lang" in l for l in pushed), plan
