@@ -24,6 +24,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spa
 from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES as QUERIES
 
 PIPELINE_LINES = 200_000
+RUNS_PER_QUERY = 2
 
 
 def _synth_corpus(tmp_dir: str, n_lines: int = PIPELINE_LINES, seed: int = 13):
@@ -179,7 +180,8 @@ def main() -> None:
     # Python/Arrow worker pool outside the measured region — the first
     # mapInPandas in a session otherwise pays ~2-7 s of interpreter
     # spawn + Arrow init on whichever query happens to run it first.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
@@ -190,17 +192,28 @@ def main() -> None:
     for name, dest in [(n, timings) for n in HEADLINE] + [
         (n, extra_queries) for n in EXTRA
     ]:
-        t0 = time.perf_counter()
-        # One broken query must not zero out the whole round's bench
-        # (BENCH_r02 lost every number to a single AnalysisException).
-        try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        dest[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {dest[name]:.3f}s", file=sys.stderr)
+        # min of RUNS_PER_QUERY: single-run query wall-clocks vary up to
+        # 5x on a noisy shared box (measured: q_ann_lsh_topk 2.9/16.0 s
+        # back to back) — the same treatment the pipeline configs below
+        # already get.  The min is the comparable number; runs_per_query
+        # is recorded in the output so rounds remain interpretable.
+        runs: list[float] = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            # One broken query must not zero out the whole round's bench
+            # (BENCH_r02 lost every number to a single AnalysisException).
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if runs:
+            dest[name] = min(runs)
+            print(f"  {name}: {dest[name]:.3f}s {runs}", file=sys.stderr)
 
     # Unreported warmup at 20k lines in both modes: the first pipeline
     # execution pays one-time whole-stage-codegen compilation (~20 s)
@@ -239,6 +252,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra_queries,
         "pipeline": extra,
+        "runs_per_query": RUNS_PER_QUERY,
         "sf": float(sf),
     }
     if errors:
