@@ -134,6 +134,7 @@ EXTRA = [
     "q_tfidf_top_terms",
     "q_embedding_quantization",
     "q_simhash_near_dups",
+    "q_semantic_dedup",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

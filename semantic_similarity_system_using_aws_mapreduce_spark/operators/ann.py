@@ -342,6 +342,144 @@ def ann_topk_ivf_lazy(
     )
 
 
+def srp_signatures_portable(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, t, bucket): deterministic, cross-engine-reproducible
+    sign-random-projection buckets — the hash family shared by
+    :func:`ann_topk_lsh_portable` (similarity search) and
+    :func:`semantic_dedup` (embedding near-dup dedup).
+
+    Hyperplanes are ±1 vectors from md5('srp:t:j:i') parity and dot
+    products run over fixed-point-quantized int64 components, so bucket
+    assignment is exact integer math a SQL oracle reproduces
+    byte-for-byte (see ann_topk_lsh_portable's docstring for why).
+    Entirely map-side: one Arrow-batched int64 matmul per batch."""
+
+    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * quant
+            # HALF_UP (ties away from zero) — the rounding Spark's
+            # round() and DuckDB's round() both use; np.rint would
+            # round ties to even and flip buckets near the boundary.
+            # Addition-free tie test: floor(|x|+0.5) misrounds doubles
+            # where |x|+0.5 is not representable (0.49999999999999994
+            # + 0.5 == 1.0), which BigDecimal-based HALF_UP does not.
+            ax = np.abs(x)
+            f = np.floor(ax)
+            f += (ax - f) >= 0.5
+            xq = (np.sign(x) * f).astype(np.int64)
+            s = _srp_sign_matrix(n_tables, n_planes, xq.shape[1])
+            dots = xq @ s.T  # (batch, n_tables*n_planes), exact int64
+            bits = (dots >= 0).astype(np.int64).reshape(
+                len(xq), n_tables, n_planes
+            )
+            buckets = (bits * weights).sum(axis=2)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        sig_gen, schema="vec_id long, t long, bucket long"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (SemDeDup-style): every
+    vector mapped to the representative of its semantic-duplicate
+    cluster — (vec_id, rep_id, is_kept), one row per input vector,
+    is_kept = (vec_id == rep_id = min id in the cluster).
+
+    Plan: SRP buckets (map-side, srp_signatures_portable) -> bucket
+    self equi-join for candidate pairs (never all-pairs) -> exact
+    double cosine, kept when round(cos, 6) >= tau -> connected
+    components over the kept-pair graph (operators/graph.py pointer
+    doubling) -> left join back so singletons keep themselves.
+
+    Recall tuning: fewer planes per table widens buckets (higher
+    recall at a given cosine, more scored pairs); more tables adds
+    independent chances.  Defaults (4 planes x 8 tables) give ~75%
+    pair recall at cos 0.4; production near-dup thresholds (tau ~0.9)
+    reach ~99% recall with the same config because p(bit agree) =
+    1 - angle/pi grows with cosine.  At 100 TB every stage is a scan
+    or an equi-join on (t, bucket) / pair keys; the component loop is
+    O(log n) rounds over edges only (cliques converge in 2-3)."""
+    sigs = srp_signatures_portable(df, n_planes, n_tables, quant, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qa = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("qv"), nrm.alias("na"))
+    qb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("nv"), nrm.alias("nb"))
+    pair_dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup_pairs = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(pair_dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+
+    comp = connected_components(dup_pairs, src="vec_a", dst="vec_b")
+    out = (
+        df.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("rep_id"))
+    )
+    sigs.unpersist()
+    return out
+
+
 def ann_topk_lsh_portable(
     df: DataFrame,
     k: int = 5,
@@ -384,40 +522,7 @@ def ann_topk_lsh_portable(
     driver collect, no broadcast of the data matrix.
     """
 
-    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * quant
-            # HALF_UP (ties away from zero) — the rounding Spark's
-            # round() and DuckDB's round() both use; np.rint would
-            # round ties to even and flip buckets near the boundary.
-            # Addition-free tie test: floor(|x|+0.5) misrounds doubles
-            # where |x|+0.5 is not representable (0.49999999999999994
-            # + 0.5 == 1.0), which BigDecimal-based HALF_UP does not.
-            ax = np.abs(x)
-            f = np.floor(ax)
-            f += (ax - f) >= 0.5
-            xq = (np.sign(x) * f).astype(np.int64)
-            s = _srp_sign_matrix(n_tables, n_planes, xq.shape[1])
-            dots = xq @ s.T  # (batch, n_tables*n_planes), exact int64
-            bits = (dots >= 0).astype(np.int64).reshape(
-                len(xq), n_tables, n_planes
-            )
-            buckets = (bits * weights).sum(axis=2)
-            ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, n_tables),
-                    "t": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
-                    "bucket": buckets.ravel(),
-                }
-            )
-
-    sigs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
-        sig_gen, schema="vec_id long, t long, bucket long"
-    )
+    sigs = srp_signatures_portable(df, n_planes, n_tables, quant, id_col, vec_col)
     # Both sides of the self-join derive sigs; persist so the (pure
     # map-side, but 32-lambda) signature scan runs once.  Blocks are
     # dropped by the ContextCleaner once the result is gc'd.

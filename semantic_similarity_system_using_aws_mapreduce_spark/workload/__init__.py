@@ -128,6 +128,8 @@ _PRIORITY = [
     # hash-red in r3 (oracle typing fixed this round) — re-witness:
     "q_range_frame",
     "q_sequence_packing",
+    # new in round 4 — never driver-verified:
+    "q_semantic_dedup",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -155,8 +157,14 @@ _PRIORITY = [
 #                           q_cosine_pairs / q_embedding_parity_measures
 #   q_above_nation_avg    - 1-row-agg broadcast compare carried by the
 #                           rotating-in q_acctbal_share and q_token_totals
+#   q_minhash_signatures  - the identical signature relation is the
+#                           first CTE of q_minhash_lsh_candidates' and
+#                           q_dedup_clusters' oracles (both keep slots);
+#                           sacrificed for the rotating-in
+#                           q_semantic_dedup (green in r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_minhash_signatures",
     "q01_pricing_summary",
     "q_window_functions",
     "q_token_counts",

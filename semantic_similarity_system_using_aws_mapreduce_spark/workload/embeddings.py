@@ -28,6 +28,16 @@ ANN_N_TABLES = 4
 ANN_QUANT = 1000
 ANN_DIM = 64  # fixture embedding dim (Spark side derives it; oracle fixes it)
 
+# Semantic dedup: wider buckets (fewer planes, more tables) than the
+# ANN config — dedup wants pair RECALL at the threshold, not small
+# candidate sets.  4 planes x 8 tables gives ~75% pair recall at the
+# fixture's cos 0.4 regime; at production near-dup thresholds
+# (tau ~0.9) the same config reaches ~99% because p(bit agree) =
+# 1 - angle/pi grows with cosine.
+SEM_TAU = 0.4
+SEM_N_PLANES = 4
+SEM_N_TABLES = 8
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -188,6 +198,26 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (SemDeDup-style) under the
+    hash gate: SRP buckets -> within-bucket exact cosine >= {SEM_TAU}
+    pairs -> connected components -> one (vec_id, rep_id, is_kept) row
+    per vector, singletons keeping themselves.  The third dedup family
+    (exact hash, lexical minhash/simhash, now semantic) — see
+    operators/ann.py semantic_dedup for the 100 TB shape.  Iterative
+    like q_dedup_clusters: the component loop is the engine's
+    sanctioned driver-control-flow surface."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        tau=SEM_TAU,
+        n_planes=SEM_N_PLANES,
+        n_tables=SEM_N_TABLES,
+        quant=ANN_QUANT,
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm: positional explode -> per-(label, dim)
     mean -> norm.  The explode+groupBy plan is how array aggregation
@@ -263,6 +293,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_semantic_dedup": q_semantic_dedup,
     "q_ann_ivf_recall": q_ann_ivf_recall,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_embedding_quantization": q_embedding_quantization,
@@ -281,6 +312,51 @@ _UNNEST = """
 """
 
 ORACLES = {
+    # Same md5-derived SRP bucket math as q_ann_lsh_topk's oracle (the
+    # shared hash family), then pairs >= tau and a recursive-CTE
+    # transitive closure mirroring the Spark component loop.
+    "q_semantic_dedup": f"""
+        WITH RECURSIVE u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                          unnest(range(len(embedding))) AS i
+                   FROM embeddings),
+        planes AS (
+            SELECT t, j, i,
+                   CASE WHEN ('0x' || substr(md5('srp:' || t || ':' || j || ':' || i), 1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM range({SEM_N_TABLES}) t(t), range({SEM_N_PLANES}) j(j), range({ANN_DIM}) i(i)),
+        q AS (SELECT vec_id, i, CAST(round(x * {ANN_QUANT}, 0) AS BIGINT) AS xq FROM u),
+        dots AS (SELECT vec_id, t, j, sum(xq * sign) AS dot
+                 FROM q JOIN planes USING (i) GROUP BY 1, 2, 3),
+        buckets AS (SELECT vec_id, t,
+                           sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS bucket
+                    FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM buckets a JOIN buckets b
+                   ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        pdots AS (SELECT c.vec_a, c.vec_b, sum(a.x * b.x) AS dot
+                  FROM cand c
+                  JOIN u a ON a.vec_id = c.vec_a
+                  JOIN u b ON b.vec_id = c.vec_b AND b.i = a.i
+                  GROUP BY 1, 2),
+        dup AS (SELECT p.vec_a, p.vec_b
+                FROM pdots p
+                JOIN norms na ON na.vec_id = p.vec_a
+                JOIN norms nb ON nb.vec_id = p.vec_b
+                WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= {SEM_TAU}),
+        edges AS (SELECT vec_a AS a, vec_b AS b FROM dup
+                  UNION SELECT vec_b, vec_a FROM dup),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a)
+        SELECT e.vec_id,
+               coalesce(c.cluster_id, e.vec_id) AS rep_id,
+               coalesce(c.cluster_id, e.vec_id) = e.vec_id AS is_kept
+        FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """,
     # Deterministic audit row; recall_ok is computed Spark-side against
     # the in-plan brute-force ground truth (see q_ann_ivf_recall).
     "q_ann_ivf_recall": f"""
