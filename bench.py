@@ -135,6 +135,7 @@ EXTRA = [
     "q_embedding_quantization",
     "q_simhash_near_dups",
     "q_semantic_dedup",
+    "q_duplicate_spans",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -188,6 +188,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated token SPANS — the substring-level
+    dedup signal (the public ExactSubstr idea: duplicated passages are
+    removed from documents rather than dropping whole near-dup docs;
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better").  A suffix array over 100 TB doesn't distribute; hashing
+    every ``window``-token sliding window and grouping by hash finds
+    the same >= window-token repeated passages as an equi-join-only
+    plan (maximal longer repeats appear as runs of consecutive
+    duplicated windows).
+
+    Returns (doc_id, pos, span_hash, n_docs): one row per window
+    occurrence whose hash appears in >= ``min_docs`` DISTINCT documents
+    — exactly the spans a remove-duplicated-substring pass would cut.
+
+    Plan shape: token windows are map-side (sequence -> slice ->
+    array_join -> posexplode, the q_doc_chunks subplan, zero
+    exchanges); then ONE groupBy(span_hash) for document frequencies
+    and one join back.  The >= min_docs filter runs before the join,
+    so the frequency side carries only duplicated hashes (a tiny
+    fraction of the corpus).  Boilerplate spans shared by millions of
+    documents skew the join key; AQE skew-split covers it, and a
+    ``max_doc_freq``-style cutoff (as in :func:`ngram_jaccard_pairs`)
+    applies unchanged if a pathological span dominates."""
+    step = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= window)
+    spans = step.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - window),
+                lambda i: F.array_join(F.slice("toks", i + 1, window), " "),
+            )
+        ).alias("pos", "span"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        md5_int(F.col("span")).alias("span_hash"),
+    )
+    counts = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(counts, "span_hash").select(
+        "doc_id", "pos", "span_hash", "n_docs"
+    )
+
+
 def ngram_contamination(
     corpus_hashes: DataFrame,
     benchmark_hashes: DataFrame,

@@ -130,6 +130,7 @@ _PRIORITY = [
     "q_sequence_packing",
     # new in round 4 — never driver-verified:
     "q_semantic_dedup",
+    "q_duplicate_spans",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -162,8 +163,14 @@ _PRIORITY = [
 #                           q_dedup_clusters' oracles (both keep slots);
 #                           sacrificed for the rotating-in
 #                           q_semantic_dedup (green in r3)
+#   q_doc_chunks          - its sequence+posexplode+slice chunking
+#                           shape is the identical span-window subplan
+#                           of the rotating-in q_duplicate_spans;
+#                           fixed-budget splitting stays witnessed via
+#                           q_sequence_packing (green in r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_doc_chunks",
     "q_minhash_signatures",
     "q01_pricing_summary",
     "q_window_functions",

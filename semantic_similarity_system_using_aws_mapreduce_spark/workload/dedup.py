@@ -27,6 +27,7 @@ JACCARD_THRESHOLD = 0.8
 BENCH_PERMILLE = 20  # 2% of docs play the benchmark/eval set
 CONTAM_MIN_OVERLAP = 5  # shared distinct 3-grams to flag a doc
 SIMHASH_HAMMING = 3  # near-dup bit budget; < n_bands(4) for full recall
+SPAN_W = 8  # duplicate-span window (tokens); spans >= W surface as runs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +76,17 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_docs(spark, sf_dir), threshold=SIMHASH_HAMMING)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal: every {SPAN_W}-token sliding
+    window whose hash recurs in >= 2 distinct documents, with its
+    position — the spans a remove-duplicated-passage pass would cut
+    (ExactSubstr re-expressed as an equi-join-only plan; see
+    operators/dedup.duplicate_spans for the 100 TB shape)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), window=SPAN_W)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a deterministic 2% of documents play
     the eval set; every remaining corpus doc is scored by how many of
@@ -105,6 +117,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_duplicate_spans": q_duplicate_spans,
     "q_decontaminate": q_decontaminate,
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
@@ -136,6 +149,19 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    "q_duplicate_spans": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s0 AS (SELECT doc_id, unnest(range(0, len(toks) - {SPAN_W} + 1)) AS pos, toks
+               FROM d WHERE len(toks) >= {SPAN_W}),
+        hashed AS (SELECT doc_id, pos,
+                          {_MD5INT.format(x=f"array_to_string(toks[pos+1 : pos+{SPAN_W}], ' ')")} AS span_hash
+                   FROM s0),
+        counts AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+                   FROM hashed GROUP BY span_hash)
+        SELECT doc_id, pos, span_hash, n_docs
+        FROM hashed JOIN counts USING (span_hash)
+        WHERE n_docs >= 2
+    """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {_SIGS_CTE},
         buckets AS (

@@ -122,3 +122,29 @@ def test_simhash_near_dups_matches_bruteforce_hamming(spark):
                 want[(a, b)] = h
     assert len(want) > 0
     assert got == want
+
+
+def test_duplicate_spans_semantics(spark):
+    """Hand-checkable window dedup: two docs sharing a 4-token run
+    produce exactly the shared windows at the right positions; a doc
+    repeating a span internally does NOT count as cross-document
+    (n_docs counts distinct docs); short docs are dropped."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # windows: "a b c d"@0, "b c d e"@1
+            (2, "x a b c d e"),        # shares both, shifted by one
+            (3, "p q r p q r p q"),    # internal repetition only
+            (4, "too short"),          # < window tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.pos): r.n_docs
+        for r in duplicate_spans(docs, window=4).collect()
+    }
+    assert got == {
+        (1, 0): 2, (1, 1): 2,   # "a b c d", "b c d e" in docs 1+2
+        (2, 1): 2, (2, 2): 2,
+    }
