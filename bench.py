@@ -136,6 +136,7 @@ EXTRA = [
     "q_simhash_near_dups",
     "q_semantic_dedup",
     "q_duplicate_spans",
+    "q_training_order",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

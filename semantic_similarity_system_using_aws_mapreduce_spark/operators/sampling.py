@@ -98,6 +98,56 @@ def sample_per_group(
     )
 
 
+def global_shuffle_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "epoch:0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training order: (key, position) where
+    position is the rank of ``md5(salt:key)`` (ties by key) — the
+    shuffle-before-packing step of a training run, reproducible across
+    retries/engines/cluster sizes, re-shuffled per epoch by changing
+    ``salt``.
+
+    A naive ``row_number() OVER (ORDER BY h)`` collapses the corpus
+    onto ONE task; ``zipWithIndex`` leaves the declarative plan.  This
+    is the distributed two-pass enumeration instead: the top bits of
+    the (uniform) hash range-bucket the rows — so bucket order IS hash
+    order and buckets are balanced by construction — then per-bucket
+    counts roll into cumulative offsets (a ``n_buckets``-row relation;
+    its single-partition window is free), broadcast back, and
+    position = offset + rank-within-bucket.  Data-sized stages: one
+    groupBy and one per-bucket window sort — exactly the cost of the
+    global sort the order semantically is."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - (n_buckets.bit_length() - 1)  # md5_int is uniform in [0, 2^60)
+    h = md5_int(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    base = df.select(F.col(key_col), h.alias("_h")).withColumn(
+        "_bucket", F.shiftright(F.col("_h"), shift)
+    )
+    woff = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        .select("_bucket", "_offset")
+    )
+    wrank = Window.partitionBy("_bucket").orderBy("_h", key_col)
+    return (
+        base.withColumn("_rank", F.row_number().over(wrank))
+        .join(F.broadcast(offsets), "_bucket")
+        .select(
+            key_col,
+            (F.col("_offset") + F.col("_rank") - 1).cast("long").alias("position"),
+        )
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     seq_tokens: int,

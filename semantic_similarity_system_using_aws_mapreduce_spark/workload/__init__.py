@@ -131,6 +131,7 @@ _PRIORITY = [
     # new in round 4 — never driver-verified:
     "q_semantic_dedup",
     "q_duplicate_spans",
+    "q_training_order",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -168,8 +169,15 @@ _PRIORITY = [
 #                           of the rotating-in q_duplicate_spans;
 #                           fixed-budget splitting stays witnessed via
 #                           q_sequence_packing (green in r3)
+#   q_token_totals        - 1-row global-agg broadcast shape carried by
+#                           the rotating-in q_acctbal_share; the L/F
+#                           totals semantics stay witnessed inside
+#                           q_token_source_assoc's marginal joins
+#                           (sacrificed for the rotating-in
+#                           q_training_order; green in r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_token_totals",
     "q_doc_chunks",
     "q_minhash_signatures",
     "q01_pricing_summary",

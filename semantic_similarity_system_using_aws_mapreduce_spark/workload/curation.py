@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    global_shuffle_order,
     hash_sample,
     sample_per_group,
     sequence_pack,
@@ -63,6 +64,16 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout a training job feeds the model; token-conservation
     (Σ ranges == doc tokens) is part of the oracle check."""
     return sequence_pack(_docs(spark, sf_dir), SHARD_BUDGET, "lang", "doc_id")
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document's global training
+    position = rank of md5('epoch:0:'||doc_id) — reproducible across
+    retries/engines/cluster sizes, re-drawn per epoch via the salt.
+    Distributed two-pass enumeration (hash-prefix range buckets +
+    offset rollup), never a one-task global window — see
+    operators/sampling.global_shuffle_order."""
+    return global_shuffle_order(_docs(spark, sf_dir), "doc_id", salt="epoch:0")
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,6 +200,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_training_order": q_training_order,
     "q_sequence_packing": q_sequence_packing,
     "q_pii_redaction": q_pii_redaction,
     "q_quality_gate": q_quality_gate,
@@ -225,6 +237,14 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_training_order": f"""
+        WITH h AS (SELECT doc_id,
+                          {_MD5INT.format(x="'epoch:0:' || doc_id")} AS h
+                   FROM documents)
+        SELECT doc_id,
+               (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS position
+        FROM h
+    """,
     "q_sequence_packing": f"""
         WITH d AS (SELECT doc_id, lang AS stratum,
                           len({_TOKS})::BIGINT AS n_tokens

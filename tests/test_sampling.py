@@ -157,3 +157,41 @@ def test_sequence_pack_conserves_tokens_and_fills_sequences(docs):
     for _, g in multi.groupby("doc_id"):
         ids = sorted(g.seq_id)
         assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_global_shuffle_order_is_the_hash_rank_permutation(spark):
+    """The distributed two-pass enumeration must equal the naive
+    one-task global rank exactly, positions must be a permutation of
+    0..n-1, and a different epoch salt must produce a different
+    permutation (while both stay deterministic)."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import global_shuffle_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r.position for r in global_shuffle_order(docs, "doc_id").collect()}
+    n = docs.count()
+    assert sorted(got.values()) == list(range(n))
+
+    h = md5_int(F.concat_ws(":", F.lit("epoch:0"), F.col("doc_id")))
+    naive = {
+        r.doc_id: r.p
+        for r in docs.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy(h, "doc_id")) - 1).alias("p"),
+        ).collect()
+    }
+    assert got == naive
+
+    epoch1 = {
+        r.doc_id: r.position
+        for r in global_shuffle_order(docs, "doc_id", salt="epoch:1").collect()
+    }
+    assert sorted(epoch1.values()) == list(range(n))
+    assert epoch1 != got
+
+    with _pytest.raises(ValueError):
+        global_shuffle_order(docs, "doc_id", n_buckets=48)
