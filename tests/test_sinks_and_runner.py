@@ -159,4 +159,6 @@ def test_bench_dry_run(tmp_path):
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["dry"] is True
     assert out.get("errors") is None
-    assert out["analyzed"] == 28  # 15 headline + 13 extra (r4)
+    import bench
+
+    assert out["analyzed"] == len(bench.HEADLINE) + len(bench.EXTRA)
