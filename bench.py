@@ -200,6 +200,15 @@ def main() -> None:
         # back to back) — the same treatment the pipeline configs below
         # already get.  The min is the comparable number; runs_per_query
         # is recorded in the output so rounds remain interpretable.
+        # Isolate each query from its predecessors' heap residue:
+        # per-call persists (LSH signatures, shingle relations) linger
+        # until the ContextCleaner gc-collects them, and the crowded
+        # old-gen makes later queries bimodal (measured: q_ann_lsh_topk
+        # 1.3 s in a fresh session vs 5.9 s after the dedup block, back
+        # to 1.3-1.6 s with this cleanup).  Measuring each query from a
+        # quiet heap is what makes numbers round-over-round comparable.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
@@ -233,6 +242,8 @@ def main() -> None:
     # `pipeline` so they are visible without inflating `value`.
     extra: dict[str, float] = {}
     for n_lines, checkpointed in PIPELINE_CONFIGS:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
         # min of 2: single-run pipeline wall-clocks vary up to 5x on a
         # noisy shared box (measured); min is the stable comparable
