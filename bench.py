@@ -137,6 +137,9 @@ EXTRA = [
     "q_semantic_dedup",
     "q_duplicate_spans",
     "q_training_order",
+    "q_span_scrub",
+    "q_source_mixture",
+    "q_event_sequences",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -413,3 +413,61 @@ def simhash_near_dups(
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= threshold)
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply substring-level dedup: REMOVE every token covered by a
+    flagged span (the output of :func:`duplicate_spans`) and reassemble
+    the document — the cut half of the ExactSubstr recipe, where
+    duplicated passages are excised but the unique remainder of the
+    document survives (dropping whole near-dup docs loses their unique
+    text; Lee et al. 2021).
+
+    ``spans`` carries (id, pos) rows with ``pos`` the 0-based start of
+    a ``window``-token flagged span.  Overlapping spans union: a token
+    is removed iff ANY flagged span covers it.
+
+    Returns (id, n_tokens, n_removed, scrubbed) — the cleaned text plus
+    audit counts (n_removed counts distinct covered positions).
+
+    Plan shape: span starts fan out to covered positions (map-side
+    ``sequence`` explode, x``window``), collapse to one per-doc
+    position set (the only shuffle — keyed by doc, sized by flagged
+    positions, a tiny fraction of the corpus), then a left join back to
+    the corpus and a pure map-side indexed ``filter`` over the token
+    array.  Docs with no flagged span pass through null-cut ->
+    untouched.  At 100 TB: the position-set relation is bounded by
+    duplicated text volume, not corpus volume, and the rebuild never
+    shuffles the corpus."""
+    covered = (
+        spans.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("_idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_idx").alias("_cut"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("_cut"), i.cast("long")), F.lit(False)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_cut"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("scrubbed"),
+        )
+    )

@@ -248,3 +248,94 @@ def token_shards(
             .alias("shard_id"),
         )
     )
+
+
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    weight_quant: int = 1_000_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling at alpha = 0.5 (the
+    multilingual-LM rebalancing rule: sample stratum s with probability
+    proportional to p_s^alpha, downweighting dominant strata and
+    upweighting rare ones — the exponentiated-rate scheme of XLM /
+    mBERT-style training mixtures).  Unlike :func:`hash_sample` the
+    rates are DERIVED FROM THE DATA, and rare strata get rates > 1,
+    realized as whole-document repetition (epochs over the small
+    stratum) plus a hash-gated fractional copy.
+
+    Output: (key, stratum, n_copies) for every input row with
+    n_copies >= 1, where Σ n_copies over a stratum ≈ q_s * N for
+    q_s = sqrt(p_s) / Σ_t sqrt(p_t) — the corpus size is preserved in
+    expectation while the stratum shares move toward uniform.
+
+    Determinism design (why alpha is FIXED at 0.5): the only
+    non-rational step, p^0.5, is IEEE-754 ``sqrt`` — correctly rounded
+    and therefore bit-identical in every compliant engine, unlike
+    ``pow`` (libm pow is not correctly rounded; Java and C disagree in
+    the last ulp, which would flip a floor() and break the
+    cross-engine hash gate).  sqrt(n_s/N) is quantized immediately to
+    an int64 weight w_s = floor(sqrt * weight_quant); EVERYTHING after
+    is exact integer arithmetic — the expected copy count
+    r_s = (w_s * N) / (W * n_s) is kept as a rational: whole copies by
+    integer division, the fractional remainder as a per-mille
+    threshold against the row's :func:`hash_bucket`.  No FP sum ever
+    crosses rows, so the result is independent of partitioning and
+    reproducible by any engine with md5 + IEEE sqrt.
+
+    Overflow bounds (int64): w_s <= weight_quant, so w_s * N needs
+    N < 2^63 / weight_quant (9.2e12 rows at the default quant) and the
+    remainder scaling needs W * n_s * 1000 < 2^63 — with k strata,
+    n_s < 2^63 / (k * weight_quant * 1000).  For a corpus beyond that,
+    drop weight_quant to 1e3; the rate granularity is still 1e-3.
+
+    Scale shape: per-stratum counts are one small aggregation whose
+    result (k rows) broadcasts back; the copy decision is then a pure
+    map-side expression, and repetition is a map-side
+    ``explode(sequence())`` bounded by ceil(r_s) — no shuffle touches
+    the corpus itself."""
+    n_s = F.col("_n_s")
+    counts = df.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.count("*").alias("_n_s")
+    )
+    n_total = counts.agg(F.sum("_n_s").alias("_N"))
+    weighted = counts.crossJoin(F.broadcast(n_total)).withColumn(
+        "_w_s",
+        F.floor(F.sqrt(n_s / F.col("_N")) * weight_quant).cast("long"),
+    )
+    # integer sum of already-quantized weights: order-free
+    w_total = weighted.agg(F.sum("_w_s").alias("_W"))
+    rates = (
+        weighted.crossJoin(F.broadcast(w_total))
+        .select(
+            "_s",
+            (F.col("_w_s") * F.col("_N")).alias("_num"),
+            (F.col("_W") * n_s).alias("_den"),
+        )
+        .select(
+            "_s",
+            # `div`, not `/`: float division loses exactness past 2^53
+            # and would disagree with the oracle's integer `//`
+            F.expr("_num div _den").cast("long").alias("_base"),
+            F.expr("((_num % _den) * 1000) div _den")
+            .cast("long")
+            .alias("_rem_mille"),
+        )
+    )
+    bucket = hash_bucket(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), df[stratum_col] == F.col("_s"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(stratum_col).alias("stratum"),
+            (
+                F.col("_base")
+                + F.when(bucket < F.col("_rem_mille"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )

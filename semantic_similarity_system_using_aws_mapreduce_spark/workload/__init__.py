@@ -132,6 +132,9 @@ _PRIORITY = [
     "q_semantic_dedup",
     "q_duplicate_spans",
     "q_training_order",
+    "q_span_scrub",
+    "q_source_mixture",
+    "q_event_sequences",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -175,8 +178,26 @@ _PRIORITY = [
 #                           q_token_source_assoc's marginal joins
 #                           (sacrificed for the rotating-in
 #                           q_training_order; green in r3)
+#   q_rolling_fingerprint - rolling-window hashing over the token
+#                           stream; the identical span-hash subplan is
+#                           driver-witnessed by the rotating-in
+#                           q_duplicate_spans AND q_span_scrub
+#                           (sacrificed for q_span_scrub; green in r3)
+#   q_doc_quality         - its per-doc statistics are computed inside
+#                           q_curation_funnel (keeps a slot) and gated
+#                           by q_quality_gate (keeps a slot)
+#                           (sacrificed for q_source_mixture; green r3)
+#   q_asof_view_before_purchase - temporal-predicate join family also
+#                           witnessed by q_interval_join (keeps a
+#                           slot); both other as-of directions remain
+#                           mirror-verified LOCAL_ONLY, the operator
+#                           itself pytest-verified (test_asof_graph)
+#                           (sacrificed for q_event_sequences; green r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_rolling_fingerprint",
+    "q_doc_quality",
+    "q_asof_view_before_purchase",
     "q_token_totals",
     "q_doc_chunks",
     "q_minhash_signatures",

@@ -18,6 +18,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling imp
     hash_sample,
     sample_per_group,
     sequence_pack,
+    sqrt_temperature_mixture,
     token_shards,
 )
 
@@ -74,6 +75,19 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset rollup), never a one-task global window — see
     operators/sampling.global_shuffle_order."""
     return global_shuffle_order(_docs(spark, sf_dir), "doc_id", salt="epoch:0")
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing at alpha = 0.5 with
+    DATA-DERIVED rates (contrast q_stratified_sample's static
+    per-mille table): stratum share moves from p_s toward
+    sqrt(p_s)/Σsqrt — the multilingual-LM mixture rule — with rare
+    strata UPSAMPLED via whole-document repetition (n_copies > 1).
+    Integer-exact end to end (IEEE sqrt is the only FP step, quantized
+    immediately), so the oracle reproduces every copy decision; see
+    operators/sampling.sqrt_temperature_mixture."""
+    out = sqrt_temperature_mixture(_docs(spark, sf_dir), "lang", "doc_id")
+    return out.select(F.col("key").alias("doc_id"), F.col("stratum").alias("lang"), "n_copies")
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +222,7 @@ QUERIES = {
     "q_sample_per_group": q_sample_per_group,
     "q_token_shards": q_token_shards,
     "q_curation_funnel": q_curation_funnel,
+    "q_source_mixture": q_source_mixture,
 }
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -338,5 +353,32 @@ ORACLES = {
         FROM total
         LEFT JOIN kq USING (lang)
         LEFT JOIN ss USING (lang)
+    """,
+    # Mirrors sqrt_temperature_mixture's integer-exact derivation:
+    # sqrt is IEEE-correctly-rounded (bit-identical cross-engine),
+    # quantized to int64 immediately; everything downstream is integer
+    # division/remainder, so every copy decision reproduces exactly.
+    # Casts: DuckDB widens sum() to HUGEINT — ::BIGINT keeps the
+    # arithmetic (and the driver's type-sensitive hash) in int64.
+    "q_source_mixture": """
+        WITH c AS (SELECT lang AS s, count(*)::BIGINT AS n_s
+                   FROM documents GROUP BY lang),
+        t AS (SELECT CAST(sum(n_s) AS BIGINT) AS N FROM c),
+        w AS (SELECT s, n_s, N,
+                     CAST(floor(sqrt(n_s::DOUBLE / N) * 1000000) AS BIGINT) AS w_s
+              FROM c, t),
+        wt AS (SELECT CAST(sum(w_s) AS BIGINT) AS W FROM w),
+        r AS (SELECT s, (w_s * N) AS num, (W * n_s) AS den FROM w, wt),
+        rr AS (SELECT s, num // den AS base,
+                      ((num % den) * 1000) // den AS rem_mille
+               FROM r)
+        SELECT doc_id, lang,
+               CAST(base + CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT
+                                     % 1000 < rem_mille
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN rr ON d.lang = rr.s
+        WHERE base + CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT
+                               % 1000 < rem_mille
+                     THEN 1 ELSE 0 END >= 1
     """,
 }

@@ -87,6 +87,20 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), window=SPAN_W)
 
 
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of substring-level dedup: excise every token
+    covered by a flagged duplicate span (q_duplicate_spans's output)
+    and reassemble each document — one row per doc with the cleaned
+    text and audit counts (operators/dedup.scrub_spans for the 100 TB
+    shape).  The flagged relation is persisted across its two roles
+    (it IS q_duplicate_spans) so the span discovery runs once."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    docs = _docs(spark, sf_dir)
+    flagged = duplicate_spans(docs, window=SPAN_W)
+    return scrub_spans(docs, flagged, window=SPAN_W)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a deterministic 2% of documents play
     the eval set; every remaining corpus doc is scored by how many of
@@ -118,6 +132,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_duplicate_spans": q_duplicate_spans,
+    "q_span_scrub": q_span_scrub,
     "q_decontaminate": q_decontaminate,
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
@@ -161,6 +176,30 @@ ORACLES = {
         SELECT doc_id, pos, span_hash, n_docs
         FROM hashed JOIN counts USING (span_hash)
         WHERE n_docs >= 2
+    """,
+    "q_span_scrub": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s0 AS (SELECT doc_id, unnest(range(0, len(toks) - {SPAN_W} + 1)) AS pos, toks
+               FROM d WHERE len(toks) >= {SPAN_W}),
+        hashed AS (SELECT doc_id, pos,
+                          {_MD5INT.format(x=f"array_to_string(toks[pos+1 : pos+{SPAN_W}], ' ')")} AS span_hash
+                   FROM s0),
+        counts AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+                   FROM hashed GROUP BY span_hash),
+        flagged AS (SELECT doc_id, pos FROM hashed
+                    JOIN counts USING (span_hash) WHERE n_docs >= 2),
+        cov AS (SELECT doc_id, unnest(range(pos, pos + {SPAN_W})) AS idx FROM flagged),
+        cut AS (SELECT doc_id, list(DISTINCT idx) AS cut FROM cov GROUP BY doc_id)
+        SELECT d.doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               coalesce(len(cut), 0)::BIGINT AS n_removed,
+               -- DuckDB lambda index is 1-based; the span positions are
+               -- 0-based.  coalesce: array_to_string([]) is NULL in
+               -- DuckDB but '' in Spark (fully-scrubbed docs).
+               coalesce(array_to_string(
+                   list_filter(toks, (x, i) -> NOT coalesce(list_contains(cut, i - 1), false)),
+                   ' '), '') AS scrubbed
+        FROM d LEFT JOIN cut USING (doc_id)
     """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {_SIGS_CTE},

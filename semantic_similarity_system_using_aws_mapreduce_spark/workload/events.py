@@ -248,6 +248,40 @@ def q_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_CTX = 3  # events of user history per training example
+
+
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-training-example construction from the event log: for
+    every event with at least {SEQ_CTX} predecessors, emit
+    (event_id, user_id, context, label) where ``context`` is the
+    user's previous {SEQ_CTX} event types in time order — the
+    next-event-prediction layout a behavioral/recommendation model
+    trains on, built as ONE window pass (no self-joins: a join-based
+    k-predecessor lookup would shuffle the log k times; the frame
+    ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING`` does it in the single
+    per-user sort the sessionization queries already pay).  Ties on
+    ``ts`` break by event_id, so frame contents — and therefore the
+    collected sequence — are deterministic cross-engine."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-SEQ_CTX, -1)
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("_n_ctx"),
+            F.concat_ws(">", F.collect_list("event_type").over(w)).alias("context"),
+            F.col("event_type").alias("label"),
+        )
+        .filter(F.col("_n_ctx") == SEQ_CTX)
+        .drop("_n_ctx")
+    )
+
+
 QUERIES = {
     "q_asof_next_view_after_purchase": q_asof_next_view_after_purchase,
     "q_asof_nearest_view": q_asof_nearest_view,
@@ -258,6 +292,7 @@ QUERIES = {
     "q_sessionization": q_sessionization,
     "q_user_event_pivot": q_user_event_pivot,
     "q_json_props": q_json_props,
+    "q_event_sequences": q_event_sequences,
 }
 
 ORACLES = {
@@ -371,5 +406,16 @@ ORACLES = {
                      CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
               FROM events)
         GROUP BY event_type
+    """,
+    "q_event_sequences": f"""
+        SELECT event_id, user_id, context, label FROM (
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_ctx,
+                   string_agg(event_type, '>') OVER w AS context,
+                   event_type AS label
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {SEQ_CTX} PRECEDING AND 1 PRECEDING))
+        WHERE n_ctx = {SEQ_CTX}
     """,
 }

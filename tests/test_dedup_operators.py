@@ -148,3 +148,31 @@ def test_duplicate_spans_semantics(spark):
         (1, 0): 2, (1, 1): 2,   # "a b c d", "b c d e" in docs 1+2
         (2, 1): 2, (2, 2): 2,
     }
+
+
+def test_scrub_spans_removes_exactly_the_flagged_windows(spark):
+    """Hand corpus: docs 1 and 2 share an 8-token passage; doc 3 is
+    unique.  The shared window's tokens are excised from both carriers,
+    the unique doc passes through untouched, and unions of overlapping
+    flagged windows are counted once."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    shared = " ".join(f"dup{i}" for i in range(9))  # 9 tokens -> 2 windows of 8
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        (3, "unique words only here nothing repeats at all ever once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = duplicate_spans(df, window=8)
+    out = {r.doc_id: r for r in scrub_spans(df, flagged, window=8).collect()}
+
+    # doc 1: tokens 2..10 covered (both windows union to the 9 shared)
+    assert out[1].n_tokens == 12 and out[1].n_removed == 9
+    assert out[1].scrubbed == "alpha beta gamma"
+    # doc 2: tokens 0..8 covered
+    assert out[2].n_tokens == 12 and out[2].n_removed == 9
+    assert out[2].scrubbed == "delta epsilon zeta"
+    # doc 3 untouched
+    assert out[3].n_removed == 0
+    assert out[3].scrubbed == rows[2][1]

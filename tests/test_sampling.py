@@ -195,3 +195,40 @@ def test_global_shuffle_order_is_the_hash_rank_permutation(spark):
 
     with _pytest.raises(ValueError):
         global_shuffle_order(docs, "doc_id", n_buckets=48)
+
+
+def test_sqrt_temperature_mixture_rebalances_toward_uniform(spark):
+    """alpha=0.5 mixture: dominant stratum downsampled, rare stratum
+    upsampled via n_copies > 1, total size preserved within the
+    per-mille hash-gate tolerance, and the result is deterministic."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import sqrt_temperature_mixture
+
+    # 900 'big' vs 100 'small': p = (0.9, 0.1) -> q = (0.75, 0.25),
+    # so expected copies/doc are 0.833 (big) and 2.5 (small)
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sqrt_temperature_mixture(df, "src", "doc_id")
+    per = {
+        r.stratum: (r.n_rows, r.n_copies)
+        for r in out.groupBy("stratum")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_copies").alias("n_copies"))
+        .collect()
+    }
+    big_rows, big_copies = per["big"]
+    small_rows, small_copies = per["small"]
+    # directions: big strictly downsampled, small strictly upsampled
+    assert big_copies < 900 and small_copies > 100
+    # every small doc survives (rate > 1 keeps all), with repetition
+    assert small_rows == 100 and small_copies >= 200
+    # expected totals within per-mille granularity: 750 and 250
+    assert abs(big_copies - 750) <= 25
+    assert abs(small_copies - 250) <= 25
+    # corpus size preserved in expectation
+    total = big_copies + small_copies
+    assert abs(total - 1000) <= 50
+
+    again = sqrt_temperature_mixture(df, "src", "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    # n_copies >= 1 for every emitted row
+    assert out.filter(F.col("n_copies") < 1).count() == 0
