@@ -232,3 +232,46 @@ def test_sqrt_temperature_mixture_rebalances_toward_uniform(spark):
 
     # n_copies >= 1 for every emitted row
     assert out.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_scrub_spans_conserves_tokens_property(spark):
+    """Property over random corpora: for every doc,
+    n_tokens - n_removed == token count of the scrubbed text, removed
+    positions are a subset of [0, n_tokens), and a corpus with no
+    cross-document repeats scrubs nothing."""
+    import random
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> natural repeats
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 5
+    out = scrub_spans(df, duplicate_spans(df, window=w), window=w).collect()
+    assert len(out) == 60
+    for r in out:
+        kept = [t for t in r.scrubbed.split(" ") if t]
+        assert r.n_tokens - r.n_removed == len(kept), r.doc_id
+        assert 0 <= r.n_removed <= r.n_tokens
+
+    # all-unique corpus: nothing flagged, text round-trips exactly
+    uniq = [(i, " ".join(f"u{i}_{j}" for j in range(10))) for i in range(10)]
+    udf_ = spark.createDataFrame(uniq, "doc_id long, text string")
+    uout = {r.doc_id: r for r in scrub_spans(udf_, duplicate_spans(udf_, window=w), window=w).collect()}
+    for i, text in uniq:
+        assert uout[i].n_removed == 0 and uout[i].scrubbed == text
+
+
+def test_sqrt_temperature_mixture_single_stratum_identity(spark):
+    """With one stratum the mixture is the identity: every doc exactly
+    once (q_s = 1, r = N/n_s = 1)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import sqrt_temperature_mixture
+
+    df = spark.createDataFrame([(i, "only") for i in range(100)], "doc_id long, src string")
+    out = sqrt_temperature_mixture(df, "src", "doc_id").collect()
+    assert len(out) == 100
+    assert all(r.n_copies == 1 for r in out)
