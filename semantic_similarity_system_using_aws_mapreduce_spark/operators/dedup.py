@@ -91,25 +91,14 @@ def minhash_signatures(hashes: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 def lsh_candidates(sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2) -> DataFrame:
     """(doc_a, doc_b) pairs agreeing on every row of at least one band."""
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[
-                F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-                for r in range(rows_per_band)
-            ],
-        )
-        for b in range(n_bands)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.*")
     # Persist: both self-join sides read buckets, and exchange reuse
     # does not fire across the aliases — without this the signature
     # aggregation (and everything under it) runs twice.
     from pyspark import StorageLevel
 
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = signature_buckets(sigs, n_bands, rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     a, b = buckets.alias("a"), buckets.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -471,3 +460,115 @@ def scrub_spans(
             F.array_join(kept, " ").alias("scrubbed"),
         )
     )
+
+
+def signature_buckets(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band, k0..k{r-1}): the banded LSH bucket relation of a
+    minhash-signature relation — the map-side explode
+    :func:`lsh_candidates` uses internally, exposed for callers that
+    join buckets across two different relations (incremental dedup)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.*")
+
+
+def incremental_dedup(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    min_agree: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCOMING BATCH against an already-indexed corpus — the
+    growing-corpus pattern: ingest runs never re-mine the existing
+    corpus, they probe a persisted signature index and append their
+    survivors to it.
+
+    Both inputs are minhash-signature relations
+    (:func:`minhash_signatures`; the index side is typically
+    ``spark.read.parquet(index_path)``).  A new document is DROPPED
+    when its signature agrees on >= ``min_agree`` of ``n_hashes``
+    components (the unbiased minhash estimate of Jaccard similarity,
+    agree/n_hashes) with any indexed document, or with any smaller-id
+    document of its own batch — the same min-id-survivor rule as
+    :func:`exact_dedup`, applied transitively-conservatively (a doc
+    whose nearest duplicate was itself dropped still drops: at dedup
+    thresholds near-duplicate chains are short, and a conservative cut
+    never re-admits content the index already carries).
+
+    Returns ``(kept, dropped)``:
+      * ``kept`` — the new-batch signature rows that survived, ready to
+        union/append into the index;
+      * ``dropped`` — (doc_id, dup_of, n_agree) with ``dup_of`` the
+        smallest colliding partner id and ``n_agree`` that partner's
+        component agreement.
+
+    Scale shape: candidates come from the banded bucket equi-join
+    (new-batch buckets x (index ∪ batch) buckets) — the batch side is
+    small, so at 100 TB this is a broadcast probe of the partitioned
+    index bucket table (store :func:`signature_buckets` output
+    bucketed by (band, k0, k1) to make the probe shuffle-free);
+    signature agreement is then a per-pair integer comparison on the
+    already-joined 8-component rows — no shingle relation, no text,
+    and nothing rescans indexed documents."""
+    sig_cols = [f"h{k}" for k in range(n_hashes)]
+    batch = new_sigs.select("doc_id", *sig_cols)
+    # Probe side: index docs plus SMALLER-id batch docs (self-dedup).
+    # Tag origins so ties in doc-id space can't cross-collide.
+    pool = index_sigs.select("doc_id", *sig_cols)
+    nb = signature_buckets(batch, n_bands, rows_per_band)
+    pb = signature_buckets(pool, n_bands, rows_per_band).unionByName(nb)
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    a, b = nb.alias("a"), pb.alias("b")
+    cond = F.col("a.doc_id") > F.col("b.doc_id")
+    for c in key_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # NB: batch ids must be allocated above index ids (monotonic doc
+    # ids — the natural ingest numbering); the a.doc_id > b.doc_id
+    # orientation then covers both index collisions and intra-batch
+    # min-id survivorship in ONE join.
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("partner"),
+        )
+        .distinct()
+    )
+    x = cand.join(batch, "doc_id")
+    pool_all = pool.unionByName(batch)
+    partner_sigs = pool_all.select(
+        F.col("doc_id").alias("partner"),
+        *[F.col(f"h{k}").alias(f"p{k}") for k in range(n_hashes)],
+    )
+    agree = sum(
+        (F.col(f"h{k}") == F.col(f"p{k}")).cast("int") for k in range(n_hashes)
+    )
+    scored = (
+        x.join(partner_sigs, "partner")
+        .select("doc_id", "partner", agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("partner")
+    dropped = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("partner").alias("dup_of"), "n_agree")
+    )
+    kept = batch.join(dropped.select("doc_id"), "doc_id", "left_anti")
+    return kept, dropped

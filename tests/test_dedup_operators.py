@@ -176,3 +176,47 @@ def test_scrub_spans_removes_exactly_the_flagged_windows(spark):
     # doc 3 untouched
     assert out[3].n_removed == 0
     assert out[3].scrubbed == rows[2][1]
+
+
+def test_incremental_dedup_probe_append_idempotent(spark):
+    """Growing-corpus ingest: batch probes the signature index, drops
+    near/exact dups of indexed docs and of smaller-id batchmates,
+    survivors append; re-ingesting the same content against the
+    updated index drops everything."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    v1 = [
+        (1, base),
+        (2, "completely different content about spark shuffles and joins here"),
+    ]
+    # batch ids allocated above index ids (the operator's contract)
+    v2 = [
+        (10, base),                                        # exact dup of 1
+        (11, base + " extra"),                             # near dup of 1
+        (12, "fresh unique text nothing like anything earlier in the corpus"),
+        (13, "fresh unique text nothing like anything earlier in the corpus"),  # intra-batch dup of 12
+    ]
+    sigs = lambda rows: minhash_signatures(  # noqa: E731
+        shingle_hashes(spark.createDataFrame(rows, "doc_id long, text string"))
+    )
+    index, batch = sigs(v1), sigs(v2)
+    kept, dropped = incremental_dedup(batch, index)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    drops = {r.doc_id: (r.dup_of, r.n_agree) for r in dropped.collect()}
+
+    assert kept_ids == {12}
+    assert drops[10] == (1, 8)          # exact dup: all 8 components agree
+    assert drops[11][0] == 1 and drops[11][1] >= 6
+    assert drops[13] == (12, 8)         # intra-batch min-id survivorship
+
+    # idempotence: same content re-ingested (fresh ids) vs updated index
+    index2 = index.unionByName(kept)
+    v3 = [(20, t) for _, t in v2 if _ in (12,)] + [(21, v2[2][1])]
+    kept3, dropped3 = incremental_dedup(sigs(v3), index2)
+    assert kept3.count() == 0
+    assert {r.doc_id for r in dropped3.collect()} == {20, 21}
