@@ -502,12 +502,15 @@ def incremental_dedup(
     ``spark.read.parquet(index_path)``).  A new document is DROPPED
     when its signature agrees on >= ``min_agree`` of ``n_hashes``
     components (the unbiased minhash estimate of Jaccard similarity,
-    agree/n_hashes) with any indexed document, or with any smaller-id
-    document of its own batch — the same min-id-survivor rule as
-    :func:`exact_dedup`, applied transitively-conservatively (a doc
-    whose nearest duplicate was itself dropped still drops: at dedup
-    thresholds near-duplicate chains are short, and a conservative cut
-    never re-admits content the index already carries).
+    agree/n_hashes) with ANY indexed document (id-agnostic: the index
+    always wins), or with any smaller-id document of its own batch —
+    the same min-id-survivor rule as :func:`exact_dedup`, applied
+    transitively-conservatively (a doc whose nearest duplicate was
+    itself dropped still drops: at dedup thresholds near-duplicate
+    chains are short, and a conservative cut never re-admits content
+    the index already carries).  The only id contract is that index
+    and batch ids are DISJOINT; no ordering between them is assumed
+    (micro-batches may arrive with interleaved id ranges).
 
     Returns ``(kept, dropped)``:
       * ``kept`` — the new-batch signature rows that survived, ready to
@@ -526,28 +529,29 @@ def incremental_dedup(
     and nothing rescans indexed documents."""
     sig_cols = [f"h{k}" for k in range(n_hashes)]
     batch = new_sigs.select("doc_id", *sig_cols)
-    # Probe side: index docs plus SMALLER-id batch docs (self-dedup).
-    # Tag origins so ties in doc-id space can't cross-collide.
     pool = index_sigs.select("doc_id", *sig_cols)
     nb = signature_buckets(batch, n_bands, rows_per_band)
-    pb = signature_buckets(pool, n_bands, rows_per_band).unionByName(nb)
+    pb = signature_buckets(pool, n_bands, rows_per_band)
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+
+    # Index collisions: id-agnostic (a batch doc colliding with any
+    # indexed doc drops, whatever the ids look like).
     a, b = nb.alias("a"), pb.alias("b")
-    cond = F.col("a.doc_id") > F.col("b.doc_id")
+    cond_ix = F.lit(True)
     for c in key_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # NB: batch ids must be allocated above index ids (monotonic doc
-    # ids — the natural ingest numbering); the a.doc_id > b.doc_id
-    # orientation then covers both index collisions and intra-batch
-    # min-id survivorship in ONE join.
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("partner"),
-        )
-        .distinct()
+        cond_ix = cond_ix & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand_ix = a.join(b, cond_ix).select(
+        F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
     )
+    # Intra-batch: min-id survivorship (larger id drops toward smaller).
+    a2, b2 = nb.alias("a"), nb.alias("b")
+    cond_self = F.col("a.doc_id") > F.col("b.doc_id")
+    for c in key_cols:
+        cond_self = cond_self & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand_self = a2.join(b2, cond_self).select(
+        F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
+    )
+    cand = cand_ix.unionByName(cand_self).distinct()
     x = cand.join(batch, "doc_id")
     pool_all = pool.unionByName(batch)
     partner_sigs = pool_all.select(

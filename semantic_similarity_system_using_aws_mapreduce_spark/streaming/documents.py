@@ -1,0 +1,130 @@
+"""Structured Streaming over the documents table: continuous-ingest
+curation — the streaming face of the batch curation funnel
+(workload/curation.py) composed with the incremental dedup index
+(operators/dedup.incremental_dedup).
+
+The reference is batch-only (SURVEY.md §2.9); this is net-new engine
+surface, extending the streaming story from events analytics to the
+training-data pipeline itself: a crawl that lands files continuously,
+each micro-batch quality-gated and deduped against everything ingested
+BEFORE it, survivors appended to the corpus and to the signature index.
+
+Design for scale:
+
+* The quality gate is stateless (per-row token statistics) — it rides
+  the stream as a map, no watermark, no state store.
+* Dedup state lives OUTSIDE the streaming state store, as a persisted
+  parquet signature index (8 int64 per document).  Structured
+  Streaming's own dedup (`dropDuplicatesWithinWatermark`) bounds state
+  by TIME, which is right for replayed events but wrong for corpus
+  dedup — a duplicate document may arrive months after the original.
+  The index form keeps state O(corpus docs x 8 ints) with no
+  watermark eviction, survives restarts (it is just a table), and the
+  probe cost is the banded bucket join, not a state-store lookup scan.
+* `foreachBatch` makes the index read-modify-append transactional per
+  micro-batch (Structured Streaming serializes foreachBatch calls);
+  at 100 TB the appends would target a bucketed (band, k0, k1) table
+  so the probe join is shuffle-free on the index side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+    incremental_dedup,
+    minhash_signatures,
+    shingle_hashes,
+    tokens,
+)
+
+SIG_SCHEMA = "doc_id long, " + ", ".join(f"h{k} long" for k in range(8))
+
+
+def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet files
+    (the local test harness; swap for Kafka/auto-loader in
+    production).  One file per micro-batch, in file order, so ingest
+    is deterministic and replayable."""
+    schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def quality_gate(stream: DataFrame, min_tokens: int, min_ttr: float) -> DataFrame:
+    """Stateless streaming quality gate — the batch curation funnel's
+    flag stage applied as a pure map on the stream (same thresholds,
+    same statistics: token count and type-token ratio)."""
+    toks = tokens(F.col("text"))
+    flagged = stream.withColumn("_toks", toks).withColumn(
+        "_ttr", F.size(F.array_distinct("_toks")) / F.size("_toks")
+    )
+    return (
+        flagged.filter(
+            (F.size("_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+        )
+        .drop("_toks", "_ttr")
+    )
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    index_path: str,
+    min_tokens: int = 24,
+    min_ttr: float = 0.35,
+    min_agree: int = 6,
+) -> None:
+    """Drive the (bounded) document stream through the full curation
+    funnel: quality gate -> minhash signatures -> incremental dedup
+    against the persisted index -> append survivors to the corpus
+    table and their signatures to the index.
+
+    Runs with availableNow (drains everything currently in
+    ``source_dir``, one file per micro-batch, then stops) — the test
+    and backfill mode; a production deployment runs the same query
+    continuously.  Restart-safe by construction: re-ingesting content
+    that already reached the index drops as a duplicate, so an
+    at-least-once source yields an exactly-once corpus."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        gated = quality_gate(batch, min_tokens, min_ttr)
+        # cache: signatures + corpus append both consume the gate
+        gated = gated.cache()
+        try:
+            sigs = minhash_signatures(shingle_hashes(gated))
+            if os.path.isdir(index_path):
+                index = spark.read.parquet(index_path)
+            else:
+                index = spark.createDataFrame([], SIG_SCHEMA)
+            kept, _dropped = incremental_dedup(sigs, index, min_agree=min_agree)
+            # Materialize survivors BEFORE appending to the index their
+            # own dedup read from (copy-on-write discipline, same as
+            # the CDC upsert sink).
+            kept = kept.cache()
+            kept_ids = kept.select("doc_id")
+            (
+                gated.join(kept_ids, "doc_id")
+                .write.mode("append")
+                .parquet(corpus_path)
+            )
+            kept.write.mode("append").parquet(index_path)
+            kept.unpersist()
+        finally:
+            gated.unpersist()
+
+    (
+        read_document_stream(spark, source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", corpus_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -194,7 +194,7 @@ def test_incremental_dedup_probe_append_idempotent(spark):
         (1, base),
         (2, "completely different content about spark shuffles and joins here"),
     ]
-    # batch ids allocated above index ids (the operator's contract)
+    # batch ids disjoint from index ids (the operator's only id contract)
     v2 = [
         (10, base),                                        # exact dup of 1
         (11, base + " extra"),                             # near dup of 1

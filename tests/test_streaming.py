@@ -321,3 +321,82 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     got = [(r.hour, r.event_type, r.n) for r in spark.table(qname).collect() if r.hour == t0]
     assert got == [(t0, "a", 1)]  # emitted once, late row not merged
     assert dropped == 1
+
+
+def test_streaming_curation_matches_sequential_batch_application(spark, tmp_path):
+    """Continuous-ingest curation: two micro-batches through the
+    quality gate + incremental-dedup index.  The streamed corpus must
+    equal applying the same gate+dedup sequentially in batch mode,
+    carry no duplicate content, and index rows must mirror corpus
+    rows (restart-safe exactly-once by index probe)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        quality_gate,
+        run_streaming_curation,
+    )
+
+    def long_text(seed: str) -> str:
+        # 30 distinct tokens: passes min_tokens=24 and ttr=0.35
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    batch_a = [
+        (1, long_text("a")),
+        (2, long_text("b")),
+        (3, "too short"),                       # fails quality gate
+        (4, long_text("a")),                    # intra-batch dup of 1
+    ]
+    batch_b = [
+        (101, long_text("a")),                  # dup of indexed 1
+        (102, long_text("c")),                  # fresh
+        (103, " ".join(["rep"] * 40)),          # fails ttr gate
+        (104, long_text("c")),                  # intra-batch dup of 102
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    # two flat files -> two micro-batches (maxFilesPerTrigger=1); file
+    # order follows name order for the file source's deterministic
+    # listing.  Write each batch as a dataset dir, then promote its
+    # single part-file to a flat file the stream source can list.
+    import glob
+    import shutil
+
+    for name, rows in (("batch_a", batch_a), ("batch_b", batch_b)):
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "sig_index")
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+
+    corpus = spark.read.parquet(corpus_path)
+    got_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+
+    # sequential batch-mode application of the same funnel
+    expect_ids: set[int] = set()
+    index = None
+    for rows in (batch_a, batch_b):
+        df = quality_gate(spark.createDataFrame(rows, schema), 24, 0.35)
+        sigs = minhash_signatures(shingle_hashes(df))
+        if index is None:
+            kept, _ = incremental_dedup(
+                sigs, spark.createDataFrame([], sigs.schema)
+            )
+        else:
+            kept, _ = incremental_dedup(sigs, index)
+        index = kept if index is None else index.unionByName(kept)
+        expect_ids |= {r.doc_id for r in kept.collect()}
+
+    assert got_ids == expect_ids == {1, 2, 102}
+    # no duplicate content in the curated corpus
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts))
+    # index mirrors the corpus
+    idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx_ids == got_ids
