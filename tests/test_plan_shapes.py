@@ -130,3 +130,28 @@ def test_filter_pushed_to_scan(spark):
     assert "PushedFilters: [" in plan, plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("lang" in l for l in pushed), plan
+
+
+def test_event_sequences_is_one_window_pass(spark):
+    """q_event_sequences promises the k-predecessor context in ONE
+    per-user sort — a join-based formulation would multiply shuffles
+    by k."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_event_sequences"](spark, SF_DIR))
+    assert n_shuffles(plan) == 1, f"gained a shuffle:\n{plan}"
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q_source_mixture", "q_span_scrub"])
+def test_round4_curation_queries_never_sort_merge_the_corpus(spark, name):
+    """q_source_mixture's rate table (k strata) and q_span_scrub's
+    position sets (bounded by duplicated volume) are the small sides
+    of their joins — the corpus must meet them via broadcast, never a
+    corpus-wide sort-merge."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES[name](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+    assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
