@@ -411,11 +411,25 @@ def semantic_dedup(
     cluster — (vec_id, rep_id, is_kept), one row per input vector,
     is_kept = (vec_id == rep_id = min id in the cluster).
 
-    Plan: SRP buckets (map-side, srp_signatures_portable) -> bucket
-    self equi-join for candidate pairs (never all-pairs) -> exact
-    double cosine, kept when round(cos, 6) >= tau -> connected
-    components over the kept-pair graph (operators/graph.py pointer
-    doubling) -> left join back so singletons keep themselves.
+    Plan: SRP buckets (map-side, srp_signatures_portable) -> one
+    shuffle grouping each (table, bucket) with its member vectors ->
+    within-bucket exact-cosine scoring in a numpy applyInPandas kernel
+    (pairs never materialize as rows; only survivors with
+    round(cos, 6) >= tau are emitted) -> distinct across tables ->
+    connected components over the kept-pair graph (operators/graph.py
+    pointer doubling) -> left join back so singletons keep themselves.
+
+    The kernel replaces the earlier bucket self-equi-join + per-pair
+    zip_with fold: that plan shuffled |candidate pairs| rows EACH
+    CARRYING TWO EMBEDDING ARRAYS (at tau=0.4 defaults ~40% of all
+    pairs are candidates — measured 811k pairs x 2x64 floats at
+    sf0.1, ~6 s to score), where this one shuffles the corpus vectors
+    n_tables times (16k rows, 4 MB) and emits only the ~720 surviving
+    pairs.  Numerics are unchanged: dot products accumulate
+    per-dimension left-to-right (rank-1 updates), the exact order of
+    the Catalyst aggregate/zip_with fold and of a SQL oracle's
+    position-join sum, and rounding uses the addition-free HALF_UP
+    emulation shared with quantize_embeddings.
 
     Recall tuning: fewer planes per table widens buckets (higher
     recall at a given cosine, more scored pairs); more tables adds
@@ -423,51 +437,71 @@ def semantic_dedup(
     pair recall at cos 0.4; production near-dup thresholds (tau ~0.9)
     reach ~99% recall with the same config because p(bit agree) =
     1 - angle/pi grows with cosine.  At 100 TB every stage is a scan
-    or an equi-join on (t, bucket) / pair keys; the component loop is
-    O(log n) rounds over edges only (cliques converge in 2-3)."""
+    or an equi-join on (t, bucket) / pair keys; per-bucket work is
+    quadratic in bucket size — inherent to LSH candidate generation,
+    memory-bounded here by row-block chunking — and the component
+    loop is O(log n) rounds over edges only (cliques converge in
+    2-3)."""
     sigs = srp_signatures_portable(df, n_planes, n_tables, quant, id_col, vec_col)
-    from pyspark import StorageLevel
+    members = sigs.join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        "vec_id",
+    )
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        d = x.shape[1]
+        # Per-dimension left-to-right accumulation: bit-identical to
+        # the Catalyst fold acc + x_j*y_j (and to the oracle's
+        # position-join sum) — never np.dot, whose blocked/pairwise
+        # summation rounds differently.
+        sq = np.zeros(n)
+        for j in range(d):
+            sq += x[:, j] * x[:, j]
+        nrm = np.sqrt(sq)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        blk = 2048  # bounds the dots matrix at blk*n doubles
+        for s0 in range(0, n, blk):
+            xa = x[s0 : s0 + blk]
+            dots = np.zeros((xa.shape[0], n))
+            for j in range(d):
+                dots += np.outer(xa[:, j], x[:, j])
+            cos = dots / np.outer(nrm[s0 : s0 + blk], nrm)
+            # addition-free HALF_UP at 6 dp (see srp_signatures_portable)
+            ax = np.abs(cos) * 1e6
+            f = np.floor(ax)
+            f += (ax - f) >= 0.5
+            cos6 = np.sign(cos) * f / 1e6
+            keep = cos6 >= tau
+            # strict upper triangle in GLOBAL row order: row s0+i pairs
+            # only with columns k > s0+i (each unordered pair once)
+            ri, ci = np.where(keep)
+            mask = ci > (ri + s0)
+            ri, ci = ri[mask], ci[mask]
+            if len(ri):
+                ia, ib = ids[ri + s0], ids[ci]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    qa = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("qv"), nrm.alias("na"))
-    qb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("nv"), nrm.alias("nb"))
-    pair_dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+
     dup_pairs = (
-        cand.join(qa, "vec_a")
-        .join(qb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(pair_dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= tau)
+        members.groupBy("t", "bucket")
+        .applyInPandas(score_bucket, schema="vec_a long, vec_b long")
+        .distinct()
     )
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
 
     comp = connected_components(dup_pairs, src="vec_a", dst="vec_b")
-    out = (
+    return (
         df.select(F.col(id_col).alias("vec_id"))
         .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
         .select(
@@ -476,8 +510,6 @@ def semantic_dedup(
         )
         .withColumn("is_kept", F.col("vec_id") == F.col("rep_id"))
     )
-    sigs.unpersist()
-    return out
 
 
 def ann_topk_lsh_portable(
