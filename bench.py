@@ -140,6 +140,7 @@ EXTRA = [
     "q_span_scrub",
     "q_source_mixture",
     "q_event_sequences",
+    "q_dsir_select",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -339,3 +339,118 @@ def sqrt_temperature_mixture(
         )
         .filter(F.col("n_copies") >= 1)
     )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    keep_frac: float = 0.25,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+    arXiv:2302.03169): pick the ``keep_frac`` of a raw corpus whose
+    hashed-n-gram distribution best matches a small TARGET corpus.
+
+    Per document the log importance weight is
+    sum over feature occurrences of ln(p_target[b] / p_raw[b]),
+    where features are word unigrams + bigrams hashed into
+    ``n_buckets`` buckets (the paper's hashed n-gram proxy) and both
+    per-bucket distributions carry add-1 smoothing.  Selection is the
+    paper's Gumbel-top-k resample made hash-deterministic: the Gumbel
+    noise g = -ln(-ln(u)) draws u from the document's md5 bucket (the
+    module-wide no-RNG rule), and a document is selected when its
+    noised score clears the corpus's (1 - keep_frac) percentile.
+
+    Cross-engine exactness: each ln() term is quantized to int64
+    micro-nats BEFORE summing (the q_lm_quality recipe — integer sums
+    have one correct answer regardless of partitioning), the noise is
+    quantized the same way, and the percentile threshold is rounded to
+    6 dp on both engines (the q_quality_gate recipe).
+
+    Returns one row per corpus document:
+    (doc_id, n_feats, log_weight, selected) with log_weight the
+    unnoised importance weight in nats, rounded to 6 dp.
+
+    Scale shape: the feature explode is map-side; the only
+    corpus-sized shuffle keys (doc, bucket) — partial aggregation
+    collapses it to per-doc VOCABULARY x bucket rows.  The bucket
+    frequency tables are ``n_buckets`` rows (broadcast), the scoring
+    join is broadcast, and the threshold is one aggregate over a
+    single long column per doc (swap the exact percentile for
+    approx_percentile at extreme scale; the gate's semantics do not
+    change).  Nothing is quadratic; no RNG state crosses the driver.
+    """
+    from pyspark import StorageLevel
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import word_shingles
+
+    def feat_buckets(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        bigrams = F.when(F.size(toks) >= 2, word_shingles(toks, 2)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(toks, bigrams)).alias("ft"),
+        ).select("doc_id", hash_bucket(F.col("ft"), salt, n_buckets).alias("b"))
+
+    # per-(doc, bucket) occurrence counts feed BOTH the raw frequency
+    # table and the scoring join — persist so the explode runs once
+    dfb = (
+        feat_buckets(corpus)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c_raw = dfb.groupBy("b").agg(F.sum("m").alias("c_r"))
+    n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
+    c_tgt = feat_buckets(target).groupBy("b").agg(F.count("*").alias("c_t"))
+    n_tgt = c_tgt.agg(F.sum("c_t").alias("n_t"))
+    # ln(p_t[b]/p_r[b]) in int64 micro-nats; buckets unseen in the
+    # target keep the smoothed floor via the left join + coalesce
+    lr = F.round(
+        F.log(
+            ((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + n_buckets))
+            / ((F.col("c_r") + 1.0) / (F.col("n_r") + n_buckets))
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    ratio = (
+        c_raw.join(c_tgt, "b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select("b", lr.alias("lr_micro"))
+    )
+    weights = (
+        dfb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("m") * F.col("lr_micro")).alias("w_micro"),
+            F.sum("m").alias("n_feats"),
+        )
+    )
+    u = (hash_bucket(F.col("doc_id"), salt + "-g", 100_000) + 0.5) / 100_000.0
+    g_micro = F.round(-F.log(-F.log(u)) * 1_000_000, 0).cast("long")
+    scored = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(weights, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("w_micro"), F.lit(0)).cast("long").alias("w_micro"),
+        )
+        .withColumn("score_micro", F.col("w_micro") + g_micro)
+    )
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(score_micro, {1.0 - keep_frac})"), 6).alias("thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_feats",
+        F.round(F.col("w_micro") / 1_000_000.0, 6).alias("log_weight"),
+        (F.col("score_micro") >= F.col("thr")).alias("selected"),
+    )

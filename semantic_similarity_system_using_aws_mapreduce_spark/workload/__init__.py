@@ -135,6 +135,7 @@ _PRIORITY = [
     "q_span_scrub",
     "q_source_mixture",
     "q_event_sequences",
+    "q_dsir_select",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -193,8 +194,15 @@ _PRIORITY = [
 #                           mirror-verified LOCAL_ONLY, the operator
 #                           itself pytest-verified (test_asof_graph)
 #                           (sacrificed for q_event_sequences; green r3)
+#   q_regex_token_stats   - the BPE-ish tokenizer expression is the
+#                           shared token subplan of q_tfidf_top_terms,
+#                           q_repetition_signals and q_lang_id (all
+#                           keep slots); per-doc token stats also ride
+#                           q_token_shards' n_tokens
+#                           (sacrificed for q_dsir_select; green r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_regex_token_stats",
     "q_rolling_fingerprint",
     "q_doc_quality",
     "q_asof_view_before_purchase",

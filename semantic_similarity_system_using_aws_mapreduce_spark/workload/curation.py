@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    dsir_select,
     global_shuffle_order,
+    hash_bucket,
     hash_sample,
     sample_per_group,
     sequence_pack,
@@ -29,6 +31,11 @@ SAMPLE_K = 20
 SHARD_BUDGET = 2048
 MIN_TOKENS = 24
 MIN_TTR = 0.35
+# DSIR: a deterministic 5% of documents play the high-quality target
+# domain; the raw remainder is scored and the top quarter selected.
+DSIR_TARGET_PERMILLE = 50
+DSIR_BUCKETS = 256
+DSIR_KEEP = 0.25
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +220,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): a deterministic
+    {DSIR_TARGET_PERMILLE}-per-mille slice of documents plays the
+    high-quality target domain; every remaining document is scored by
+    its hashed-unigram+bigram log importance weight against that
+    target and the top {DSIR_KEEP:.0%} (by Gumbel-noised score, noise
+    hash-derived) is selected.  All log terms are int64 micro-nat
+    quantized and the percentile threshold is 6-dp rounded on both
+    engines, so the oracle reproduces the selection bit-for-bit
+    (operators/sampling.dsir_select for the 100 TB shape)."""
+    docs = _docs(spark, sf_dir)
+    is_t = hash_bucket(F.col("doc_id"), "dsir-t") < DSIR_TARGET_PERMILLE
+    return dsir_select(
+        docs.filter(~is_t),
+        docs.filter(is_t),
+        keep_frac=DSIR_KEEP,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
 QUERIES = {
+    "q_dsir_select": q_dsir_select,
     "q_training_order": q_training_order,
     "q_sequence_packing": q_sequence_packing,
     "q_pii_redaction": q_pii_redaction,
@@ -252,6 +280,49 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_dsir_select": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks,
+                          {_MD5INT.format(x="'dsir-t:' || doc_id")} % 1000
+                              < {DSIR_TARGET_PERMILLE} AS is_t
+                   FROM documents),
+        feats AS (SELECT doc_id, is_t,
+                         unnest(toks || list_transform(
+                             range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS ft
+                  FROM d),
+        fb AS (SELECT doc_id, is_t,
+                      {_MD5INT.format(x="'dsir:' || ft")} % {DSIR_BUCKETS} AS b
+               FROM feats),
+        dfb AS (SELECT doc_id, b, count(*)::BIGINT AS m
+                FROM fb WHERE NOT is_t GROUP BY 1, 2),
+        cr AS (SELECT b, sum(m)::BIGINT AS c_r FROM dfb GROUP BY b),
+        ctg AS (SELECT b, count(*)::BIGINT AS c_t FROM fb WHERE is_t GROUP BY b),
+        nr AS (SELECT sum(c_r)::BIGINT AS n_r FROM cr),
+        nt AS (SELECT count(*)::BIGINT AS n_t FROM fb WHERE is_t),
+        ratio AS (SELECT b,
+                         CAST(round(ln(((coalesce(c_t, 0) + 1.0) / (n_t + {DSIR_BUCKETS}))
+                                       / ((c_r + 1.0) / (n_r + {DSIR_BUCKETS})))
+                                    * 1000000, 0) AS BIGINT) AS lr_micro
+                  FROM cr LEFT JOIN ctg USING (b) CROSS JOIN nr CROSS JOIN nt),
+        w AS (SELECT doc_id, sum(m * lr_micro)::BIGINT AS w_micro,
+                     sum(m)::BIGINT AS n_feats
+              FROM dfb JOIN ratio USING (b) GROUP BY doc_id),
+        scored AS (SELECT d.doc_id,
+                          coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+                          coalesce(w.w_micro, 0)::BIGINT AS w_micro,
+                          coalesce(w.w_micro, 0)::BIGINT
+                          + CAST(round(-ln(-ln(
+                                ({_MD5INT.format(x="'dsir-g:' || d.doc_id")} % 100000 + 0.5)
+                                / 100000.0)) * 1000000, 0) AS BIGINT) AS score_micro
+                   FROM d LEFT JOIN w ON w.doc_id = d.doc_id
+                   WHERE NOT d.is_t),
+        thr AS (SELECT round(quantile_cont(score_micro, {1.0 - DSIR_KEEP}), 6) AS t
+                FROM scored)
+        SELECT scored.doc_id, n_feats,
+               round(w_micro / 1000000.0, 6) AS log_weight,
+               score_micro >= t AS selected
+        FROM scored CROSS JOIN thr
+    """,
     "q_training_order": f"""
         WITH h AS (SELECT doc_id,
                           {_MD5INT.format(x="'epoch:0:' || doc_id")} AS h

@@ -275,3 +275,41 @@ def test_sqrt_temperature_mixture_single_stratum_identity(spark):
     out = sqrt_temperature_mixture(df, "src", "doc_id").collect()
     assert len(out) == 100
     assert all(r.n_copies == 1 for r in out)
+
+
+def test_dsir_select_prefers_target_like_documents(spark):
+    """DSIR contract: raw docs sharing the target's vocabulary carry a
+    higher log importance weight than vocabulary-disjoint docs, the
+    selection keeps ~keep_frac of the corpus, and the whole pipeline is
+    hash-deterministic (two runs agree row-for-row)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        # 30 target-like docs, 90 off-domain docs
+        [(i, "alpha beta gamma delta") for i in range(30)]
+        + [(100 + i, f"noise{i} filler{i} junk{i} blob{i}") for i in range(90)],
+        "doc_id long, text string",
+    )
+    out = dsir_select(corpus, target, keep_frac=0.25).collect()
+    assert len(out) == 120
+    by_id = {r.doc_id: r for r in out}
+    w_like = [by_id[i].log_weight for i in range(30)]
+    w_off = [by_id[100 + i].log_weight for i in range(90)]
+    assert min(w_like) > max(w_off)
+    n_sel = sum(1 for r in out if r.selected)
+    assert 0.15 * 120 <= n_sel <= 0.35 * 120
+    # determinism
+    again = dsir_select(corpus, target, keep_frac=0.25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # empty documents still get a row (weight 0), never dropped
+    with_empty = corpus.union(
+        spark.createDataFrame([(999, "")], "doc_id long, text string")
+    )
+    out2 = dsir_select(with_empty, target, keep_frac=0.25).collect()
+    assert len(out2) == 121
+    empty_row = next(r for r in out2 if r.doc_id == 999)
+    assert empty_row.n_feats == 0 and empty_row.log_weight == 0.0
