@@ -141,6 +141,7 @@ EXTRA = [
     "q_source_mixture",
     "q_event_sequences",
     "q_dsir_select",
+    "q_bloom_dedup",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -583,3 +583,105 @@ def incremental_dedup(
     )
     kept = batch.join(dropped.select("doc_id"), "doc_id", "left_anti")
     return kept, dropped
+
+
+def bloom_build(
+    keys: DataFrame, m_bits: int = 1 << 16, k: int = 3, key_col: str = "key"
+) -> DataFrame:
+    """Build an engine-portable Bloom filter over a key relation as a
+    (word_idx, bits) BITMAP RELATION — ceil(m_bits/63) rows of packed
+    int64 words (63 bits per word: bit 63 never set, so no engine hits
+    signed-shift overflow and the oracle's ``1 << j`` stays in BIGINT
+    range).
+
+    Bit positions come from k independent md5-derived hashes
+    (md5('bloom:i:' || key) % m_bits) and the build is one explode +
+    one ``bit_or`` groupBy — a mergeable, single-pass aggregate like
+    the HLL/quantile sketches (workload/relational.py).  Spark's own
+    bloom_filter_agg produces an opaque binary no other engine can
+    read; this relation form is byte-reproducible in SQL, diffable,
+    and join-broadcastable.
+
+    Use with :func:`bloom_probe` to pre-filter an incoming batch
+    map-side before an exact (or :func:`incremental_dedup` signature)
+    probe: at 100 TB the filter is ~m_bits/8 bytes regardless of
+    corpus size, so membership against billions of indexed digests
+    costs one broadcast + a per-row bit test, no shuffle of the
+    index.  No false negatives by construction; false-positive rate
+    ~(1 - e^(-k*n/m))^k picks m."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        md5_int(
+                            F.concat(
+                                F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")
+                            )
+                        )
+                        % m_bits
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr("p div 63").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(p % 63 as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    key_col: str = "key",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` bitmap: adds ``out_col`` (boolean,
+    true iff ALL k bits for the row's key are set — i.e. the key MIGHT
+    be in the indexed set; false is definitive absence).
+
+    Plan: explode the k probe positions, one broadcast left join on
+    word_idx against the (tiny) bitmap relation, and a bool_and
+    roll-up keyed by the probe key — the only shuffle is that per-key
+    aggregation over k rows."""
+    probes = df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        md5_int(
+                            F.concat(
+                                F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")
+                            )
+                        )
+                        % m_bits
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        key_col,
+        F.expr("p div 63").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(p % 63 as int))").alias("w"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(key_col)
+        .agg(
+            F.bool_and(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("w")))
+                == F.col("w")
+            ).alias(out_col)
+        )
+    )
+    return df.join(hits, key_col, "left")

@@ -136,6 +136,7 @@ _PRIORITY = [
     "q_source_mixture",
     "q_event_sequences",
     "q_dsir_select",
+    "q_bloom_dedup",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -200,8 +201,16 @@ _PRIORITY = [
 #                           keep slots); per-doc token stats also ride
 #                           q_token_shards' n_tokens
 #                           (sacrificed for q_dsir_select; green r3)
+#   q_lang_id             - the per-doc lang-ID heuristic's profile
+#                           scoring is rolled up by LOCAL_ONLY
+#                           q_lang_stats (mirror-verified) and the
+#                           lang column it gates is consumed
+#                           driver-side by q_stratified_sample,
+#                           q_token_shards and q_quality_gate
+#                           (sacrificed for q_bloom_dedup; green r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_lang_id",
     "q_regex_token_stats",
     "q_rolling_fingerprint",
     "q_doc_quality",

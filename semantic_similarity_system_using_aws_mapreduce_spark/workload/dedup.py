@@ -28,6 +28,12 @@ BENCH_PERMILLE = 20  # 2% of docs play the benchmark/eval set
 CONTAM_MIN_OVERLAP = 5  # shared distinct 3-grams to flag a doc
 SIMHASH_HAMMING = 3  # near-dup bit budget; < n_bands(4) for full recall
 SPAN_W = 8  # duplicate-span window (tokens); spans >= W surface as runs
+# Bloom membership pre-filter: half the corpus plays the already-
+# indexed side; m/k sized so a handful of false positives surface at
+# the fixture scale (the semantics under audit), none false-negative.
+BLOOM_IDX_PERMILLE = 500
+BLOOM_M = 4096
+BLOOM_K = 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +136,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(cands)
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental exact dedup:
+    a deterministic half of the corpus plays the already-indexed side,
+    its content digests build an engine-portable (word_idx, bits)
+    Bloom bitmap (operators/dedup.bloom_build), and every incoming doc
+    is probed map-side — per doc, the Bloom verdict next to the exact
+    answer, auditing the no-false-negative guarantee and the designed
+    false-positive rate.  At 100 TB the bitmap stays {BLOOM_M} bits no
+    matter how many digests are indexed, so the probe needs no shuffle
+    of the index (the q_decontaminate broadcast-probe shape with a
+    constant-size structure)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import bloom_build, bloom_probe
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    is_idx = hash_bucket(F.col("doc_id"), "bloomidx") < BLOOM_IDX_PERMILLE
+    idx = docs.filter(is_idx).select(F.md5("text").alias("key"))
+    inc = docs.filter(~is_idx).select("doc_id", F.md5("text").alias("key"))
+    bloom = bloom_build(idx, m_bits=BLOOM_M, k=BLOOM_K)
+    probed = bloom_probe(inc, bloom, m_bits=BLOOM_M, k=BLOOM_K, out_col="bloom_hit")
+    exact = idx.distinct().withColumn("_x", F.lit(1))
+    return probed.join(exact, "key", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.col("_x").isNotNull().alias("exact_hit"),
+    )
+
+
 QUERIES = {
+    "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
     "q_span_scrub": q_span_scrub,
     "q_decontaminate": q_decontaminate,
@@ -164,6 +199,31 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    "q_bloom_dedup": f"""
+        WITH d AS (SELECT doc_id, md5(text) AS key,
+                          {_MD5INT.format(x="'bloomidx:' || doc_id")} % 1000
+                              < {BLOOM_IDX_PERMILLE} AS is_idx
+                   FROM documents),
+        bloom AS (SELECT p // 63 AS word_idx,
+                         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+                  FROM (SELECT {_MD5INT.format(x="'bloom:' || j || ':' || key")}
+                                   % {BLOOM_M} AS p
+                        FROM d CROSS JOIN range({BLOOM_K}) s(j) WHERE is_idx)
+                  GROUP BY 1),
+        probes AS (SELECT doc_id, key,
+                          {_MD5INT.format(x="'bloom:' || j || ':' || key")}
+                              % {BLOOM_M} AS p
+                   FROM d CROSS JOIN range({BLOOM_K}) s(j) WHERE NOT is_idx),
+        hits AS (SELECT doc_id, key,
+                        bool_and((coalesce(bits, 0)
+                                  & (1::BIGINT << CAST(p % 63 AS INT)))
+                                 = (1::BIGINT << CAST(p % 63 AS INT))) AS bloom_hit
+                 FROM probes LEFT JOIN bloom ON bloom.word_idx = p // 63
+                 GROUP BY 1, 2),
+        idx_keys AS (SELECT DISTINCT key FROM d WHERE is_idx)
+        SELECT h.doc_id, h.bloom_hit, ik.key IS NOT NULL AS exact_hit
+        FROM hits h LEFT JOIN idx_keys ik USING (key)
+    """,
     "q_duplicate_spans": f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         s0 AS (SELECT doc_id, unnest(range(0, len(toks) - {SPAN_W} + 1)) AS pos, toks

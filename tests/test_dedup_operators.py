@@ -220,3 +220,34 @@ def test_incremental_dedup_probe_append_idempotent(spark):
     kept3, dropped3 = incremental_dedup(sigs(v3), index2)
     assert kept3.count() == 0
     assert {r.doc_id for r in dropped3.collect()} == {20, 21}
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
+    """Bloom contract: every indexed key probes true (no false
+    negatives — guaranteed by construction, not probabilistically),
+    non-members probe true only at ~the designed false-positive rate,
+    and the bitmap relation is deterministic."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(100)], "key string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(400)], "key string")
+    m_bits, k = 4096, 2
+    bloom = bloom_build(members, m_bits=m_bits, k=k)
+    assert (
+        bloom_probe(members, bloom, m_bits=m_bits, k=k)
+        .filter(~F.col("might_contain"))
+        .count()
+        == 0
+    )
+    fp = (
+        bloom_probe(others, bloom, m_bits=m_bits, k=k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    # expected FPR ~ (1 - e^(-k*n/m))^2 ~ 0.9% here; allow generous slack
+    assert fp <= 0.05 * 400
+    a = sorted(map(tuple, bloom.collect()))
+    b = sorted(map(tuple, bloom_build(members, m_bits=m_bits, k=k).collect()))
+    assert a == b
+    # bit 63 is never used (63-bit words keep the oracle's shift in range)
+    assert all(r[1] >= 0 for r in a)
