@@ -86,7 +86,12 @@ for _m in _MODULES:
 #                      driver slot is q_window_functions
 #   q_except_all / q_intersect_all - bag-semantics set ops; the
 #                      distinct forms hold the family's test slots
+#   q_cms_heavy_hitters - the mergeable-sketch family's driver slot is
+#                      q_sketch_accuracy (HLL + quantile); the CMS
+#                      variant stays mirror-verified rather than
+#                      costing another green rotation slot
 LOCAL_ONLY = [
+    "q_cms_heavy_hitters",
     "q_asof_next_view_after_purchase",
     "q_asof_nearest_view",
     "q_grouping_sets",

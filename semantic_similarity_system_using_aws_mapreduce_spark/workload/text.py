@@ -379,7 +379,76 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 3  # count-min depth (independent hash rows)
+CMS_W = 512  # count-min width (cells per row)
+HH_K = 20  # heavy hitters audited
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit: estimate the corpus
+    frequency of the top-{HH_K} tokens from a {CMS_D}x{CMS_W} CMS and
+    put the estimate next to the exact count (CMS never
+    underestimates; overestimate bounded by collisions in the
+    smallest cell).
+
+    The sketch is the 100 TB side: a map-side explode into (row,
+    cell) pairs collapsed by ONE partial-aggregated groupBy whose
+    state is at most {CMS_D}x{CMS_W} cells regardless of vocabulary —
+    the bounded-memory frequency structure (CM sketch, Cormode &
+    Muthukrishnan 2005) where an exact token groupBy's state grows
+    with the vocabulary.  Sketches from different corpus shards merge
+    by cell-wise addition (the same mergeability argument as the
+    HLL/quantile sketches in q_sketch_accuracy).  The exact side
+    exists only to audit the estimates, exactly like
+    q_sketch_accuracy's exact branch."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+
+    toks = _docs(spark, sf_dir).select(F.explode(_tokens_col()).alias("token"))
+    cell = lambda i: (  # noqa: E731
+        md5_int(F.concat(F.lit(f"cms:{i}:"), F.col("token"))) % CMS_W
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.i", "s.cell")
+    sketch = cells.groupBy("i", "cell").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "token").limit(HH_K)
+    probes = top.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("token", "exact_count", "s.i", "s.cell")
+    return (
+        probes.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_lm_quality": q_lm_quality,
     "q_doc_chunks": q_doc_chunks,
     "q_repetition_signals": q_repetition_signals,
@@ -419,7 +488,31 @@ _LANG_PICK = "CASE " + " ".join(
     for lang in sorted(LANG_PROFILES, reverse=True)
 ) + " END"
 
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
 ORACLES = {
+    "q_cms_heavy_hitters": f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        cells AS (SELECT i,
+                         {_MD5INT.format(x="'cms:' || i || ':' || token")}
+                             % {CMS_W} AS cell
+                  FROM toks CROSS JOIN range({CMS_D}) t(i)),
+        sketch AS (SELECT i, cell, count(*)::BIGINT AS c
+                   FROM cells GROUP BY 1, 2),
+        exact AS (SELECT token, count(*)::BIGINT AS exact_count
+                  FROM toks GROUP BY token),
+        top AS (SELECT * FROM exact
+                ORDER BY exact_count DESC, token LIMIT {HH_K}),
+        probes AS (SELECT token, exact_count, i,
+                          {_MD5INT.format(x="'cms:' || i || ':' || token")}
+                              % {CMS_W} AS cell
+                   FROM top CROSS JOIN range({CMS_D}) t(i))
+        SELECT token, exact_count,
+               min(c)::BIGINT AS cms_estimate,
+               min(c)::BIGINT >= exact_count AS never_underestimates
+        FROM probes JOIN sketch USING (i, cell)
+        GROUP BY token, exact_count
+    """,
     "q_lm_quality": """
         WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
                    WHERE length(lower(text)) >= 2),
