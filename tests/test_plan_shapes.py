@@ -155,3 +155,28 @@ def test_round4_curation_queries_never_sort_merge_the_corpus(spark, name):
     assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
     assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan}"
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """q_bloom_dedup's bitmap (m/63 words) is constant-size regardless
+    of how many keys were indexed — the probe side must meet it via
+    broadcast; no pairwise stage may degrade."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_bloom_dedup"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, f"lost the bitmap broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_ratio_table_is_broadcast(spark):
+    """q_dsir_select's log-ratio table (n_buckets rows) is constant-
+    size — the per-(doc, bucket) count relation must meet it via
+    BroadcastHashJoin.  The plan's BroadcastNestedLoopJoin-Cross nodes
+    are the 1-row totals cross-joins (the S5 counters pattern) and are
+    fine; a CartesianProduct (both sides unbroadcast) is not."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_dsir_select"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, f"ratio join lost its broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan, plan
