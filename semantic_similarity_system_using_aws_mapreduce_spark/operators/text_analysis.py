@@ -196,3 +196,68 @@ def chunk_documents(
             F.md5(F.array_join("__chunk", " ")).alias("chunk_hash"),
         )
     )
+
+
+def cms_sketch(
+    toks: DataFrame, d: int = 3, w: int = 512, token_col: str = "token"
+) -> DataFrame:
+    """Count-min sketch of a token-occurrence relation as an
+    (i, cell, c) relation — d hash rows x w cells, cell positions from
+    the portable md5 hash (md5('cms:i:' || token) % w), built by one
+    map-side explode + one partial-aggregated groupBy whose state is
+    bounded by d*w regardless of vocabulary (CM sketch, Cormode &
+    Muthukrishnan 2005).
+
+    Mergeability is the point: sketches over disjoint corpus shards —
+    or successive streaming micro-batches — combine by cell-wise
+    addition into exactly the sketch of the union, which is what lets
+    a 100 TB (or continuously growing) corpus keep one bounded-size
+    frequency structure.  Query an estimate with
+    :func:`cms_estimate`; it never underestimates."""
+    cell = lambda i: (  # noqa: E731
+        md5_int(F.concat(F.lit(f"cms:{i}:"), F.col(token_col))) % w
+    )
+    return (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                        for i in range(d)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.cell")
+        .groupBy("i", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame, sketch: DataFrame, d: int = 3, w: int = 512,
+    token_col: str = "token",
+) -> DataFrame:
+    """Estimated corpus frequency for each row of ``items`` from a
+    :func:`cms_sketch` relation: min over the d probed cells.  The
+    sketch is d*w rows — broadcast; the probe adds one small
+    aggregation keyed by the item."""
+    cell = lambda i: (  # noqa: E731
+        md5_int(F.concat(F.lit(f"cms:{i}:"), F.col(token_col))) % w
+    )
+    probes = items.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("s"),
+    ).select(token_col, "s.i", "s.cell")
+    return (
+        probes.join(F.broadcast(sketch), ["i", "cell"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )

@@ -128,3 +128,49 @@ def run_streaming_curation(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_token_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    d: int = 3,
+    w: int = 512,
+) -> None:
+    """Continuous heavy-hitter tracking: each micro-batch's token
+    count-min sketch merges CELL-WISE into a persisted sketch table —
+    the streaming face of workload/text.q_cms_heavy_hitters.
+
+    CMS merge is exact addition, so after draining any prefix of the
+    stream the persisted sketch is BIT-IDENTICAL to the batch sketch
+    over the documents ingested so far (the test asserts it) — unlike
+    windowed streaming aggregations there is no watermark and nothing
+    is ever evicted, because the state is d*w cells however much text
+    flows through.  The merged relation is localCheckpoint-ed before
+    overwriting the table it was read from (lineage must not reference
+    the files being replaced); at d*w rows the rewrite is trivial, and
+    a production deployment would MERGE into a keyed table instead."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import cms_sketch
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        toks = batch.select(F.explode(tokens(F.col("text"))).alias("token"))
+        delta = cms_sketch(toks, d, w)
+        if os.path.isdir(sketch_path):
+            prev = spark.read.parquet(sketch_path)
+            merged = (
+                delta.unionByName(prev)
+                .groupBy("i", "cell")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    (
+        read_document_stream(spark, source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", sketch_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

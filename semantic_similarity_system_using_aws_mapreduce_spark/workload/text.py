@@ -401,49 +401,23 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL/quantile sketches in q_sketch_accuracy).  The exact side
     exists only to audit the estimates, exactly like
     q_sketch_accuracy's exact branch."""
-    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        cms_estimate,
+        cms_sketch,
+    )
 
     toks = _docs(spark, sf_dir).select(F.explode(_tokens_col()).alias("token"))
-    cell = lambda i: (  # noqa: E731
-        md5_int(F.concat(F.lit(f"cms:{i}:"), F.col("token"))) % CMS_W
-    )
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("s")
-    ).select("s.i", "s.cell")
-    sketch = cells.groupBy("i", "cell").agg(F.count("*").alias("c"))
+    sketch = cms_sketch(toks, CMS_D, CMS_W)
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
     top = exact.orderBy(F.desc("exact_count"), "token").limit(HH_K)
-    probes = top.select(
+    est = cms_estimate(top.select("token"), sketch, CMS_D, CMS_W)
+    return top.join(est, "token").select(
         "token",
         "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), cell(i).alias("cell"))
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("s"),
-    ).select("token", "exact_count", "s.i", "s.cell")
-    return (
-        probes.join(F.broadcast(sketch), ["i", "cell"])
-        .groupBy("token", "exact_count")
-        .agg(F.min("c").alias("cms_estimate"))
-        .select(
-            "token",
-            "exact_count",
-            "cms_estimate",
-            (F.col("cms_estimate") >= F.col("exact_count")).alias(
-                "never_underestimates"
-            ),
-        )
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
     )
 
 

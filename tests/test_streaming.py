@@ -400,3 +400,54 @@ def test_streaming_curation_matches_sequential_batch_application(spark, tmp_path
     # index mirrors the corpus
     idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
     assert idx_ids == got_ids
+
+
+def test_streaming_token_sketch_equals_batch_sketch(spark, tmp_path):
+    """Per-micro-batch count-min sketches merged cell-wise into the
+    persisted sketch table must be BIT-IDENTICAL to the batch sketch
+    over all ingested documents (CMS merge is exact addition — no
+    approximation is introduced by streaming), and estimates queried
+    from the streamed sketch must never underestimate true counts."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import tokens as _tokens
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_token_sketch
+
+    batches = {
+        "batch_a": [(1, "alpha beta gamma alpha"), (2, "beta beta delta")],
+        "batch_b": [(3, "alpha epsilon"), (4, "zeta beta alpha alpha")],
+        "batch_c": [(5, "eta theta beta"), (6, "alpha")],
+    }
+    src = tmp_path / "sketch_incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for name, rows in batches.items():
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sketch_path = str(tmp_path / "sketch")
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=64)
+
+    all_rows = [r for rows in batches.values() for r in rows]
+    docs = spark.createDataFrame(all_rows, schema)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    expected = sorted(map(tuple, cms_sketch(toks, d=3, w=64).collect()))
+    streamed = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
+    assert streamed == expected
+    # estimates from the streamed sketch never underestimate
+    exact = toks.groupBy("token").agg(F.count("*").alias("n"))
+    est = cms_estimate(
+        exact.select("token"), spark.read.parquet(sketch_path), d=3, w=64
+    )
+    joined = exact.join(est, "token").collect()
+    assert len(joined) == 8
+    assert all(r.cms_estimate >= r.n for r in joined)
+    # 'alpha' occurs 6 times; its estimate is at least that
+    assert next(r for r in joined if r.token == "alpha").cms_estimate >= 6
