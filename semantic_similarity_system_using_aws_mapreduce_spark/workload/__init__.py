@@ -90,7 +90,13 @@ for _m in _MODULES:
 #                      q_sketch_accuracy (HLL + quantile); the CMS
 #                      variant stays mirror-verified rather than
 #                      costing another green rotation slot
+#   q_conversion_funnel - ordered-temporal event analytics; the
+#                      family's driver slots are q_event_sequences,
+#                      q_sessionization and the as-of joins — the
+#                      funnel's step chain (per-user min-ts agg +
+#                      frontier join) stays mirror-verified
 LOCAL_ONLY = [
+    "q_conversion_funnel",
     "q_cms_heavy_hitters",
     "q_asof_next_view_after_purchase",
     "q_asof_nearest_view",

@@ -282,7 +282,57 @@ def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view -> click AFTER the first
+    view -> purchase AFTER that click): per-step user counts and
+    conversion rates in one row.  "Ordered" is the point — a user who
+    clicked before ever viewing does not convert step 2, which is what
+    separates a funnel from three independent COUNT DISTINCTs.
+
+    Plan: each step is a per-user min-timestamp aggregation joined to
+    the previous step's frontier; all three aggs and both joins key on
+    user_id, so at 100 TB the chain is co-partitioned after the first
+    exchange (AQE reuses it) and nothing is ever ordered globally —
+    the window-sort formulation would sort every user's full history
+    instead of folding it to one timestamp per step."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_view_click") / F.col("n_view"), 6).alias("click_rate"),
+            F.round(F.col("n_full_funnel") / F.col("n_view"), 6).alias(
+                "purchase_rate"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "q_conversion_funnel": q_conversion_funnel,
     "q_asof_next_view_after_purchase": q_asof_next_view_after_purchase,
     "q_asof_nearest_view": q_asof_nearest_view,
     "q_asof_view_before_purchase": q_asof_view_before_purchase,
@@ -296,6 +346,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_conversion_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+               (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+               (SELECT count(*) FROM p)::BIGINT AS n_full_funnel,
+               round((SELECT count(*) FROM c) * 1.0
+                     / (SELECT count(*) FROM v), 6) AS click_rate,
+               round((SELECT count(*) FROM p) * 1.0
+                     / (SELECT count(*) FROM v), 6) AS purchase_rate
+    """,
     # forward: earliest view at-or-after; equal-timestamp views resolve
     # to the greatest event_id (the engine's right_tiebreak semantics:
     # the greatest wins in every direction)
