@@ -95,7 +95,11 @@ for _m in _MODULES:
 #                      q_sessionization and the as-of joins — the
 #                      funnel's step chain (per-user min-ts agg +
 #                      frontier join) stays mirror-verified
+#   q_cohort_retention - same family (integer epoch-week cohort
+#                      matrix); grouped-agg + co-partitioned join
+#                      shapes all hold driver slots elsewhere
 LOCAL_ONLY = [
+    "q_cohort_retention",
     "q_conversion_funnel",
     "q_cms_heavy_hitters",
     "q_asof_next_view_after_purchase",

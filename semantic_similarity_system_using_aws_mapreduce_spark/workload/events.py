@@ -331,7 +331,41 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted
+    once per later week they were active — the (cohort_week,
+    week_offset, n_active) triangle every growth dashboard draws.
+
+    Weeks are integer epoch-week indexes (unix seconds div 604800),
+    NOT calendar truncations: date_trunc week conventions and
+    timezone rules differ across engines, while integer division of
+    the UTC-pinned epoch has exactly one answer (the same reasoning
+    as the events readers' micros quantization).
+
+    Plan: per-user signup week is one agg; per-(user, week) activity
+    is one distinct agg; both key user_id, the join is co-partitioned,
+    and the final rollup is keyed by the (cohort, offset) pair — no
+    global sort, nothing per-user beyond its own rows."""
+    ev = _events(spark, sf_dir)
+    # `div`, not `/` + cast: float division near a week boundary could
+    # round across it; integer division has one answer in every engine
+    week = F.expr("unix_timestamp(ts) div 604800")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(signup, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
 QUERIES = {
+    "q_cohort_retention": q_cohort_retention,
     "q_conversion_funnel": q_conversion_funnel,
     "q_asof_next_view_after_purchase": q_asof_next_view_after_purchase,
     "q_asof_nearest_view": q_asof_nearest_view,
@@ -346,6 +380,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cohort_retention": """
+        WITH w AS (SELECT user_id, event_type,
+                          floor(epoch(ts))::BIGINT // 604800 AS week
+                   FROM events),
+        signup AS (SELECT user_id, min(week) AS cohort_week
+                   FROM w WHERE event_type = 'signup' GROUP BY 1),
+        active AS (SELECT DISTINCT user_id, week FROM w)
+        SELECT cohort_week, (week - cohort_week) AS week_offset,
+               count(*)::BIGINT AS n_active
+        FROM active JOIN signup USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY 1, 2
+    """,
     "q_conversion_funnel": """
         WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                    WHERE event_type = 'view' GROUP BY 1),
