@@ -152,6 +152,7 @@ _PRIORITY = [
     "q_event_sequences",
     "q_dsir_select",
     "q_bloom_dedup",
+    "q_leakage_safe_split",
 ]
 
 # Exported last: if the driver's 50-row cap holds these nine fall off
@@ -223,8 +224,16 @@ _PRIORITY = [
 #                           driver-side by q_stratified_sample,
 #                           q_token_shards and q_quality_gate
 #                           (sacrificed for q_bloom_dedup; green r3)
+#   q_dedup_clusters      - the clusters relation (recursive-CTE
+#                           oracled connected components) is the
+#                           IDENTICAL subplan of the rotating-in
+#                           q_leakage_safe_split, which adds only a
+#                           map-side bucket on top — the iterative
+#                           algorithm keeps a driver row either way
+#                           (green r3)
 # All remain verified by the local mirror test either way.
 _LAST = [
+    "q_dedup_clusters",
     "q_lang_id",
     "q_regex_token_stats",
     "q_rolling_fingerprint",

@@ -164,7 +164,51 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PERMILLE = 800  # train < 800 <= val < 900 <= test
+SPLIT_VAL_PERMILLE = 900
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split WITHOUT near-duplicate leakage: the split
+    decision hashes the document's DEDUP-CLUSTER representative, not
+    the document — every member of a near-dup cluster lands in the
+    same split, so a test document can never have a near-duplicate in
+    train (the eval-contamination failure mode exact-by-doc splits
+    have).  Singletons hash their own id; the assignment is the
+    deterministic md5-bucket rule every sampler here uses.
+
+    Plan: the LSH candidate graph's connected components (the
+    q_dedup_clusters subplan) left-joined back to the corpus, then a
+    map-side bucket expression — no extra shuffle beyond the
+    clustering itself."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
+    cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
+    comp = connected_components(cands).withColumnRenamed("node", "doc_id")
+    b = hash_bucket(F.col("group_id"), "split")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        )
+        .select(
+            "doc_id",
+            "group_id",
+            F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+            .when(b < SPLIT_VAL_PERMILLE, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 QUERIES = {
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
     "q_span_scrub": q_span_scrub,
@@ -199,6 +243,43 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    "q_leakage_safe_split": f"""
+        WITH RECURSIVE {_SIGS_CTE},
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cands
+            UNION SELECT doc_b, doc_a FROM cands
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+        grouped AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+        SELECT doc_id, group_id,
+               CASE WHEN {_MD5INT.format(x="'split:' || group_id")} % 1000
+                         < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+                    WHEN {_MD5INT.format(x="'split:' || group_id")} % 1000
+                         < {SPLIT_VAL_PERMILLE} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grouped
+    """,
     "q_bloom_dedup": f"""
         WITH d AS (SELECT doc_id, md5(text) AS key,
                           {_MD5INT.format(x="'bloomidx:' || doc_id")} % 1000

@@ -251,3 +251,23 @@ def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
     assert a == b
     # bit 63 is never used (63-bit words keep the oracle's shift in range)
     assert all(r[1] >= 0 for r in a)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The leakage guarantee itself: every member of a dedup cluster
+    carries the same split label, and the three splits roughly follow
+    the 80/10/10 hash design."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.dedup import q_leakage_safe_split
+
+    out = q_leakage_safe_split(spark, "/root/testdata/sf0.001")
+    per_group = out.groupBy("group_id").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # at least one real (multi-doc) cluster exists in the fixture
+    assert per_group.filter(F.col("n") > 1).count() > 0
+    by_split = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(by_split.values())
+    assert by_split.get("train", 0) / total > 0.6
+    assert 0 < by_split.get("val", 0) / total < 0.25
+    assert 0 < by_split.get("test", 0) / total < 0.25
