@@ -77,3 +77,63 @@ def test_filters_and_pruning_reach_the_scan(spark):
         ), f"{name}: {pushed_col} not pushed to any scan"
         assert pruned_col not in plan.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in plan else True
         assert pruned_col not in plan, f"{name}: reads pruned column {pruned_col}"
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-order write contract: every output file covers a compact
+    region of BOTH key domains (so min/max footer pruning works for a
+    predicate on either column), where a single-column sort only
+    shrinks the sorted column's per-file span.  Verified from the
+    actual parquet footers via per-file min/max."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.layout import morton_code, zorder_write
+
+    n = 1 << 14
+    side = 1 << 7  # x, y uniform over [0, 128)
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 2654435761) % side).alias("y"),
+    )
+
+    def per_file_spans(path):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("x") - F.min("x")).alias("sx"),
+                    (F.max("y") - F.min("y")).alias("sy"),
+                )
+                .first()
+            )
+            spans.append((row.sx, row.sy))
+        return spans
+
+    z_path, x_path = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    zorder_write(df, z_path, "x", "y", n_files=16, bits=7)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(x_path)
+    )
+
+    z_spans = per_file_spans(z_path)
+    x_spans = per_file_spans(x_path)
+    assert len(z_spans) == 16
+    # z-order: both dimensions compact in every file (<= half the domain)
+    assert all(sx <= side / 2 and sy <= side / 2 for sx, sy in z_spans), z_spans
+    # single-column sort: x compact but y spans ~the whole domain
+    assert all(sx <= side / 2 for sx, _ in x_spans)
+    assert max(sy for _, sy in x_spans) > 0.9 * side
+
+    # the morton code itself is exact bit interleaving
+    row = (
+        spark.range(1)
+        .select(morton_code(F.lit(0b101), F.lit(0b011), bits=3).alias("z"))
+        .first()
+    )
+    # a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    assert row.z == 0b011011
