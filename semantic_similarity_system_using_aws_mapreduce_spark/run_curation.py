@@ -1,0 +1,212 @@
+"""Training-data curation runner — the end-to-end CLI a data team
+would actually point at a raw corpus, composing the engine's curation
+operators into the standard funnel:
+
+    ingest -> quality gate -> exact dedup -> near-dedup (MinHash/LSH
+    clusters) -> optional benchmark decontamination -> leakage-safe
+    train/val/test split -> token-budget shard materialization
+
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_curation DOCS OUTDIR
+        [--format parquet|jsonl|csv] [--eval-docs PATH]
+        [--min-tokens 24] [--min-ttr 0.35] [--contam-overlap 5]
+        [--shard-budget 2048] [--no-shards]
+
+DOCS needs (doc_id, text[, lang, source, ...]); extra columns ride
+through untouched.  Writes to OUTDIR:
+
+    curated.parquet/   survivors, partitioned by split, with
+                       group_id (dedup-cluster rep) and split columns
+    rejects.parquet/   every dropped doc with its drop stage
+    shards/            (unless --no-shards) one parquet file per
+                       (split, shard) under a token budget
+    manifest.json      per-stage funnel counts + shard manifest
+
+Every decision is hash-deterministic (md5 buckets, min-id survivors),
+so re-running on the same snapshot reproduces byte-identical outputs —
+the audit property the per-operator docstrings promise, delivered
+end-to-end.  Scale notes: each stage is the operator's documented
+100 TB plan; the funnel counts come from one aggregation over the
+staged relation, not per-stage driver actions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+    lsh_candidates,
+    minhash_signatures,
+    ngram_contamination,
+    shingle_hashes,
+    tokens,
+)
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.jsonl import read_csv_documents, read_jsonl_documents
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import write_training_shards
+
+TRAIN_PERMILLE = 800
+VAL_PERMILLE = 900
+
+
+def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        return read_jsonl_documents(spark, path)[0]
+    if fmt == "csv":
+        return read_csv_documents(spark, path)[0]
+    raise ValueError(f"unknown --format {fmt!r}")
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    outdir: str,
+    eval_docs: DataFrame | None = None,
+    min_tokens: int = 24,
+    min_ttr: float = 0.35,
+    contam_overlap: int = 5,
+    shard_budget: int = 2048,
+    shards: bool = True,
+) -> dict:
+    os.makedirs(outdir, exist_ok=True)
+
+    # --- stage columns (all map-side except where noted) ------------
+    toks = tokens(F.col("text"))
+    staged = docs.withColumn("_n_toks", F.size(toks)).withColumn(
+        "_ttr",
+        F.when(
+            F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+        ).otherwise(F.lit(0.0)),
+    )
+    quality_ok = (F.col("_n_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+
+    # exact dedup: min doc_id survives per content digest (one shuffle)
+    digest_rank = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    staged = staged.withColumn("_exact_rank", digest_rank)
+
+    # near-dedup clusters over the quality+exact survivors only — the
+    # expensive stage never sees rows an earlier (cheaper) stage drops
+    survivors0 = staged.filter(quality_ok & (F.col("_exact_rank") == 1)).select(
+        "doc_id", "text"
+    )
+    sigs = minhash_signatures(shingle_hashes(survivors0))
+    comp = connected_components(lsh_candidates(sigs)).withColumnRenamed(
+        "node", "doc_id"
+    )
+    staged = staged.join(comp, "doc_id", "left").withColumn(
+        "_group", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    near_ok = F.col("doc_id") == F.col("_group")  # cluster rep survives
+
+    # optional benchmark decontamination (broadcast eval shingle probe)
+    if eval_docs is not None:
+        contam = ngram_contamination(
+            shingle_hashes(survivors0), shingle_hashes(eval_docs), contam_overlap
+        ).select("doc_id", "contaminated")
+        staged = staged.join(contam, "doc_id", "left").withColumn(
+            "_contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    else:
+        staged = staged.withColumn("_contaminated", F.lit(False))
+
+    # leakage-safe split: bucket the dedup-cluster representative
+    b = hash_bucket(F.col("_group"), "split")
+    staged = (
+        staged.withColumn(
+            "_stage",
+            F.when(~quality_ok, "quality")
+            .when(F.col("_exact_rank") != 1, "exact_dup")
+            .when(~near_ok, "near_dup")
+            .when(F.col("_contaminated"), "contaminated")
+            .otherwise("kept"),
+        )
+        .withColumn(
+            "split",
+            F.when(b < TRAIN_PERMILLE, "train")
+            .when(b < VAL_PERMILLE, "val")
+            .otherwise("test"),
+        )
+        .withColumn("group_id", F.col("_group"))
+        .persist()
+    )
+
+    funnel = {
+        r["_stage"]: r["n"]
+        for r in staged.groupBy("_stage").agg(F.count("*").alias("n")).collect()
+    }
+
+    carry = [c for c in docs.columns] + ["group_id", "split"]
+    kept = staged.filter(F.col("_stage") == "kept").select(*carry)
+    kept.write.mode("overwrite").partitionBy("split").parquet(
+        f"{outdir}/curated.parquet"
+    )
+    (
+        staged.filter(F.col("_stage") != "kept")
+        .select(*docs.columns, F.col("_stage").alias("drop_stage"))
+        .write.mode("overwrite")
+        .parquet(f"{outdir}/rejects.parquet")
+    )
+
+    manifest: dict = {
+        "funnel": funnel,
+        "n_input": sum(funnel.values()),
+        "n_kept": funnel.get("kept", 0),
+        "split_permille": {"train": TRAIN_PERMILLE, "val": VAL_PERMILLE},
+    }
+    if shards and manifest["n_kept"] > 0:
+        shard_manifest = write_training_shards(
+            spark.read.parquet(f"{outdir}/curated.parquet"),
+            f"{outdir}/shards",
+            budget_tokens=shard_budget,
+            part_col="split",
+        )
+        manifest["shards"] = [r.asDict() for r in shard_manifest.collect()]
+    staged.unpersist()
+    with open(f"{outdir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    return manifest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("docs")
+    ap.add_argument("outdir")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"])
+    ap.add_argument("--eval-docs", default=None)
+    ap.add_argument("--min-tokens", type=int, default=24)
+    ap.add_argument("--min-ttr", type=float, default=0.35)
+    ap.add_argument("--contam-overlap", type=int, default=5)
+    ap.add_argument("--shard-budget", type=int, default=2048)
+    ap.add_argument("--no-shards", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="curation")
+    eval_docs = (
+        _read(spark, args.eval_docs, args.format) if args.eval_docs else None
+    )
+    manifest = curate(
+        spark,
+        _read(spark, args.docs, args.format),
+        args.outdir,
+        eval_docs=eval_docs,
+        min_tokens=args.min_tokens,
+        min_ttr=args.min_ttr,
+        contam_overlap=args.contam_overlap,
+        shard_budget=args.shard_budget,
+        shards=not args.no_shards,
+    )
+    print(json.dumps(manifest, default=str))
+
+
+if __name__ == "__main__":
+    main()

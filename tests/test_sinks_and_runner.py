@@ -162,3 +162,57 @@ def test_bench_dry_run(tmp_path):
     import bench
 
     assert out["analyzed"] == len(bench.HEADLINE) + len(bench.EXTRA)
+
+
+def test_run_curation_funnel_contract(spark, tmp_path):
+    """End-to-end curation CLI: quality gate, exact + near dedup,
+    decontamination, leakage-safe splits and shard layout compose into
+    one deterministic run whose manifest accounts for every input row
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    def text(seed, n=30):
+        return " ".join(f"{seed}{i}" for i in range(n))
+
+    rows = (
+        [(i, text(f"w{i}_")) for i in range(20)]            # unique docs
+        + [(100, text("dup_")), (101, text("dup_"))]        # exact dup pair
+        + [(200, "too short")]                              # quality drop
+        + [(300, " ".join(["rep"] * 40))]                   # ttr drop
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame([(9000, text("w3_"))], "doc_id long, text string")
+
+    out = str(tmp_path / "curated")
+    manifest = curate(
+        spark, docs, out, eval_docs=eval_docs, min_tokens=24, min_ttr=0.35,
+        shard_budget=128,
+    )
+
+    funnel = manifest["funnel"]
+    assert manifest["n_input"] == len(rows) == sum(funnel.values())
+    assert funnel["quality"] == 2
+    assert funnel["exact_dup"] == 1          # 101 drops, 100 survives
+    assert funnel["contaminated"] >= 1       # doc 3 matches the eval doc
+    assert manifest["n_kept"] == funnel["kept"]
+
+    kept = spark.read.parquet(f"{out}/curated.parquet")
+    assert kept.count() == funnel["kept"]
+    assert set(kept.columns) >= {"doc_id", "text", "group_id", "split"}
+    # no duplicate content among survivors
+    assert kept.select(F.md5("text")).distinct().count() == kept.count()
+    # rejects carry their drop stage; every input row lands somewhere
+    rejects = spark.read.parquet(f"{out}/rejects.parquet")
+    assert rejects.count() + kept.count() == len(rows)
+    assert set(r.drop_stage for r in rejects.collect()) >= {"quality", "exact_dup"}
+    # shards exist and respect the split partitioning
+    assert manifest["shards"]
+    assert {s["stratum"] for s in manifest["shards"]} <= {"train", "val", "test"}
+    # determinism: a second run reproduces the same funnel
+    manifest2 = curate(
+        spark, docs, str(tmp_path / "curated2"), eval_docs=eval_docs,
+        min_tokens=24, min_ttr=0.35, shard_budget=128,
+    )
+    assert manifest2["funnel"] == funnel
