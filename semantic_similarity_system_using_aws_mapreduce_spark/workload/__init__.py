@@ -98,7 +98,11 @@ for _m in _MODULES:
 #   q_cohort_retention - same family (integer epoch-week cohort
 #                      matrix); grouped-agg + co-partitioned join
 #                      shapes all hold driver slots elsewhere
+#   q_data_card - corpus release report; GROUPING SETS' driver slot is
+#                      q_cube_qty, the micro-quantized mean recipe's
+#                      is q_lm_quality
 LOCAL_ONLY = [
+    "q_data_card",
     "q_cohort_retention",
     "q_conversion_funnel",
     "q_cms_heavy_hitters",

@@ -240,7 +240,40 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(source, lang) + per-source + overall
+    summary a dataset release ships — doc counts, token volume, and
+    mean type-token ratio — in ONE grouping-sets pass (one Expand +
+    one aggregation; no re-scan per level).  The TTR mean follows the
+    engine's float-determinism recipe: each ratio is quantized to
+    int64 micro-units BEFORE the sum, so the group mean has one
+    cross-engine answer at any partitioning."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ttr_micro = F.round(
+        F.size(F.array_distinct("_toks")) / F.size("_toks") * 1_000_000, 0
+    ).cast("long")
+    (
+        _docs(spark, sf_dir)
+        .select("source", "lang", toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select("source", "lang", F.size("_toks").alias("_n"), ttr_micro.alias("_q"))
+        .createOrReplaceTempView("docs_card")
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(source, 'ALL') AS source,
+               coalesce(lang, 'ALL') AS lang,
+               count(*) AS n_docs,
+               sum(_n) AS n_tokens,
+               round(sum(_q) / count(*) / 1000000.0, 6) AS avg_ttr
+        FROM docs_card
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        """
+    )
+
+
 QUERIES = {
+    "q_data_card": q_data_card,
     "q_dsir_select": q_dsir_select,
     "q_training_order": q_training_order,
     "q_sequence_packing": q_sequence_packing,
@@ -280,6 +313,20 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "q_data_card": f"""
+        WITH d AS (SELECT source, lang, {_TOKS} AS toks FROM documents),
+        s AS (SELECT source, lang, len(toks) AS _n,
+                     CAST(round(len(list_distinct(toks)) * 1.0 / len(toks)
+                                * 1000000, 0) AS BIGINT) AS _q
+              FROM d WHERE len(toks) > 0)
+        SELECT coalesce(source, 'ALL') AS source,
+               coalesce(lang, 'ALL') AS lang,
+               count(*)::BIGINT AS n_docs,
+               sum(_n)::BIGINT AS n_tokens,
+               round(sum(_q) * 1.0 / count(*) / 1000000.0, 6) AS avg_ttr
+        FROM s
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
     "q_dsir_select": f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks,
                           {_MD5INT.format(x="'dsir-t:' || doc_id")} % 1000
