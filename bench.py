@@ -142,6 +142,7 @@ EXTRA = [
     "q_event_sequences",
     "q_dsir_select",
     "q_bloom_dedup",
+    "q_leakage_safe_split",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -101,7 +101,13 @@ for _m in _MODULES:
 #   q_data_card - corpus release report; GROUPING SETS' driver slot is
 #                      q_cube_qty, the micro-quantized mean recipe's
 #                      is q_lm_quality
+#   q_hash_embeddings - model-free hashed document vectors (the
+#                      feature-hashing bridge from text to the
+#                      embedding operators); the explode+conditional-
+#                      sum shape holds driver slots via
+#                      q_source_similarity's 24-aggregate pattern
 LOCAL_ONLY = [
+    "q_hash_embeddings",
     "q_data_card",
     "q_cohort_retention",
     "q_conversion_funnel",

@@ -421,7 +421,47 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HE_DIM = 8  # hashed-embedding dimensions
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document embeddings with no model: the feature-
+    hashing trick (Weinberger et al. 2009) — each token occurrence
+    adds ±1 to the dimension its hash picks, sign from the next hash
+    bit.  The resulting int64 vectors feed the same cosine / SRP-LSH /
+    semantic-dedup operators as model embeddings (the
+    bootstrap-before-you-have-a-model path), and integer accumulation
+    makes them bit-reproducible by any engine with md5.
+
+    Plan: map-side explode -> ONE groupBy(doc_id) with {HE_DIM}
+    conditional integer sums (the Step4 24-aggregate pattern); state
+    is one row per document."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("he:"), F.col("token"))), 1, 15), 16, 10
+    ).cast("long")
+    x = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .select("doc_id", h.alias("hh"))
+        # `div`, not `/`: integer bit extraction must not round
+        .select(
+            "doc_id",
+            F.expr(f"hh % {HE_DIM}").alias("dim"),
+            F.expr(f"1 - 2 * ((hh div {HE_DIM}) % 2)").alias("sign"),
+        )
+    )
+    return x.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("dim") == j, F.col("sign")).otherwise(0))
+            .cast("long")
+            .alias(f"e{j}")
+            for j in range(HE_DIM)
+        ]
+    )
+
+
 QUERIES = {
+    "q_hash_embeddings": q_hash_embeddings,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_lm_quality": q_lm_quality,
     "q_doc_chunks": q_doc_chunks,
@@ -464,7 +504,24 @@ _LANG_PICK = "CASE " + " ".join(
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+_HE_SUM_COLS = ",\n               ".join(
+    f"sum(CASE WHEN dim = {j} THEN sign ELSE 0 END)::BIGINT AS e{j}"
+    for j in range(HE_DIM)
+)
+
 ORACLES = {
+    "q_hash_embeddings": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        h AS (SELECT doc_id,
+                     {_MD5INT.format(x="'he:' || token")} AS hh
+              FROM t),
+        x AS (SELECT doc_id, hh % {HE_DIM} AS dim,
+                     1 - 2 * ((hh // {HE_DIM}) % 2) AS sign
+              FROM h)
+        SELECT doc_id,
+               {_HE_SUM_COLS}
+        FROM x GROUP BY doc_id
+    """,
     "q_cms_heavy_hitters": f"""
         WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
         cells AS (SELECT i,
