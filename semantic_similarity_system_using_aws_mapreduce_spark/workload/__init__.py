@@ -106,7 +106,13 @@ for _m in _MODULES:
 #                      embedding operators); the explode+conditional-
 #                      sum shape holds driver slots via
 #                      q_source_similarity's 24-aggregate pattern
+#   q_exact_jaccard_join - EXACT prefix-filtered similarity join; its
+#                      oracle is the index-free all-pairs SQL (a
+#                      recall PROOF, run by the mirror test); the
+#                      similarity-join family's driver slots are
+#                      q_ngram_jaccard_dups + q_minhash_lsh_candidates
 LOCAL_ONLY = [
+    "q_exact_jaccard_join",
     "q_hash_embeddings",
     "q_data_card",
     "q_cohort_retention",

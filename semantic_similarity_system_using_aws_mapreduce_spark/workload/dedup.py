@@ -68,6 +68,20 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cands)
 
 
+def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT jaccard >= {JACCARD_THRESHOLD} similarity self-join via
+    prefix filtering — no LSH recall loss; the oracle is the plain
+    all-pairs SQL, so the mirror test proves the pruning finds every
+    qualifying pair (operators/dedup.prefix_jaccard_join for the
+    lemma and the 100 TB shape)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        shingle_hashes(_docs(spark, sf_dir)),
+        threshold_permille=int(JACCARD_THRESHOLD * 1000),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -208,6 +222,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_exact_jaccard_join": q_exact_jaccard_join,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
@@ -243,6 +258,22 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    # the EXACT all-pairs form — deliberately index-free: matching it
+    # proves the engine's prefix filter finds every qualifying pair
+    "q_exact_jaccard_join": f"""
+        WITH {_SH_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
     "q_leakage_safe_split": f"""
         WITH RECURSIVE {_SIGS_CTE},
         buckets AS (
