@@ -285,6 +285,31 @@ def main() -> None:
 
     _run_queries([(n, extra_queries) for n in EXTRA])
 
+    # End-to-end curation funnel (run_curation CLI semantics) over the
+    # sf documents table: gate -> exact + near dedup -> leakage-safe
+    # split -> shard write.  Reported in `pipeline` (not `value`) so
+    # the headline stays round-over-round comparable.
+    try:
+        import shutil
+        import tempfile
+
+        from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            d = tempfile.mkdtemp(prefix="bench_curation_")
+            t0 = time.perf_counter()
+            curate(spark, docs, d, shards=True)
+            runs.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(d, ignore_errors=True)
+        extra["curation_funnel_docs"] = min(runs)
+        print(f"  curation_funnel_docs: {min(runs):.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["curation_funnel_docs"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall-clock, noop sink",
