@@ -248,6 +248,10 @@ _PRIORITY = [
 #                           algorithm keeps a driver row either way
 #                           (green r3)
 # All remain verified by the local mirror test either way.
+# ROUND-5 NOTE: this tail is the set the round-4 cap evicts — rotate
+# it into _PRIORITY next round (and demote the then-green round-4
+# entries here) so the every-export-green-within-two-rounds invariant
+# keeps holding.
 _LAST = [
     "q_dedup_clusters",
     "q_lang_id",
