@@ -451,3 +451,46 @@ def test_streaming_token_sketch_equals_batch_sketch(spark, tmp_path):
     assert all(r.cms_estimate >= r.n for r in joined)
     # 'alpha' occurs 6 times; its estimate is at least that
     assert next(r for r in joined if r.token == "alpha").cms_estimate >= 6
+
+
+def test_streaming_curation_restart_processes_only_new_files(spark, tmp_path):
+    """Restart semantics: after a completed availableNow drain, a new
+    run with the SAME checkpoint picks up only files that arrived
+    since — already-ingested content is neither re-read (checkpoint)
+    nor re-admitted (index probe), so an at-least-once source keeps
+    yielding an exactly-once corpus across process restarts."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "restart_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    corpus_path = str(tmp_path / "restart_corpus")
+    index_path = str(tmp_path / "restart_index")
+
+    drop_file("batch_a", [(1, long_text("a")), (2, long_text("b"))])
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2}
+
+    # second run, same checkpoint: one new file, one replayed dup of 1
+    drop_file("batch_b", [(10, long_text("c")), (11, long_text("a"))])
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 10}
+    # exactly one copy of every content hash, even after the restart
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts))
+    idx = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+    assert idx == {1, 2, 10}
