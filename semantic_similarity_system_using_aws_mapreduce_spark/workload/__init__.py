@@ -111,7 +111,10 @@ for _m in _MODULES:
 #                      recall PROOF, run by the mirror test); the
 #                      similarity-join family's driver slots are
 #                      q_ngram_jaccard_dups + q_minhash_lsh_candidates
+#   q_table_stats - ANALYZE-style profiling; the sketch-audit pattern's
+#                      driver slot is q_sketch_accuracy
 LOCAL_ONLY = [
+    "q_table_stats",
     "q_exact_jaccard_join",
     "q_hash_embeddings",
     "q_data_card",

@@ -508,7 +508,70 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STATS_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"]
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics — the optimizer-stats /
+    data-profiling pass: one row per audited lineitem column with row
+    count, null count, min/max, exact NDV and an HLL-vs-exact
+    acceptance flag.
+
+    The 100 TB shape is the approx branch: ONE single-pass aggregation
+    computes every column's HLL sketch together (fixed-size mergeable
+    state, no expand).  The exact-NDV branch exists only to audit the
+    sketches (the q_sketch_accuracy pattern) and deliberately runs as
+    per-column aggregations over 1-column pruned scans, because
+    stacking several count(DISTINCT)s into one agg triggers
+    Catalyst's expand rewrite (documented at q_sketch_accuracy).
+    min/max surface as strings so one schema fits bigint and date
+    columns; both engines render them identically."""
+    l = _t(spark, sf_dir, "lineitem")
+    approx_row = l.agg(
+        *[
+            F.approx_count_distinct(c, 0.02).alias(f"a_{c}")
+            for c in STATS_COLS
+        ]
+    )
+    per_col = []
+    for c in STATS_COLS:
+        per_col.append(
+            l.select(F.col(c)).agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+                F.countDistinct(c).alias("ndv"),
+            )
+        )
+    exact = per_col[0]
+    for df in per_col[1:]:
+        exact = exact.unionByName(df)
+    approx_pick = F.coalesce(
+        *[
+            F.when(F.col("column_name") == c, F.col(f"a_{c}"))
+            for c in STATS_COLS
+        ]
+    )
+    return (
+        exact.crossJoin(F.broadcast(approx_row))
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "min_value",
+            "max_value",
+            "ndv",
+            (
+                F.abs(approx_pick - F.col("ndv")) / F.col("ndv") <= 0.10
+            ).alias("hll_ok"),
+        )
+    )
+
+
 QUERIES = {
+    "q_table_stats": q_table_stats,
     "q01_pricing_summary": q01_pricing_summary,
     "q_window_functions": q_window_functions,
     "q_percentiles": q_percentiles,
@@ -542,6 +605,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # hll_ok is a Spark-side acceptance flag (the q_sketch_accuracy
+    # pattern): the oracle asserts it must come back TRUE
+    "q_table_stats": "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_nulls,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value,
+               count(DISTINCT {c})::BIGINT AS ndv,
+               TRUE AS hll_ok
+        FROM lineitem"""
+        for c in STATS_COLS
+    ),
     "q_window_functions": """
         SELECT o_custkey, o_orderkey,
                round(lag(o_totalprice) OVER (PARTITION BY o_custkey
