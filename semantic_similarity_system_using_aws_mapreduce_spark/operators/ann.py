@@ -405,6 +405,7 @@ def semantic_dedup(
     quant: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_chunks: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup (SemDeDup-style): every
     vector mapped to the representative of its semantic-duplicate
@@ -438,63 +439,121 @@ def semantic_dedup(
     reach ~99% recall with the same config because p(bit agree) =
     1 - angle/pi grows with cosine.  At 100 TB every stage is a scan
     or an equi-join on (t, bucket) / pair keys; per-bucket work is
-    quadratic in bucket size — inherent to LSH candidate generation,
-    memory-bounded here by row-block chunking — and the component
-    loop is O(log n) rounds over edges only (cliques converge in
-    2-3)."""
+    quadratic in bucket size — inherent to LSH candidate generation —
+    and the component loop is O(log n) rounds over edges only
+    (cliques converge in 2-3).
+
+    Memory bound (``n_chunks``): applyInPandas materializes a whole
+    group in one Python worker, and with few planes a bucket holds
+    ~1/2^n_planes of the corpus — too big at scale.  ``n_chunks > 1``
+    hash-splits each bucket's members into chunks and fans every
+    member out to its ``n_chunks`` chunk-PAIR groups (the blocked
+    triangle join), so one group holds at most ~2/n_chunks of the
+    bucket while every unordered pair still meets in exactly one
+    group per table.  Cost: the bucket shuffle grows by the
+    replication factor n_chunks; results are bit-identical for any
+    n_chunks (tested).  Pick n_chunks ~ bucket_size / worker_budget
+    at scale; 1 keeps the fixture plan replication-free."""
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
     sigs = srp_signatures_portable(df, n_planes, n_tables, quant, id_col, vec_col)
     members = sigs.join(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
         "vec_id",
     )
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
-        ids = pdf["vec_id"].to_numpy()
-        x = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        d = x.shape[1]
-        # Per-dimension left-to-right accumulation: bit-identical to
-        # the Catalyst fold acc + x_j*y_j (and to the oracle's
-        # position-join sum) — never np.dot, whose blocked/pairwise
-        # summation rounds differently.
-        sq = np.zeros(n)
-        for j in range(d):
-            sq += x[:, j] * x[:, j]
-        nrm = np.sqrt(sq)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        blk = 2048  # bounds the dots matrix at blk*n doubles
-        for s0 in range(0, n, blk):
-            xa = x[s0 : s0 + blk]
-            dots = np.zeros((xa.shape[0], n))
+    chunk = (
+        md5_int(F.concat(F.lit("semchunk:"), F.col("vec_id").cast("string")))
+        % n_chunks
+    )
+    members = members.withColumn("_c", chunk).select(
+        "t",
+        "bucket",
+        "vec_id",
+        "_v",
+        "_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_c"), F.lit(cp)).alias("ca"),
+                        F.greatest(F.col("_c"), F.lit(cp)).alias("cb"),
+                    )
+                    for cp in range(n_chunks)
+                ]
+            )
+        ).alias("_cp"),
+    ).select("t", "bucket", "vec_id", "_v", "_c", "_cp.ca", "_cp.cb")
+
+    def _emit(ids_a, x_a, nrm_a, off_a, ids_b, x_b, nrm_b, triangle):
+        """Score rows of (a) against columns of (b); per-dimension
+        left-to-right accumulation — bit-identical to the Catalyst
+        fold acc + x_j*y_j (and the oracle's position-join sum), never
+        np.dot, whose blocked summation rounds differently.  In
+        triangle mode a and b are the same matrix and only global
+        column index > row index pairs emit (each unordered pair
+        once)."""
+        d = x_a.shape[1]
+        out_a, out_b = [], []
+        blk = 2048  # bounds the dots matrix at blk * len(b) doubles
+        for s0 in range(0, x_a.shape[0], blk):
+            xa = x_a[s0 : s0 + blk]
+            dots = np.zeros((xa.shape[0], x_b.shape[0]))
             for j in range(d):
-                dots += np.outer(xa[:, j], x[:, j])
-            cos = dots / np.outer(nrm[s0 : s0 + blk], nrm)
+                dots += np.outer(xa[:, j], x_b[:, j])
+            cos = dots / np.outer(nrm_a[s0 : s0 + blk], nrm_b)
             # addition-free HALF_UP at 6 dp (see srp_signatures_portable)
             ax = np.abs(cos) * 1e6
             f = np.floor(ax)
             f += (ax - f) >= 0.5
             cos6 = np.sign(cos) * f / 1e6
             keep = cos6 >= tau
-            # strict upper triangle in GLOBAL row order: row s0+i pairs
-            # only with columns k > s0+i (each unordered pair once)
             ri, ci = np.where(keep)
-            mask = ci > (ri + s0)
-            ri, ci = ri[mask], ci[mask]
+            if triangle:
+                mask = ci > (ri + s0 + off_a)
+                ri, ci = ri[mask], ci[mask]
             if len(ri):
-                ia, ib = ids[ri + s0], ids[ci]
+                ia, ib = ids_a[ri + s0], ids_b[ci]
                 out_a.append(np.minimum(ia, ib))
                 out_b.append(np.maximum(ia, ib))
+        return out_a, out_b
+
+    def _norms(x):
+        sq = np.zeros(x.shape[0])
+        for j in range(x.shape[1]):
+            sq += x[:, j] * x[:, j]
+        return np.sqrt(sq)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        if len(pdf) < 2:
+            return empty
+        ca, cb = int(pdf["ca"].iloc[0]), int(pdf["cb"].iloc[0])
+        if ca == cb:
+            ids = pdf["vec_id"].to_numpy()
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            nrm = _norms(x)
+            out_a, out_b = _emit(ids, x, nrm, 0, ids, x, nrm, triangle=True)
+        else:
+            pa, pb = pdf[pdf["_c"] == ca], pdf[pdf["_c"] == cb]
+            if len(pa) == 0 or len(pb) == 0:
+                return empty
+            ids_a = pa["vec_id"].to_numpy()
+            ids_b = pb["vec_id"].to_numpy()
+            xa = np.array(pa["_v"].tolist(), dtype=np.float64)
+            xb = np.array(pb["_v"].tolist(), dtype=np.float64)
+            out_a, out_b = _emit(
+                ids_a, xa, _norms(xa), 0, ids_b, xb, _norms(xb), triangle=False
+            )
         if not out_a:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+            return empty
         return pd.DataFrame(
             {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
         )
 
     dup_pairs = (
-        members.groupBy("t", "bucket")
+        members.groupBy("t", "bucket", "ca", "cb")
         .applyInPandas(score_bucket, schema="vec_a long, vec_b long")
         .distinct()
     )

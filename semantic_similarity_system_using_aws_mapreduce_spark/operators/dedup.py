@@ -717,9 +717,14 @@ def prefix_jaccard_join(
     is what kills the quadratic hot-key blowup of the naive inverted
     index.  Verification is linear in candidates.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     t = threshold_permille
+    # the shingle relation feeds dfreq, the ranked prefix join, sizes
+    # and both verify sides — persist so the tokenize+shingle+md5
+    # chain runs once (the duplicate_spans / lsh_candidates pattern)
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
     ranked = (

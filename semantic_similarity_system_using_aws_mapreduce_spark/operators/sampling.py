@@ -406,9 +406,13 @@ def dsir_select(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c_raw = dfb.groupBy("b").agg(F.sum("m").alias("c_r"))
-    n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
+    # coalesce: sum() over zero rows is NULL, but the oracle's count(*)
+    # over an empty/token-less target is 0 — without this every
+    # log-ratio would go NULL and all weights would silently collapse
+    # to 0 instead of the real smoothed ratios
+    n_raw = c_raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"))
     c_tgt = feat_buckets(target).groupBy("b").agg(F.count("*").alias("c_t"))
-    n_tgt = c_tgt.agg(F.sum("c_t").alias("n_t"))
+    n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
     # ln(p_t[b]/p_r[b]) in int64 micro-nats; buckets unseen in the
     # target keep the smoothed floor via the left join + coalesce
     lr = F.round(
@@ -453,4 +457,26 @@ def dsir_select(
         "n_feats",
         F.round(F.col("w_micro") / 1_000_000.0, 6).alias("log_weight"),
         (F.col("score_micro") >= F.col("thr")).alias("selected"),
+    )
+
+
+# The ONE train/val/test split rule (per-mille md5 buckets of a
+# grouping key).  Both q_leakage_safe_split and the curation CLI
+# consume these — retuning either constant or the salt in one place
+# keeps the CLI's splits and the verified query in lockstep.
+SPLIT_TRAIN_PERMILLE = 800
+SPLIT_VAL_PERMILLE = 900
+SPLIT_SALT = "split"
+
+
+def cluster_split(group_col: Column) -> Column:
+    """'train' / 'val' / 'test' from the md5 bucket of ``group_col``.
+    Pass the dedup-CLUSTER representative (not the doc id) so near-
+    duplicate members can never straddle splits — the leakage guard
+    q_leakage_safe_split verifies."""
+    b = hash_bucket(group_col, SPLIT_SALT)
+    return (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
     )

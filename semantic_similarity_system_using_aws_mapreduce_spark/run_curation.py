@@ -46,13 +46,14 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
     tokens,
 )
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
-from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    SPLIT_TRAIN_PERMILLE,
+    SPLIT_VAL_PERMILLE,
+    cluster_split,
+)
 from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.jsonl import read_csv_documents, read_jsonl_documents
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import write_training_shards
-
-TRAIN_PERMILLE = 800
-VAL_PERMILLE = 900
 
 
 def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
@@ -119,8 +120,9 @@ def curate(
     else:
         staged = staged.withColumn("_contaminated", F.lit(False))
 
-    # leakage-safe split: bucket the dedup-cluster representative
-    b = hash_bucket(F.col("_group"), "split")
+    # leakage-safe split: the ONE shared rule (operators/sampling.
+    # cluster_split) applied to the dedup-cluster representative —
+    # byte-identical to q_leakage_safe_split's assignment
     staged = (
         staged.withColumn(
             "_stage",
@@ -130,12 +132,7 @@ def curate(
             .when(F.col("_contaminated"), "contaminated")
             .otherwise("kept"),
         )
-        .withColumn(
-            "split",
-            F.when(b < TRAIN_PERMILLE, "train")
-            .when(b < VAL_PERMILLE, "val")
-            .otherwise("test"),
-        )
+        .withColumn("split", cluster_split(F.col("_group")))
         .withColumn("group_id", F.col("_group"))
         .persist()
     )
@@ -161,7 +158,7 @@ def curate(
         "funnel": funnel,
         "n_input": sum(funnel.values()),
         "n_kept": funnel.get("kept", 0),
-        "split_permille": {"train": TRAIN_PERMILLE, "val": VAL_PERMILLE},
+        "split_permille": {"train": SPLIT_TRAIN_PERMILLE, "val": SPLIT_VAL_PERMILLE},
     }
     if shards and manifest["n_kept"] > 0:
         shard_manifest = write_training_shards(

@@ -146,25 +146,44 @@ def run_streaming_token_sketch(
     over the documents ingested so far (the test asserts it) — unlike
     windowed streaming aggregations there is no watermark and nothing
     is ever evicted, because the state is d*w cells however much text
-    flows through.  The merged relation is localCheckpoint-ed before
-    overwriting the table it was read from (lineage must not reference
-    the files being replaced); at d*w rows the rewrite is trivial, and
-    a production deployment would MERGE into a keyed table instead."""
+    flows through.
+
+    Replay safety: unlike a pure-addition merge, each write stamps the
+    applied batch id onto every row, and a micro-batch whose id is
+    already <= the stamp is SKIPPED — foreachBatch is at-least-once (a
+    crash between the table overwrite and the checkpoint commit
+    replays the batch), and without the stamp a replayed delta would
+    double-count every cell it touches.  The merged relation is
+    localCheckpoint-ed before overwriting the table it was read from
+    (lineage must not reference the files being replaced); at d*w rows
+    the rewrite is trivial, and a production deployment would MERGE
+    into a transactional keyed table instead (which also removes the
+    small torn-overwrite window a non-atomic parquet rewrite has)."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import cms_sketch
 
-    def _apply(batch: DataFrame, _batch_id: int) -> None:
-        toks = batch.select(F.explode(tokens(F.col("text"))).alias("token"))
-        delta = cms_sketch(toks, d, w)
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        prev = None
         if os.path.isdir(sketch_path):
             prev = spark.read.parquet(sketch_path)
+            applied = prev.agg(F.max("applied_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # at-least-once replay of an already-merged batch
+        toks = batch.select(F.explode(tokens(F.col("text"))).alias("token"))
+        delta = cms_sketch(toks, d, w)
+        if prev is not None:
             merged = (
-                delta.unionByName(prev)
+                delta.unionByName(prev.select("i", "cell", "c"))
                 .groupBy("i", "cell")
                 .agg(F.sum("c").alias("c"))
             )
         else:
             merged = delta
-        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+        (
+            merged.withColumn("applied_batch_id", F.lit(batch_id))
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .parquet(sketch_path)
+        )
 
     (
         read_document_stream(spark, source_dir)

@@ -9,6 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    SPLIT_SALT,
+    SPLIT_TRAIN_PERMILLE,
+    SPLIT_VAL_PERMILLE,
+)
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
     A,
     B,
@@ -178,10 +183,6 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPLIT_TRAIN_PERMILLE = 800  # train < 800 <= val < 900 <= test
-SPLIT_VAL_PERMILLE = 900
-
-
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split WITHOUT near-duplicate leakage: the split
     decision hashes the document's DEDUP-CLUSTER representative, not
@@ -194,15 +195,16 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the LSH candidate graph's connected components (the
     q_dedup_clusters subplan) left-joined back to the corpus, then a
     map-side bucket expression — no extra shuffle beyond the
-    clustering itself."""
+    clustering itself.  The split rule (constants + salt) is the ONE
+    shared definition in operators/sampling.cluster_split, which the
+    curation CLI also consumes."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
-    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import cluster_split
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
     cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
     comp = connected_components(cands).withColumnRenamed("node", "doc_id")
-    b = hash_bucket(F.col("group_id"), "split")
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -213,10 +215,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "group_id",
-            F.when(b < SPLIT_TRAIN_PERMILLE, "train")
-            .when(b < SPLIT_VAL_PERMILLE, "val")
-            .otherwise("test")
-            .alias("split"),
+            cluster_split(F.col("group_id")).alias("split"),
         )
     )
 
@@ -304,9 +303,9 @@ ORACLES = {
                    coalesce(c.cluster_id, d.doc_id) AS group_id
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
         SELECT doc_id, group_id,
-               CASE WHEN {_MD5INT.format(x="'split:' || group_id")} % 1000
+               CASE WHEN {_MD5INT.format(x=f"'{SPLIT_SALT}:' || group_id")} % 1000
                          < {SPLIT_TRAIN_PERMILLE} THEN 'train'
-                    WHEN {_MD5INT.format(x="'split:' || group_id")} % 1000
+                    WHEN {_MD5INT.format(x=f"'{SPLIT_SALT}:' || group_id")} % 1000
                          < {SPLIT_VAL_PERMILLE} THEN 'val'
                     ELSE 'test' END AS split
         FROM grouped

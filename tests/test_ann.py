@@ -153,3 +153,16 @@ def test_quantize_embeddings_bounds_and_zero_guard(spark):
             assert abs(x - c * r.scale) <= r.scale / 2 + 1e-12
     zero_row = [r for r in rows if r.vec_id == 10_000]
     assert len(zero_row) == 1 and zero_row[0].scale == 0.0
+
+
+def test_semantic_dedup_chunked_blocking_is_bit_identical(spark):
+    """The memory-bounding chunk-pair blocking (n_chunks > 1) must
+    reproduce the unblocked kernel's output exactly: every unordered
+    within-bucket pair meets in exactly one chunk-pair group per
+    table, and the per-dimension accumulation order is unchanged."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import semantic_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(map(tuple, semantic_dedup(df).collect()))
+    assert base == sorted(map(tuple, semantic_dedup(df, n_chunks=3).collect()))
+    assert base == sorted(map(tuple, semantic_dedup(df, n_chunks=5).collect()))

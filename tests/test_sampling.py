@@ -313,3 +313,24 @@ def test_dsir_select_prefers_target_like_documents(spark):
     assert len(out2) == 121
     empty_row = next(r for r in out2 if r.doc_id == 999)
     assert empty_row.n_feats == 0 and empty_row.log_weight == 0.0
+
+
+def test_dsir_select_empty_target_still_computes_real_ratios(spark):
+    """Regression: sum() over an empty target is NULL where the SQL
+    oracle's count(*) is 0 — without the coalesce every log-ratio goes
+    NULL and all weights silently collapse to 0.  With it, an empty
+    target yields the real smoothed ratios (uniform target prior), so
+    weights are finite, non-null, and content-dependent."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import dsir_select
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    empty_target = spark.createDataFrame([], "doc_id long, text string")
+    out = dsir_select(corpus, empty_target, keep_frac=0.25).collect()
+    assert len(out) == 20
+    assert all(r.log_weight is not None for r in out)
+    # smoothed target prior vs real raw counts: weights must be real
+    # negatives (target assigns every bucket the uniform floor), not 0
+    assert all(r.log_weight < 0 for r in out)

@@ -439,8 +439,22 @@ def test_streaming_token_sketch_equals_batch_sketch(spark, tmp_path):
     docs = spark.createDataFrame(all_rows, schema)
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
     expected = sorted(map(tuple, cms_sketch(toks, d=3, w=64).collect()))
-    streamed = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
-    assert streamed == expected
+
+    def read_sketch():
+        return sorted(
+            map(tuple, spark.read.parquet(sketch_path).select("i", "cell", "c").collect())
+        )
+
+    assert read_sketch() == expected
+    # at-least-once replay safety: wipe the checkpoint so the SAME
+    # files re-deliver as the same batch ids — the applied_batch_id
+    # stamp must make every replayed merge a no-op (without it each
+    # cell would double)
+    import shutil as _sh
+
+    _sh.rmtree(sketch_path + "_ckpt", ignore_errors=True)
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=64)
+    assert read_sketch() == expected
     # estimates from the streamed sketch never underestimate
     exact = toks.groupBy("token").agg(F.count("*").alias("n"))
     est = cms_estimate(
