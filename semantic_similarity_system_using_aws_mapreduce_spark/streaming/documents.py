@@ -193,3 +193,40 @@ def run_streaming_token_sketch(
         .start()
         .awaitTermination()
     )
+
+
+def forget_documents(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    doc_ids: list[int],
+) -> dict:
+    """Right-to-be-forgotten deletion for the curated corpus: remove
+    the given documents from BOTH the corpus table and the signature
+    index in one copy-on-write rewrite each, and report what changed.
+
+    Removing the index rows matters as much as the corpus rows: the
+    index is what future ingests dedup against, so a forgotten
+    document's content becomes ADMISSIBLE again if it is ever
+    legitimately resubmitted (tested) — forgetting must not leave a
+    ghost that silently rejects future data.  Bounded structures built
+    from past data (Bloom bitmaps, CMS sketches) cannot forget
+    individual items by construction; rebuild them from the rewritten
+    corpus when bit-level erasure of those is required.
+
+    Scale shape: each rewrite is one anti-join against a broadcast id
+    set and an overwrite — at 100 TB you would partition the corpus
+    so the rewrite touches only affected partitions (or use a
+    deletion-vector table format); the operator's join shape is the
+    same either way."""
+    ids = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    out = {}
+    for path in (corpus_path, index_path):
+        before = spark.read.parquet(path)
+        kept = before.join(F.broadcast(ids), "doc_id", "left_anti")
+        n_before = before.count()
+        # localCheckpoint: the overwrite must not depend on the files
+        # it replaces (the run_streaming_token_sketch discipline)
+        kept.localCheckpoint().write.mode("overwrite").parquet(path)
+        out[path] = {"n_before": n_before, "n_after": spark.read.parquet(path).count()}
+    return out

@@ -508,3 +508,46 @@ def test_streaming_curation_restart_processes_only_new_files(spark, tmp_path):
     assert len(texts) == len(set(texts))
     idx = {r.doc_id for r in spark.read.parquet(index_path).collect()}
     assert idx == {1, 2, 10}
+
+
+def test_forget_documents_erases_and_readmits(spark, tmp_path):
+    """Right-to-be-forgotten: the forgotten doc leaves BOTH the corpus
+    and the signature index, and — because the index row is gone — the
+    same content resubmitted later is ADMITTED again rather than
+    silently rejected by a ghost signature."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "forget_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    corpus_path = str(tmp_path / "forget_corpus")
+    index_path = str(tmp_path / "forget_index")
+
+    drop_file("batch_a", [(1, long_text("a")), (2, long_text("b"))])
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+
+    report = forget_documents(spark, corpus_path, index_path, [1])
+    assert report[corpus_path] == {"n_before": 2, "n_after": 1}
+    assert report[index_path] == {"n_before": 2, "n_after": 1}
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {2}
+
+    # the same CONTENT resubmitted under a new id must be admitted
+    drop_file("batch_b", [(50, long_text("a"))])
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {2, 50}
