@@ -271,3 +271,21 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     assert by_split.get("train", 0) / total > 0.6
     assert 0 < by_split.get("val", 0) / total < 0.25
     assert 0 < by_split.get("test", 0) / total < 0.25
+
+
+def test_bloom_filter_empty_index_rejects_everything(spark):
+    """A Bloom built over zero keys is an empty relation; every probe
+    must come back false (definitive absence), not error."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import bloom_build, bloom_probe
+
+    empty = spark.createDataFrame([], "key string")
+    bloom = bloom_build(empty, m_bits=1024, k=2)
+    assert bloom.count() == 0
+    probed = bloom_probe(
+        spark.createDataFrame([("a",), ("b",)], "key string"),
+        bloom,
+        m_bits=1024,
+        k=2,
+    )
+    rows = probed.collect()
+    assert len(rows) == 2 and all(r.might_contain is False for r in rows)

@@ -137,3 +137,21 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     )
     # a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
     assert row.z == 0b011011
+
+
+def test_morton_code_clamps_negative_inputs(spark):
+    """Negative keys clamp to 0 (documented contract) instead of
+    producing a garbage interleave from two's-complement bits."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.layout import morton_code
+
+    row = (
+        spark.range(1)
+        .select(
+            morton_code(F.lit(-5), F.lit(0b11), bits=3).alias("z"),
+            morton_code(F.lit(0), F.lit(0b11), bits=3).alias("z0"),
+        )
+        .first()
+    )
+    assert row.z == row.z0 == 0b1010

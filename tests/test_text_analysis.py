@@ -103,3 +103,28 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
         for r in chunk_documents(df2, chunk_size=4, stride=3).collect()
     }
     assert h1 == h2
+
+
+def test_cms_estimate_unseen_tokens_are_zero(spark):
+    """Probing tokens absent from the sketch yields estimate 0 (their
+    cells are simply unset), and an empty sketch estimates 0 for
+    everything — never null, never an error."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import cms_estimate, cms_sketch
+
+    toks = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    sketch = cms_sketch(toks, d=2, w=32)
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_estimate(
+            spark.createDataFrame([("a",), ("zzz",)], "token string"),
+            sketch,
+            d=2,
+            w=32,
+        ).collect()
+    }
+    assert est["a"] >= 2 and est["zzz"] >= 0
+    empty_sketch = cms_sketch(spark.createDataFrame([], "token string"), d=2, w=32)
+    est2 = cms_estimate(
+        spark.createDataFrame([("a",)], "token string"), empty_sketch, d=2, w=32
+    ).collect()
+    assert est2[0].cms_estimate == 0
