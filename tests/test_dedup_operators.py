@@ -289,3 +289,22 @@ def test_bloom_filter_empty_index_rejects_everything(spark):
     )
     rows = probed.collect()
     assert len(rows) == 2 and all(r.might_contain is False for r in rows)
+
+
+def test_bloom_probe_null_key_is_false_not_null(spark):
+    """The documented contract is strictly boolean: a NULL key was
+    never indexed, so it probes False — not NULL (the earlier
+    formulation aggregated over no usable rows and leaked NULL)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",)], "key string")
+    bloom = bloom_build(members, m_bits=1024, k=3)
+    probed = bloom_probe(
+        spark.createDataFrame([("a",), (None,)], "key string"),
+        bloom,
+        m_bits=1024,
+        k=3,
+    )
+    by_key = {r.key: r.might_contain for r in probed.collect()}
+    assert by_key["a"] is True
+    assert by_key[None] is False
