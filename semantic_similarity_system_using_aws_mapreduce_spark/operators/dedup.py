@@ -498,6 +498,7 @@ def incremental_dedup(
     n_bands: int = 4,
     rows_per_band: int = 2,
     min_agree: int = 6,
+    index_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an INCOMING BATCH against an already-indexed corpus — the
     growing-corpus pattern: ingest runs never re-mine the existing
@@ -533,13 +534,25 @@ def incremental_dedup(
     bucketed by (band, k0, k1) to make the probe shuffle-free);
     signature agreement is then a per-pair integer comparison on the
     already-joined 8-component rows — no shingle relation, no text,
-    and nothing rescans indexed documents."""
+    and nothing rescans indexed documents.
+
+    ``index_buckets``, when given, is the PRE-MATERIALIZED bucket
+    relation of the index side (the :func:`signature_buckets` output,
+    persisted as a catalog table bucketed by (band, k0..k{r-1}) — see
+    ``streaming.documents.build_bucketed_sig_index``) and replaces the
+    on-the-fly explode: the probe equi-join then reads co-located
+    buckets with NO Exchange on the index side, which is the 100 TB
+    shape (only the small batch side shuffles to meet the bucketing)."""
     sig_cols = [f"h{k}" for k in range(n_hashes)]
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     batch = new_sigs.select("doc_id", *sig_cols)
     pool = index_sigs.select("doc_id", *sig_cols)
     nb = signature_buckets(batch, n_bands, rows_per_band)
-    pb = signature_buckets(pool, n_bands, rows_per_band)
-    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    pb = (
+        index_buckets.select("doc_id", *key_cols)
+        if index_buckets is not None
+        else signature_buckets(pool, n_bands, rows_per_band)
+    )
 
     # Index collisions: id-agnostic (a batch doc colliding with any
     # indexed doc drops, whatever the ids look like).

@@ -21,15 +21,28 @@ Design for scale:
   The index form keeps state O(corpus docs x 8 ints) with no
   watermark eviction, survives restarts (it is just a table), and the
   probe cost is the banded bucket join, not a state-store lookup scan.
-* `foreachBatch` makes the index read-modify-append transactional per
-  micro-batch (Structured Streaming serializes foreachBatch calls);
-  at 100 TB the appends would target a bucketed (band, k0, k1) table
-  so the probe join is shuffle-free on the index side.
+* `foreachBatch` is at-least-once, so every table write is IDEMPOTENT
+  under replay: corpus and index appends land in an
+  ``ingest_batch=<id>`` partition via dynamic partition overwrite (a
+  replayed batch rewrites its own partition instead of appending a
+  second copy), and the dedup probe excludes the batch's own doc_ids
+  from the index pool via a broadcast anti-join (after a crash between
+  the index write and the checkpoint commit, the replayed batch would
+  otherwise collide with itself and overwrite its corpus partition
+  empty — and the id-based exclusion stays correct even after a
+  compaction has folded those rows out of their original partition).
+* Small-file accretion (one parquet file per micro-batch — after 1e5
+  micro-batches the probe reads 1e5 footers) is handled by periodic
+  COMPACTION (``compact_every``): all partitions except the current
+  batch's fold into a single ``ingest_batch=-1`` base partition via an
+  atomic directory swap (sources/atomic.py).  At 100 TB the compacted
+  base is additionally materialized as a catalog table bucketed by
+  (band, k0, k1) — :func:`build_bucketed_sig_index` — so the probe
+  equi-join reads co-located buckets with NO Exchange on the index
+  side (test_streaming asserts the plan).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,10 +51,20 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
     incremental_dedup,
     minhash_signatures,
     shingle_hashes,
+    signature_buckets,
     tokens,
+)
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+    atomic_replace,
+    read_parquet_recovering,
 )
 
 SIG_SCHEMA = "doc_id long, " + ", ".join(f"h{k} long" for k in range(8))
+
+#: sentinel ``ingest_batch`` value for compacted history — Structured
+#: Streaming batch ids start at 0, so -1 can never collide with a live
+#: micro-batch partition.
+COMPACTED_BATCH = -1
 
 
 def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -73,6 +96,72 @@ def quality_gate(stream: DataFrame, min_tokens: int, min_ttr: float) -> DataFram
     )
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent micro-batch append: the rows land in the
+    ``ingest_batch=<id>`` Hive partition via dynamic partition
+    overwrite, so an at-least-once replay of the batch REWRITES its
+    own partition instead of appending a duplicate copy."""
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
+def compact_index(spark: SparkSession, index_path: str, keep_batch: int) -> None:
+    """Fold every index partition EXCEPT ``keep_batch``'s into a single
+    one-file ``ingest_batch=-1`` base partition, atomically.  Without
+    this, one parquet file accrues per micro-batch and the probe join
+    eventually reads 1e5 footers.  ``keep_batch`` (the in-flight
+    micro-batch) stays in its own partition so a crash-replay of that
+    batch can still exclude its own rows from the probe."""
+    index = read_parquet_recovering(spark, index_path)
+    if index is None:
+        return
+    base = (
+        index.filter(F.col("ingest_batch") != keep_batch)
+        # a replayed batch rewrites its partition while its rows may
+        # already sit in the base — the fold dedupes by doc_id so such
+        # residue can never accumulate
+        .dropDuplicates(["doc_id"])
+        .withColumn("ingest_batch", F.lit(COMPACTED_BATCH))
+        .coalesce(1)
+    )
+    tail = index.filter(F.col("ingest_batch") == keep_batch)
+    atomic_replace(
+        base.unionByName(tail), index_path, partition_by=["ingest_batch"]
+    )
+
+
+def build_bucketed_sig_index(
+    spark: SparkSession,
+    index_path: str,
+    table: str,
+    n_buckets: int = 32,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Materialize the signature index's BUCKET relation as a catalog
+    table bucketed by the probe-join key (band, k0..k{r-1}) — the
+    100 TB probe shape the incremental-dedup docstring prescribes: the
+    corpus-sized index side of the banded equi-join is pre-shuffled at
+    build time, so every later :func:`incremental_dedup` probe
+    (``index_buckets=read_bucketed(spark, table)``) reads co-located
+    buckets with NO Exchange on the index side; only the (small)
+    micro-batch side shuffles to meet the bucketing.  Rebuild as part
+    of periodic compaction; between rebuilds, union the parquet tail's
+    buckets (small) onto the table's."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
+
+    sigs = spark.read.parquet(index_path)
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    buckets = signature_buckets(sigs, n_bands, rows_per_band)
+    write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
+    return spark.table(table)
+
+
 def run_streaming_curation(
     spark: SparkSession,
     source_dir: str,
@@ -81,42 +170,64 @@ def run_streaming_curation(
     min_tokens: int = 24,
     min_ttr: float = 0.35,
     min_agree: int = 6,
+    compact_every: int = 0,
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
-    against the persisted index -> append survivors to the corpus
-    table and their signatures to the index.
+    against the persisted index -> write survivors to the corpus
+    table and their signatures to the index, each into the batch's own
+    ``ingest_batch`` partition (idempotent under replay — see the
+    module docstring's exactly-once analysis).
+
+    ``compact_every=N`` folds the index's accumulated per-batch
+    partitions into a single base partition every N micro-batches
+    (:func:`compact_index`), bounding the index file count at ~N+1
+    however long ingest runs.
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
     and backfill mode; a production deployment runs the same query
-    continuously.  Restart-safe by construction: re-ingesting content
-    that already reached the index drops as a duplicate, so an
-    at-least-once source yields an exactly-once corpus."""
+    continuously.  Restart-safe by construction: the checkpoint skips
+    committed batches, a replayed uncommitted batch rewrites its own
+    partitions, and re-ingested content that already reached the index
+    drops as a duplicate — an at-least-once source yields an
+    exactly-once corpus."""
 
-    def _apply(batch: DataFrame, _batch_id: int) -> None:
+    def _apply(batch: DataFrame, batch_id: int) -> None:
         gated = quality_gate(batch, min_tokens, min_ttr)
-        # cache: signatures + corpus append both consume the gate
+        # cache: signatures + corpus write both consume the gate
         gated = gated.cache()
         try:
             sigs = minhash_signatures(shingle_hashes(gated))
-            if os.path.isdir(index_path):
-                index = spark.read.parquet(index_path)
-            else:
+            index = read_parquet_recovering(spark, index_path)
+            if index is None:
                 index = spark.createDataFrame([], SIG_SCHEMA)
+            else:
+                # replay safety: a crash after the index write but
+                # before the checkpoint commit re-delivers this batch,
+                # whose own rows are already indexed — they must not
+                # shadow the recomputation or the rewritten corpus
+                # partition would come out empty.  Excluding by doc_id
+                # (a broadcast anti-join against the tiny batch id
+                # set) rather than by ingest_batch partition also
+                # covers rows a compaction has already folded into
+                # the base partition.
+                index = index.join(
+                    F.broadcast(sigs.select("doc_id")), "doc_id", "left_anti"
+                )
             kept, _dropped = incremental_dedup(sigs, index, min_agree=min_agree)
-            # Materialize survivors BEFORE appending to the index their
+            # Materialize survivors BEFORE writing to the index their
             # own dedup read from (copy-on-write discipline, same as
             # the CDC upsert sink).
             kept = kept.cache()
             kept_ids = kept.select("doc_id")
-            (
-                gated.join(kept_ids, "doc_id")
-                .write.mode("append")
-                .parquet(corpus_path)
+            _write_batch_partition(
+                gated.join(kept_ids, "doc_id"), corpus_path, batch_id
             )
-            kept.write.mode("append").parquet(index_path)
+            _write_batch_partition(kept, index_path, batch_id)
             kept.unpersist()
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_index(spark, index_path, keep_batch=batch_id)
         finally:
             gated.unpersist()
 
@@ -151,20 +262,22 @@ def run_streaming_token_sketch(
     Replay safety: unlike a pure-addition merge, each write stamps the
     applied batch id onto every row, and a micro-batch whose id is
     already <= the stamp is SKIPPED — foreachBatch is at-least-once (a
-    crash between the table overwrite and the checkpoint commit
-    replays the batch), and without the stamp a replayed delta would
-    double-count every cell it touches.  The merged relation is
-    localCheckpoint-ed before overwriting the table it was read from
-    (lineage must not reference the files being replaced); at d*w rows
-    the rewrite is trivial, and a production deployment would MERGE
-    into a transactional keyed table instead (which also removes the
-    small torn-overwrite window a non-atomic parquet rewrite has)."""
+    crash between the table rewrite and the checkpoint commit replays
+    the batch), and without the stamp a replayed delta would
+    double-count every cell it touches.  The rewrite itself goes
+    through :func:`~..sources.atomic.atomic_replace` (temp write +
+    atomic directory swap): the stamp is only ever observed on a
+    COMPLETE snapshot, closing the torn-overwrite window the earlier
+    in-place ``mode("overwrite")`` had, where a crash mid-rewrite
+    could leave a partial sketch already carrying the new batch id (so
+    the replay was skipped and the torn state never repaired) — or
+    lose the table outright.  Reads heal interrupted swaps first
+    (:func:`~..sources.atomic.read_parquet_recovering`)."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import cms_sketch
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        prev = None
-        if os.path.isdir(sketch_path):
-            prev = spark.read.parquet(sketch_path)
+        prev = read_parquet_recovering(spark, sketch_path)
+        if prev is not None:
             applied = prev.agg(F.max("applied_batch_id")).first()[0]
             if applied is not None and batch_id <= applied:
                 return  # at-least-once replay of an already-merged batch
@@ -178,11 +291,8 @@ def run_streaming_token_sketch(
             )
         else:
             merged = delta
-        (
-            merged.withColumn("applied_batch_id", F.lit(batch_id))
-            .localCheckpoint()
-            .write.mode("overwrite")
-            .parquet(sketch_path)
+        atomic_replace(
+            merged.withColumn("applied_batch_id", F.lit(batch_id)), sketch_path
         )
 
     (
@@ -215,18 +325,25 @@ def forget_documents(
     corpus when bit-level erasure of those is required.
 
     Scale shape: each rewrite is one anti-join against a broadcast id
-    set and an overwrite — at 100 TB you would partition the corpus
+    set and an atomic swap — at 100 TB you would partition the corpus
     so the rewrite touches only affected partitions (or use a
     deletion-vector table format); the operator's join shape is the
-    same either way."""
+    same either way.  The swap (temp write + directory rename,
+    sources/atomic.py) means a crash mid-rewrite can never lose the
+    table: either the old content or the complete new content is
+    live, and the deletion is simply re-run — the in-place overwrite
+    this replaced was backed only by a non-durable localCheckpoint and
+    could lose the corpus outright (ADVICE r4)."""
     ids = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
     out = {}
     for path in (corpus_path, index_path):
-        before = spark.read.parquet(path)
+        before = read_parquet_recovering(spark, path)
         kept = before.join(F.broadcast(ids), "doc_id", "left_anti")
         n_before = before.count()
-        # localCheckpoint: the overwrite must not depend on the files
-        # it replaces (the run_streaming_token_sketch discipline)
-        kept.localCheckpoint().write.mode("overwrite").parquet(path)
+        # preserve the ingest_batch partition layout the streaming
+        # writer uses — a flat rewrite would break partition discovery
+        # for subsequent partitioned appends
+        parts = ["ingest_batch"] if "ingest_batch" in before.columns else None
+        atomic_replace(kept, path, partition_by=parts)
         out[path] = {"n_before": n_before, "n_after": spark.read.parquet(path).count()}
     return out

@@ -1,0 +1,110 @@
+"""Crash-safety contract of sources/atomic.py: every interruption
+point of the temp-and-swap protocol leaves a state that `recover` /
+`read_parquet_recovering` heals deterministically — roll FORWARD when
+the temp write had committed, roll BACK otherwise, and never a lost
+table (the failure mode of an in-place parquet overwrite)."""
+
+import os
+import shutil
+
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+    atomic_replace,
+    read_parquet_recovering,
+    recover,
+)
+
+
+def _write(spark, path, values):
+    spark.createDataFrame([(v,) for v in values], "v long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _vals(spark, path):
+    return sorted(r.v for r in spark.read.parquet(path).collect())
+
+
+def test_atomic_replace_may_read_its_own_target(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, path, [1, 2, 3])
+    df = spark.read.parquet(path).filter("v > 1")
+    atomic_replace(df, path)  # no localCheckpoint needed: no lineage cycle
+    assert _vals(spark, path) == [2, 3]
+    assert not os.path.isdir(path + ".__tmp__")
+    assert not os.path.isdir(path + ".__bak__")
+
+
+def test_crash_before_swap_keeps_old_table(spark, tmp_path):
+    # crash after the temp write but before any rename: the live table
+    # is untouched; the stale temp is discarded on the next read
+    path = str(tmp_path / "t")
+    _write(spark, path, [1])
+    _write(spark, path + ".__tmp__", [9])
+    assert _vals(spark, path) == [1]
+    recover(path)
+    assert not os.path.isdir(path + ".__tmp__")
+    assert _vals(spark, path) == [1]
+
+
+def test_crash_between_renames_rolls_forward(spark, tmp_path):
+    # crash after `path -> bak` with a COMMITTED temp: the new content
+    # is complete (rename only follows a returned write), so recovery
+    # finishes the swap
+    path = str(tmp_path / "t")
+    _write(spark, path, [1])
+    _write(spark, path + ".__tmp__", [9])
+    os.rename(path, path + ".__bak__")
+    got = read_parquet_recovering(spark, path)
+    assert sorted(r.v for r in got.collect()) == [9]
+    assert not os.path.isdir(path + ".__bak__")
+
+
+def test_crash_between_renames_without_committed_tmp_rolls_back(spark, tmp_path):
+    # same window but the temp lacks _SUCCESS (its write never
+    # committed): restore the backup — old data, never a lost table
+    path = str(tmp_path / "t")
+    _write(spark, path, [1])
+    _write(spark, path + ".__tmp__", [9])
+    os.remove(os.path.join(path + ".__tmp__", "_SUCCESS"))
+    os.rename(path, path + ".__bak__")
+    got = read_parquet_recovering(spark, path)
+    assert sorted(r.v for r in got.collect()) == [1]
+    assert not os.path.isdir(path + ".__tmp__")
+
+
+def test_crash_before_backup_cleanup_drops_backup(spark, tmp_path):
+    # crash after the swap completed but before deleting the backup
+    path = str(tmp_path / "t")
+    _write(spark, path, [9])
+    _write(spark, path + ".__bak__", [1])
+    assert sorted(r.v for r in read_parquet_recovering(spark, path).collect()) == [9]
+    assert not os.path.isdir(path + ".__bak__")
+
+
+def test_partitioned_replace_preserves_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "v long, p long")
+    df.write.partitionBy("p").parquet(path)
+    kept = spark.read.parquet(path).filter("v = 2")
+    atomic_replace(kept, path, partition_by=["p"])
+    assert os.path.isdir(os.path.join(path, "p=20"))
+    assert not os.path.isdir(os.path.join(path, "p=10"))
+    assert [tuple(r) for r in spark.read.parquet(path).select("v", "p").collect()] == [
+        (2, 20)
+    ]
+
+
+def test_missing_table_reads_none(spark, tmp_path):
+    assert read_parquet_recovering(spark, str(tmp_path / "nope")) is None
+
+
+def test_recover_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, path, [1])
+    for _ in range(3):
+        recover(path)
+    assert _vals(spark, path) == [1]
+    shutil.rmtree(path)
+    for _ in range(3):
+        recover(path)
+    assert not os.path.isdir(path)

@@ -551,3 +551,187 @@ def test_forget_documents_erases_and_readmits(spark, tmp_path):
     drop_file("batch_b", [(50, long_text("a"))])
     run_streaming_curation(spark, str(src), corpus_path, index_path)
     assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {2, 50}
+
+
+def test_token_sketch_converges_after_simulated_torn_rewrite(spark, tmp_path):
+    """The ADVICE r4 scenario: a crash mid-rewrite of the sketch table
+    must never leave a partial sketch whose stamp silently skips the
+    replayed batch.  With the atomic swap, every interruption point
+    leaves either the complete old or the complete new snapshot; the
+    next read heals it and the replay stamps stay truthful."""
+    import glob
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_token_sketch
+
+    batches = {
+        "batch_a": [(1, "alpha beta alpha")],
+        "batch_b": [(2, "beta gamma")],
+    }
+    src = tmp_path / "torn_incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for name, rows in batches.items():
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sketch_path = str(tmp_path / "torn_sketch")
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=32)
+    expected = sorted(
+        map(tuple, spark.read.parquet(sketch_path).select("i", "cell", "c").collect())
+    )
+
+    # crash window A: between the two renames, temp committed -> the
+    # heal rolls FORWARD to the identical complete snapshot
+    shutil.copytree(sketch_path, sketch_path + ".__tmp__")
+    os.rename(sketch_path, sketch_path + ".__bak__")
+    shutil.rmtree(sketch_path + "_ckpt")
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=32)
+    got = sorted(
+        map(tuple, spark.read.parquet(sketch_path).select("i", "cell", "c").collect())
+    )
+    assert got == expected
+
+    # crash window B: temp never committed -> the heal rolls BACK to
+    # the old snapshot (stamp included), and re-running the stream
+    # replays forward to the same converged state
+    shutil.copytree(sketch_path, sketch_path + ".__tmp__")
+    os.remove(os.path.join(sketch_path + ".__tmp__", "_SUCCESS"))
+    os.rename(sketch_path, sketch_path + ".__bak__")
+    shutil.rmtree(sketch_path + "_ckpt")
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=32)
+    got = sorted(
+        map(tuple, spark.read.parquet(sketch_path).select("i", "cell", "c").collect())
+    )
+    assert got == expected
+
+
+def test_curation_compaction_bounds_index_files_and_stays_exactly_once(
+    spark, tmp_path
+):
+    """compact_every folds per-batch index partitions into one base
+    partition: after 4 micro-batches with compact_every=2, the index
+    holds only the base (-1) and the final batch's partition, its
+    parquet file count is bounded, and a crash-replay of the final
+    batch (checkpoint commit deleted) converges without duplicating or
+    losing anything."""
+    import glob
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "compact_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    drop_file("b0", [(1, long_text("a")), (2, long_text("b"))])
+    drop_file("b1", [(11, long_text("c")), (12, long_text("a"))])  # 12 dups 1
+    drop_file("b2", [(21, long_text("d"))])
+    drop_file("b3", [(31, long_text("e")), (32, long_text("c"))])  # 32 dups 11
+
+    corpus_path = str(tmp_path / "compact_corpus")
+    index_path = str(tmp_path / "compact_index")
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, compact_every=2
+    )
+
+    expect = {1, 2, 11, 21, 31}
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == expect
+    idx = spark.read.parquet(index_path)
+    assert {r.doc_id for r in idx.collect()} == expect
+    # compaction ran after batches 1 and 3: everything except batch
+    # 3's partition lives in the base partition
+    assert {r.ingest_batch for r in idx.select("ingest_batch").distinct().collect()} == {
+        -1,
+        3,
+    }
+    data_files = glob.glob(os.path.join(index_path, "**", "*.parquet"), recursive=True)
+    assert len(data_files) <= 2, data_files
+
+    # crash-replay of the final batch: drop its checkpoint commit so
+    # the restarted drain re-delivers batch 3 (at-least-once), which
+    # must rewrite its partitions idempotently
+    os.remove(os.path.join(corpus_path + "_ckpt", "commits", "3"))
+    crc = os.path.join(corpus_path + "_ckpt", "commits", ".3.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # local ChecksumFs refuses the re-commit otherwise
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, compact_every=2
+    )
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == expect
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts))
+    assert {r.doc_id for r in spark.read.parquet(index_path).collect()} == expect
+
+
+def test_bucketed_sig_index_probe_has_no_exchange_on_index_side(spark, tmp_path):
+    """The 100 TB probe shape: with the signature index's bucket
+    relation persisted as a catalog table bucketed by the banded join
+    key, incremental_dedup's candidate probe reads co-located buckets
+    — the index side of the equi-join carries NO Exchange (only the
+    small batch side shuffles), and the verdicts are identical to the
+    on-the-fly explode path."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import read_bucketed
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import build_bucketed_sig_index
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    indexed = spark.createDataFrame(
+        [(i, long_text(f"s{i}")) for i in range(40)], schema
+    )
+    sigs = minhash_signatures(shingle_hashes(indexed))
+    index_path = str(tmp_path / "bucketed_sig_index")
+    sigs.write.parquet(index_path)
+    build_bucketed_sig_index(spark, index_path, "sig_buckets_b", n_buckets=4)
+
+    batch = spark.createDataFrame(
+        [(100, long_text("s3")), (101, long_text("fresh"))], schema
+    )
+    batch_sigs = minhash_signatures(shingle_hashes(batch))
+    index_sigs = spark.read.parquet(index_path)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_b, dropped_b = incremental_dedup(
+            batch_sigs,
+            index_sigs,
+            index_buckets=read_bucketed(spark, "sig_buckets_b"),
+        )
+        kept_p, dropped_p = incremental_dedup(batch_sigs, index_sigs)
+        assert sorted(map(tuple, kept_b.collect())) == sorted(
+            map(tuple, kept_p.collect())
+        )
+        assert sorted(map(tuple, dropped_b.collect())) == sorted(
+            map(tuple, dropped_p.collect())
+        )
+        plan_b = dropped_b._jdf.queryExecution().executedPlan().toString()
+        plan_p = dropped_p._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_b, plan_b
+        # the bucketed path elides the index side's probe-join Exchange
+        assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
+            "Exchange hashpartitioning"
+        ), plan_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS sig_buckets_b")
