@@ -183,6 +183,13 @@ def _decode_y4m(data: bytes) -> tuple[int, int]:
     if not header.startswith("YUV4MPEG2"):
         raise ValueError("not a y4m payload")
     params = {p[0]: p[1:] for p in header.split()[1:]}
+    # the frame stride below is 4:2:0-specific; a C422/C444 stream
+    # walked with it usually raises on a bad FRAME marker but can
+    # coincidentally align and return a wrong frame count — reject
+    # anything but 420 variants (C420, C420jpeg, C420paldv) up front
+    chroma = params.get("C", "420")
+    if not chroma.startswith("420"):
+        raise NotImplementedError(f"y4m chroma subsampling C{chroma}; only C420*")
     fsize = int(params["W"]) * int(params["H"]) * 3 // 2
     pos, frames = nl + 1, 0
     while pos < len(data):

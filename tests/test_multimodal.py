@@ -87,6 +87,24 @@ def test_decode_real_stdlib_formats(spark):
     assert s[:4].tobytes() == b"RIFF"
 
 
+def test_y4m_rejects_non_420_chroma():
+    """The y4m frame stride is 4:2:0-specific: a C444 stream walked
+    with a W*H*3/2 stride can coincidentally align and silently return
+    a wrong frame count — it must be rejected up front, not parsed."""
+    import pytest as _pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_y4m, make_y4m
+
+    good = make_y4m(6, 4, 2, lambda f, j: f + j)
+    assert _decode_y4m(good) == (2, 2)
+    c444 = good.replace(b"\n", b" C444\n", 1)
+    with _pytest.raises(NotImplementedError, match="C444"):
+        _decode_y4m(c444)
+    # explicit 420 variants still decode
+    c420 = good.replace(b"\n", b" C420jpeg\n", 1)
+    assert _decode_y4m(c420) == (2, 2)
+
+
 @pytest.mark.skipif(
     not SUPPORT.get("image"), reason="PIL not importable in this environment"
 )
