@@ -1,3 +1,20 @@
+"""Library operators.
+
+CACHE OWNERSHIP CONTRACT: some operators (lsh_candidates,
+duplicate_spans, prefix_jaccard_join, simhash_near_dups,
+ann_topk_lsh_portable, dsir_select) persist an intermediate relation
+that the RETURNED lazy DataFrame's plan consumes more than once — the
+persist cannot be released before the caller materializes the result,
+so these functions do NOT unpersist.  The blocks live in the session's
+SQL cache: a short-lived job (the bench / driver pattern) lets the
+ContextCleaner reclaim them at session end; a LONG-LIVED session
+composing many queries must call ``spark.catalog.clearCache()``
+between workloads (bench.py does, after every timed query), or
+``df.unpersist()`` on the handle if it keeps a reference.
+tests/test_cache_contract.py pins that a bench-style pass leaves zero
+persisted blocks behind.
+"""
+
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import quantize_embeddings
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.assoc import association_measures, joined_counts
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.asof import asof_join

@@ -619,7 +619,7 @@ def ann_topk_lsh_portable(
     # dropped by the ContextCleaner once the result is gc'd.
     from pyspark import StorageLevel
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: operators/__init__ contract
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(

@@ -96,6 +96,7 @@ def lsh_candidates(sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2) ->
     # aggregation (and everything under it) runs twice.
     from pyspark import StorageLevel
 
+    # caller-owned cache: operators/__init__ ownership contract
     buckets = signature_buckets(sigs, n_bands, rows_per_band).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -229,7 +230,7 @@ def duplicate_spans(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
         md5_int(F.col("span")).alias("span_hash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned cache: operators/__init__ contract
     counts = (
         spans.groupBy("span_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -373,6 +374,7 @@ def simhash_near_dups(
 
     width = n_bits // n_bands
     mask = (1 << width) - 1
+    # caller-owned cache: operators/__init__ ownership contract
     sh = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -739,7 +741,7 @@ def prefix_jaccard_join(
     # the shingle relation feeds dfreq, the ranked prefix join, sizes
     # and both verify sides — persist so the tokenize+shingle+md5
     # chain runs once (the duplicate_spans / lsh_candidates pattern)
-    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
     sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
     ranked = (

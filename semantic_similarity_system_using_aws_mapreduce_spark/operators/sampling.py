@@ -403,7 +403,7 @@ def dsir_select(
         feat_buckets(corpus)
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("m"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: operators/__init__ contract
     )
     c_raw = dfb.groupBy("b").agg(F.sum("m").alias("c_r"))
     # coalesce: sum() over zero rows is NULL, but the oracle's count(*)
