@@ -123,3 +123,29 @@ def test_connected_components_converges_on_long_chain(spark):
     got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_connected_components_local_and_distributed_paths_agree(spark):
+    """The size-gated driver union-find is a pure physical-strategy
+    choice: on the same graph (cliques + a long chain + self-contained
+    pairs) it must produce EXACTLY the labels the distributed
+    pointer-doubling loop produces, and the stats hook must report
+    which path ran."""
+    edges = spark.createDataFrame(
+        [(i, i + 100) for i in range(20)]
+        + [(i, i + 200) for i in range(20)]
+        + [(1000 + i, 1001 + i) for i in range(50)],
+        "doc_a long, doc_b long",
+    )
+    s_local, s_dist = {}, {}
+    local = connected_components(edges, stats=s_local)
+    dist = connected_components(edges, stats=s_dist, local_threshold=0)
+    assert s_local["mode"] == "local" and s_local["rounds"] == 0
+    assert s_dist["mode"] == "distributed" and s_dist["rounds"] >= 1
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_connected_components_empty_edges(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, local_threshold=0).count() == 0
