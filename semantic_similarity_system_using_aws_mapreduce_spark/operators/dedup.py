@@ -500,7 +500,7 @@ def incremental_dedup(
     n_bands: int = 4,
     rows_per_band: int = 2,
     min_agree: int = 6,
-    index_buckets: DataFrame | None = None,
+    index_buckets: DataFrame | list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an INCOMING BATCH against an already-indexed corpus — the
     growing-corpus pattern: ingest runs never re-mine the existing
@@ -544,27 +544,38 @@ def incremental_dedup(
     ``streaming.documents.build_bucketed_sig_index``) and replaces the
     on-the-fly explode: the probe equi-join then reads co-located
     buckets with NO Exchange on the index side, which is the 100 TB
-    shape (only the small batch side shuffles to meet the bucketing)."""
+    shape (only the small batch side shuffles to meet the bucketing).
+    A LIST of bucket relations probes each one separately and unions
+    the CANDIDATES (not the relations — a pre-union would discard the
+    bucketed side's output partitioning and re-shuffle it): the
+    compacted-base-plus-recent-tail layout the streaming curation
+    maintains.  Every doc named by any bucket relation must also
+    appear in ``index_sigs`` (the signature scoring join resolves
+    partners there)."""
     sig_cols = [f"h{k}" for k in range(n_hashes)]
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     batch = new_sigs.select("doc_id", *sig_cols)
     pool = index_sigs.select("doc_id", *sig_cols)
     nb = signature_buckets(batch, n_bands, rows_per_band)
-    pb = (
-        index_buckets.select("doc_id", *key_cols)
-        if index_buckets is not None
-        else signature_buckets(pool, n_bands, rows_per_band)
-    )
+    if index_buckets is None:
+        pbs = [signature_buckets(pool, n_bands, rows_per_band)]
+    elif isinstance(index_buckets, DataFrame):
+        pbs = [index_buckets]
+    else:
+        pbs = list(index_buckets)
 
     # Index collisions: id-agnostic (a batch doc colliding with any
     # indexed doc drops, whatever the ids look like).
-    a, b = nb.alias("a"), pb.alias("b")
-    cond_ix = F.lit(True)
-    for c in key_cols:
-        cond_ix = cond_ix & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cand_ix = a.join(b, cond_ix).select(
-        F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
-    )
+    cand_ix = None
+    for pb in pbs:
+        a, b = nb.alias("a"), pb.select("doc_id", *key_cols).alias("b")
+        cond_ix = F.lit(True)
+        for c in key_cols:
+            cond_ix = cond_ix & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        part = a.join(b, cond_ix).select(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
+        )
+        cand_ix = part if cand_ix is None else cand_ix.unionByName(part)
     # Intra-batch: min-id survivorship (larger id drops toward smaller).
     a2, b2 = nb.alias("a"), nb.alias("b")
     cond_self = F.col("a.doc_id") > F.col("b.doc_id")
@@ -573,7 +584,9 @@ def incremental_dedup(
     cand_self = a2.join(b2, cond_self).select(
         F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
     )
-    cand = cand_ix.unionByName(cand_self).distinct()
+    cand = (
+        cand_ix.unionByName(cand_self) if cand_ix is not None else cand_self
+    ).distinct()
     x = cand.join(batch, "doc_id")
     pool_all = pool.unionByName(batch)
     partner_sigs = pool_all.select(

@@ -142,6 +142,7 @@ def build_bucketed_sig_index(
     n_buckets: int = 32,
     n_bands: int = 4,
     rows_per_band: int = 2,
+    covered_batch: int | None = None,
 ) -> DataFrame:
     """Materialize the signature index's BUCKET relation as a catalog
     table bucketed by the probe-join key (band, k0..k{r-1}) — the
@@ -151,14 +152,31 @@ def build_bucketed_sig_index(
     (``index_buckets=read_bucketed(spark, table)``) reads co-located
     buckets with NO Exchange on the index side; only the (small)
     micro-batch side shuffles to meet the bucketing.  Rebuild as part
-    of periodic compaction; between rebuilds, union the parquet tail's
-    buckets (small) onto the table's."""
+    of periodic compaction; between rebuilds, the streaming loop
+    probes the table PLUS the parquet tail's buckets as two candidate
+    joins (a pre-union would discard the table's partitioning).
+
+    ``covered_batch`` (the streaming loop passes the compacting batch
+    id) is recorded in a one-row meta table at
+    ``<index_path>_bucketmeta`` AFTER the rebuild commits: the next
+    probe treats index partitions with ``ingest_batch > covered`` as
+    the tail.  Written after, so a crash between the two leaves a
+    stale covered value — the tail then overlaps the table and the
+    probe sees duplicate candidates, which the candidate ``distinct``
+    absorbs; a hole is impossible."""
     from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
 
     sigs = spark.read.parquet(index_path)
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     buckets = signature_buckets(sigs, n_bands, rows_per_band)
     write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
+    if covered_batch is not None:
+        atomic_replace(
+            spark.createDataFrame(
+                [(covered_batch,)], "covered_batch long"
+            ),
+            index_path + "_bucketmeta",
+        )
     return spark.table(table)
 
 
@@ -171,6 +189,8 @@ def run_streaming_curation(
     min_ttr: float = 0.35,
     min_agree: int = 6,
     compact_every: int = 0,
+    bucket_index_table: str | None = None,
+    n_index_buckets: int = 32,
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -184,6 +204,15 @@ def run_streaming_curation(
     (:func:`compact_index`), bounding the index file count at ~N+1
     however long ingest runs.
 
+    ``bucket_index_table`` (requires ``compact_every``) additionally
+    maintains the bucketed probe table: rebuilt at every compaction
+    (BEFORE the fold, so a crash between the two can only leave the
+    meta stale-but-safe — see :func:`build_bucketed_sig_index`), and
+    probed together with the since-rebuild parquet tail as two
+    candidate joins.  At 100 TB this is the difference between
+    shuffling the whole index's bucket relation every micro-batch and
+    shuffling only the micro-batch.
+
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
     and backfill mode; a production deployment runs the same query
@@ -192,6 +221,8 @@ def run_streaming_curation(
     partitions, and re-ingested content that already reached the index
     drops as a duplicate — an at-least-once source yields an
     exactly-once corpus."""
+    if bucket_index_table and not compact_every:
+        raise ValueError("bucket_index_table requires compact_every (its rebuild cadence)")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         gated = quality_gate(batch, min_tokens, min_ttr)
@@ -200,6 +231,7 @@ def run_streaming_curation(
         try:
             sigs = minhash_signatures(shingle_hashes(gated))
             index = read_parquet_recovering(spark, index_path)
+            index_buckets = None
             if index is None:
                 index = spark.createDataFrame([], SIG_SCHEMA)
             else:
@@ -212,10 +244,27 @@ def run_streaming_curation(
                 # set) rather than by ingest_batch partition also
                 # covers rows a compaction has already folded into
                 # the base partition.
-                index = index.join(
-                    F.broadcast(sigs.select("doc_id")), "doc_id", "left_anti"
-                )
-            kept, _dropped = incremental_dedup(sigs, index, min_agree=min_agree)
+                own_ids = F.broadcast(sigs.select("doc_id"))
+                index = index.join(own_ids, "doc_id", "left_anti")
+                if bucket_index_table and spark.catalog.tableExists(
+                    bucket_index_table
+                ):
+                    meta = read_parquet_recovering(
+                        spark, index_path + "_bucketmeta"
+                    )
+                    if meta is not None:
+                        covered = meta.first()["covered_batch"]
+                        base = (
+                            spark.table(bucket_index_table)
+                            .join(own_ids, "doc_id", "left_anti")
+                        )
+                        tail = signature_buckets(
+                            index.filter(F.col("ingest_batch") > covered)
+                        )
+                        index_buckets = [base, tail]
+            kept, _dropped = incremental_dedup(
+                sigs, index, min_agree=min_agree, index_buckets=index_buckets
+            )
             # Materialize survivors BEFORE writing to the index their
             # own dedup read from (copy-on-write discipline, same as
             # the CDC upsert sink).
@@ -227,6 +276,14 @@ def run_streaming_curation(
             _write_batch_partition(kept, index_path, batch_id)
             kept.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
+                if bucket_index_table:
+                    build_bucketed_sig_index(
+                        spark,
+                        index_path,
+                        bucket_index_table,
+                        n_buckets=n_index_buckets,
+                        covered_batch=batch_id,
+                    )
                 compact_index(spark, index_path, keep_batch=batch_id)
         finally:
             gated.unpersist()
@@ -310,6 +367,7 @@ def forget_documents(
     corpus_path: str,
     index_path: str,
     doc_ids: list[int],
+    bucket_index_table: str | None = None,
 ) -> dict:
     """Right-to-be-forgotten deletion for the curated corpus: remove
     the given documents from BOTH the corpus table and the signature
@@ -333,7 +391,14 @@ def forget_documents(
     table: either the old content or the complete new content is
     live, and the deletion is simply re-run — the in-place overwrite
     this replaced was backed only by a non-durable localCheckpoint and
-    could lose the corpus outright (ADVICE r4)."""
+    could lose the corpus outright (ADVICE r4).
+
+    ``bucket_index_table``: a derived bucketed probe snapshot still
+    names the forgotten docs — DROP it (and its covered-batch meta)
+    so the next ingest falls back to the parquet index until the next
+    compaction rebuilds it; filtering the snapshot in place would
+    race an in-flight rebuild for no benefit, since the table is a
+    cache of the (now rewritten) index, not a source of truth."""
     ids = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
     out = {}
     for path in (corpus_path, index_path):
@@ -346,4 +411,9 @@ def forget_documents(
         parts = ["ingest_batch"] if "ingest_batch" in before.columns else None
         atomic_replace(kept, path, partition_by=parts)
         out[path] = {"n_before": n_before, "n_after": spark.read.parquet(path).count()}
+    if bucket_index_table:
+        spark.sql(f"DROP TABLE IF EXISTS {bucket_index_table}")
+        import shutil as _shutil
+
+        _shutil.rmtree(index_path + "_bucketmeta", ignore_errors=True)
     return out

@@ -735,3 +735,96 @@ def test_bucketed_sig_index_probe_has_no_exchange_on_index_side(spark, tmp_path)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS sig_buckets_b")
+
+
+def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
+    """The bucketed probe table is a pure physical-strategy cache: the
+    same 4-batch ingest with bucket_index_table set must produce the
+    identical corpus and index, maintain the covered-batch meta, keep
+    exactly-once under a crash-replay of the final batch, and — after
+    forget_documents drops the table — readmit forgotten content via
+    the parquet fallback."""
+    import glob
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+
+    def drop_file(src, name, rows):
+        ds = tmp_path / f"_{src.name}_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    batches = [
+        ("b0", [(1, long_text("a")), (2, long_text("b"))]),
+        ("b1", [(11, long_text("c")), (12, long_text("a"))]),   # 12 dups 1
+        ("b2", [(21, long_text("d"))]),
+        ("b3", [(31, long_text("e")), (32, long_text("c"))]),   # 32 dups 11
+    ]
+    src_b = tmp_path / "bkt_incoming"
+    src_p = tmp_path / "plain_incoming"
+    src_b.mkdir()
+    src_p.mkdir()
+    for name, rows in batches:
+        drop_file(src_b, name, rows)
+        drop_file(src_p, name, rows)
+
+    corpus_b = str(tmp_path / "bkt_corpus")
+    index_b = str(tmp_path / "bkt_index")
+    corpus_p = str(tmp_path / "plain_corpus")
+    index_p = str(tmp_path / "plain_index")
+    try:
+        run_streaming_curation(
+            spark, str(src_b), corpus_b, index_b,
+            compact_every=2, bucket_index_table="bkt_probe_t", n_index_buckets=4,
+        )
+        run_streaming_curation(spark, str(src_p), corpus_p, index_p)
+
+        expect = {1, 2, 11, 21, 31}
+        ids_b = {r.doc_id for r in spark.read.parquet(corpus_b).collect()}
+        ids_p = {r.doc_id for r in spark.read.parquet(corpus_p).collect()}
+        assert ids_b == ids_p == expect
+        assert {r.doc_id for r in spark.read.parquet(index_b).collect()} == expect
+        assert spark.catalog.tableExists("bkt_probe_t")
+        meta = spark.read.parquet(index_b + "_bucketmeta").collect()
+        assert [r.covered_batch for r in meta] == [3]
+
+        # crash-replay of the final batch under the bucketed probe: the
+        # rebuilt table already contains batch 3's rows — the own-id
+        # exclusion must keep the rewritten partitions identical
+        os.remove(os.path.join(corpus_b + "_ckpt", "commits", "3"))
+        crc = os.path.join(corpus_b + "_ckpt", "commits", ".3.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run_streaming_curation(
+            spark, str(src_b), corpus_b, index_b,
+            compact_every=2, bucket_index_table="bkt_probe_t", n_index_buckets=4,
+        )
+        corpus = spark.read.parquet(corpus_b)
+        assert {r.doc_id for r in corpus.collect()} == expect
+        texts = [r.text for r in corpus.collect()]
+        assert len(texts) == len(set(texts))
+
+        # RTBF with the bucket table: drop + fallback + readmission
+        forget_documents(spark, corpus_b, index_b, [1], bucket_index_table="bkt_probe_t")
+        assert not spark.catalog.tableExists("bkt_probe_t")
+        assert not os.path.isdir(index_b + "_bucketmeta")
+        drop_file(src_b, "b4", [(50, long_text("a"))])  # forgotten content, new id
+        run_streaming_curation(
+            spark, str(src_b), corpus_b, index_b,
+            compact_every=2, bucket_index_table="bkt_probe_t", n_index_buckets=4,
+        )
+        assert {r.doc_id for r in spark.read.parquet(corpus_b).collect()} == {
+            2, 11, 21, 31, 50,
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_probe_t")
