@@ -165,14 +165,16 @@ _PRIORITY = [
     # promoted from LOCAL_ONLY — never driver-verified:
     "q_exact_jaccard_join",
     "q_cms_heavy_hitters",
+    # new in round 5 — never driver-verified:
+    "q_bm25_search",
 ]
 
-# Exported last: with 70 exported queries and a 50-row driver cap,
-# exactly these 20 fall off this round.  Every one was fully green in
-# CORRECTNESS_r04 (they were round 4's _PRIORITY — rows, schema, AND
-# hash), so the rotation keeps every export driver-green within two
-# consecutive rounds, AND each is coverage-subsumed by queries that
-# keep a slot:
+# Exported last: with 71 exported queries and a 50-row driver cap,
+# exactly these 21 fall off this round.  Every one was fully green in
+# CORRECTNESS_r04 (round 4's _PRIORITY plus q_unpivot — rows, schema,
+# AND hash), so the rotation keeps every export driver-green within
+# two consecutive rounds, AND each is coverage-subsumed by queries
+# that keep a slot:
 #   q_user_event_pivot    - pivot surface carried by the rotating-in
 #                           q_pivot_status (+ q_unpivot keeps a slot)
 #   q_array_agg           - array aggregation carried by the
@@ -216,11 +218,19 @@ _PRIORITY = [
 #                           by q_decontaminate (keeps a slot)
 #   q_leakage_safe_split  - adds one map-side bucket atop the
 #                           rotating-in q_dedup_clusters subplan
+#   q_unpivot             - STACK/melt is the inverse reshape of the
+#                           pivot family, whose slots are the
+#                           rotating-in q_pivot_status and the (green
+#                           r4) q_user_event_pivot; multi-shape
+#                           aggregation keeps q_cube_qty's slot
+#                           (demoted to make room for the new
+#                           q_bm25_search; green r4)
 # All remain verified by the local mirror test either way.
 # ROUND-6 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-5 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    "q_unpivot",
     "q_user_event_pivot",
     "q_array_agg",
     "q_acctbal_share",

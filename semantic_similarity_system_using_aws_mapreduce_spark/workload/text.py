@@ -460,7 +460,108 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval constants (Robertson/Spärck Jones Okapi BM25 with the
+# non-negative idf variant ln(1 + (N - df + .5)/(df + .5)) every major
+# search engine ships).  Query set fixed so the ranking is a stable
+# oracle; duplicate terms within a query are collapsed (query tf == 1).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "fast table scan"),
+    (2, "stream batch join vector"),
+]
+_BM25_TERMS = [
+    (q, t) for q, s in BM25_QUERIES for t in dict.fromkeys(s.split())
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-{BM25_TOPK} documents per
+    query — the term-weighting baseline next to the embedding-ANN
+    stack (q_ann_lsh_topk / q_cosine_pairs), the pairing every
+    retrieval pipeline ships (BM25 candidates -> dense rerank).
+
+    Scale shape — NO corpus-wide shuffle anywhere: doc length is
+    map-side (`F.size` of the token array, no explode survives it),
+    the exploded token stream is filtered to the BROADCAST query-term
+    set before the tf groupBy (so the only aggregation shuffles
+    postings of the query terms, not the corpus), df/idf derive from
+    that same tiny tf relation, and N/Σdl is a 1-row broadcast
+    (the S5 counters pattern).  At 100 TB this scans once and
+    shuffles kilobytes.
+
+    Cross-engine exactness: dl sums and tf are integers; each term's
+    real-valued BM25 contribution is quantized to int64 micro-units
+    BEFORE the per-(query, doc) sum (the q_lm_quality recipe — FP
+    addition order can never flip a hash), avgdl enters as the exact
+    integer ratio dl*N/Σdl, and the rank window breaks score ties on
+    doc_id over the INTEGER micro score."""
+    docs = _docs(spark, sf_dir)
+    lengths = docs.select(
+        "doc_id", _tokens_col().alias("_toks")
+    ).select("doc_id", "_toks", F.size("_toks").alias("dl"))
+    totals = lengths.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = spark.createDataFrame(_BM25_TERMS, "q_id long, term string")
+    from pyspark import StorageLevel
+
+    # tf feeds BOTH the df aggregation and the scoring join; without
+    # the persist the corpus is tokenized and scanned twice (the
+    # q_tfidf_top_terms pattern; caller-owned cache per the
+    # operators/__init__ contract)
+    tf = (
+        lengths.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1
+        * (
+            1.0
+            - BM25_B
+            + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(idf * tfn * 1_000_000, 0).cast("long").alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("c_micro").alias("s_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("s_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "q_id",
+            "rank",
+            "doc_id",
+            F.round(F.col("s_micro") / 1_000_000.0, 6).alias("bm25"),
+        )
+    )
+
+
 QUERIES = {
+    "q_bm25_search": q_bm25_search,
     "q_hash_embeddings": q_hash_embeddings,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_lm_quality": q_lm_quality,
@@ -509,7 +610,39 @@ _HE_SUM_COLS = ",\n               ".join(
     for j in range(HE_DIM)
 )
 
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_TERMS)
+
 ORACLES = {
+    "q_bm25_search": f"""
+        WITH qterms(q_id, term) AS (VALUES {_BM25_VALUES}),
+        lengths AS (SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents),
+        totals AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                   FROM lengths),
+        tf0 AS (SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t
+                JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+                GROUP BY 1, 2),
+        tf AS (SELECT tf0.*, l.dl FROM tf0 JOIN lengths l USING (doc_id)),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        -- expression order mirrors the Spark build exactly (Python
+        -- folds 1.0-b and k1+1.0 into literals) so every IEEE double
+        -- op happens in the same sequence on both engines
+        contrib AS (SELECT q.q_id, tf.doc_id,
+                           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                 * ((tf * {BM25_K1 + 1.0})
+                                    / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl * n_docs / sum_dl)))
+                                 * 1000000, 0)::BIGINT AS c_micro
+                    FROM tf JOIN dfreq USING (term) CROSS JOIN totals
+                    JOIN qterms q USING (term)),
+        scored AS (SELECT q_id, doc_id, sum(c_micro)::BIGINT AS s_micro
+                   FROM contrib GROUP BY 1, 2),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                                ORDER BY s_micro DESC, doc_id) AS rank
+                   FROM scored)
+        SELECT q_id, rank::INT AS rank, doc_id,
+               round(s_micro / 1000000.0, 6) AS bm25
+        FROM ranked WHERE rank <= {BM25_TOPK}
+    """,
     "q_hash_embeddings": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
         h AS (SELECT doc_id,

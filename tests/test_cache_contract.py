@@ -20,6 +20,7 @@ CACHING_QUERIES = [
     "q_exact_jaccard_join",       # prefix_jaccard_join
     "q_ann_lsh_topk",             # ann_topk_lsh_portable
     "q_dsir_select",              # dsir_select
+    "q_bm25_search",              # tf postings persist
 ]
 
 

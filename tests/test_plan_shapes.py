@@ -205,3 +205,17 @@ def test_dsir_ratio_table_is_broadcast(spark):
     plan = plan_of(ALL_QUERIES["q_dsir_select"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, f"ratio join lost its broadcast:\n{plan}"
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_probe_is_broadcast_only_no_corpus_sort_merge(spark):
+    """q_bm25_search's only shuffles are over query-term postings (the
+    token stream is filtered against the BROADCAST query-term set
+    BEFORE any aggregation); doc length is map-side F.size, the
+    corpus never meets anything via sort-merge, and N/sum_dl is the
+    1-row counters-pattern broadcast."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_bm25_search"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
