@@ -143,6 +143,7 @@ EXTRA = [
     "q_dsir_select",
     "q_bloom_dedup",
     "q_leakage_safe_split",
+    "q_bm25_search",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;
