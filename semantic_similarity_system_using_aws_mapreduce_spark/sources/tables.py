@@ -31,6 +31,28 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin respread of a scan whose split count cannot feed
+    the cluster — the parquet fixture ships as ONE sub-row-group file
+    that Spark cannot split, so every downstream explode/hash stage
+    would otherwise run on one core while 31 idle (measured r5: the
+    DSIR feature explode alone was 3.3 s single-task at sf0.1).
+
+    Use ONLY in front of work that EXPANDS the input (token explodes,
+    per-shingle hashing) whose aggregates are order-independent
+    (integer or micro-quantized sums): for map-sized work the extra
+    exchange is pure waste, and FP row-sums must keep their input
+    order for cross-engine hash stability.  The guard makes it a
+    no-op whenever the scan already has >= defaultParallelism /
+    ``min_factor`` splits — always true on a real cluster reading
+    real multi-file tables, so at 100 TB this never fires."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor >= p:
+        return df
+    return df.repartition(p)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -29,6 +29,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs behind sources.tables.spread_small_scan — ONLY for
+    queries whose per-row expansion is heavy enough to beat the extra
+    round-robin exchange AND whose aggregates are order-independent
+    (micro-quantized sums).  Measured at sf0.1 r5: the char-bigram
+    explode (q_lm_quality) gains 2.5x (3.6 -> 1.46 s) and the BM25
+    postings build is neutral-to-better; the cheap token-split
+    queries REGRESSED under the same treatment (q_token_counts 0.43
+    -> 1.03 s) and keep the raw scan, as do per-document map-only
+    queries (pinned zero-exchange plans) and FP-row-sum queries
+    (q_source_similarity — summation-order hash stability)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import spread_small_scan
+
+    return spread_small_scan(_docs(spark, sf_dir))
+
+
 def _tokens_col():
     return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
 
@@ -236,7 +252,7 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     t = F.lower(F.col("text"))
     bigrams = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select("doc_id", t.alias("s"))
         .filter(F.length("s") >= 2)
         .select(
@@ -498,7 +514,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition order can never flip a hash), avgdl enters as the exact
     integer ratio dl*N/Σdl, and the rank window breaks score ties on
     doc_id over the INTEGER micro score."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     lengths = docs.select(
         "doc_id", _tokens_col().alias("_toks")
     ).select("doc_id", "_toks", F.size("_toks").alias("dl"))
