@@ -229,7 +229,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized and the percentile threshold is 6-dp rounded on both
     engines, so the oracle reproduces the selection bit-for-bit
     (operators/sampling.dsir_select for the 100 TB shape)."""
-    docs = _docs(spark, sf_dir)
+    # spread_small_scan: the unigram+bigram feature explode is the
+    # expansion-heavy shape that beats the extra round-robin exchange
+    # (same-session interleaved A/B at sf0.1: 5.2 vs 7.0 s best, every
+    # rep faster); int64 micro-nat sums keep the hash order-free
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import spread_small_scan
+
+    docs = spread_small_scan(_docs(spark, sf_dir))
     is_t = hash_bucket(F.col("doc_id"), "dsir-t") < DSIR_TARGET_PERMILLE
     return dsir_select(
         docs.filter(~is_t),
