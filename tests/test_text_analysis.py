@@ -128,3 +128,45 @@ def test_cms_estimate_unseen_tokens_are_zero(spark):
         spark.createDataFrame([("a",)], "token string"), empty_sketch, d=2, w=32
     ).collect()
     assert est2[0].cms_estimate == 0
+
+
+def test_bm25_ranks_exact_matches_first_and_handles_absent_terms(spark, tmp_path):
+    """BM25 sanity on a controlled corpus: a document containing all of
+    a query's terms outranks one containing a subset; documents with
+    no query term produce NO row (never a zero-score row); and a query
+    whose terms are entirely absent from the corpus yields no rows
+    rather than erroring (df table is empty for those terms)."""
+    import semantic_similarity_system_using_aws_mapreduce_spark.workload.text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window agg spark window", "en", "s", 10),
+            (2, "spark only here with filler words abc", "en", "s", 10),
+            (3, "nothing relevant at all", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "bm25_docs")
+    docs.write.parquet(out_dir + "/documents.parquet")
+
+    orig = txt.BM25_QUERIES
+    orig_terms = txt._BM25_TERMS
+    try:
+        txt.BM25_QUERIES = [(0, "spark window"), (1, "zzz_absent")]
+        txt._BM25_TERMS = [
+            (q, t) for q, s in txt.BM25_QUERIES for t in dict.fromkeys(s.split())
+        ]
+        rows = txt.q_bm25_search(spark, out_dir).collect()
+    finally:
+        txt.BM25_QUERIES = orig
+        txt._BM25_TERMS = orig_terms
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    # query 0: doc 1 (both terms, repeated) above doc 2 (one term); doc 3 absent
+    q0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert [r.doc_id for r in q0] == [1, 2]
+    assert q0[0].bm25 > q0[1].bm25 > 0
+    # query 1: no term exists anywhere -> no rows, no error
+    assert 1 not in by_q
