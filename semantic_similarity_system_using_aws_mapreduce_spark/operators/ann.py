@@ -142,7 +142,7 @@ def ivf_assign(
     data and assignment is one map pass."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
