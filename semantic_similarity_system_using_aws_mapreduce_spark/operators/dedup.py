@@ -551,7 +551,12 @@ def incremental_dedup(
     compacted-base-plus-recent-tail layout the streaming curation
     maintains.  Every doc named by any bucket relation must also
     appear in ``index_sigs`` (the signature scoring join resolves
-    partners there)."""
+    partners there).  That scoring join's index side is never
+    shuffled either: the candidate set is batch-sized, so AQE
+    broadcasts it and injects a runtime bloom filter on the sigs scan
+    (on by default in this engine's session); if even the pruned
+    linear scan matters, store the sigs table bucketed by doc_id and
+    the lookup becomes bucket-pruned."""
     sig_cols = [f"h{k}" for k in range(n_hashes)]
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     batch = new_sigs.select("doc_id", *sig_cols)
