@@ -97,19 +97,23 @@ def connected_components(
     spark = edges.sparkSession
 
     if n_edges <= local_threshold:
-        # bounded collect (sym holds both directions; a < b keeps one)
+        # bounded collect (sym holds both directions; a <= b keeps one
+        # per pair AND keeps self-loops, whose nodes must still get a
+        # label — the distributed path labels them via groupBy("a"))
         rows = [
-            (r.a, r.b) for r in sym.filter(F.col("a") < F.col("b")).collect()
+            (r.a, r.b) for r in sym.filter(F.col("a") <= F.col("b")).collect()
         ]
         sym.unpersist()
         if stats is not None:
             stats["rounds"] = 0
             stats["mode"] = "local"
+        # schema follows the input's node type so both paths stay
+        # interchangeable for non-long ids
+        node_t = edges.schema[src].dataType.simpleString()
+        schema = f"node {node_t}, cluster_id {node_t}"
         if not rows:
-            return spark.createDataFrame([], "node long, cluster_id long")
-        return spark.createDataFrame(
-            _local_components(rows), "node long, cluster_id long"
-        )
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(_local_components(rows), schema)
 
     # Fused init: the first min-label propagation costs nothing extra —
     # the node list needs a groupBy("a") anyway, and folding

@@ -88,10 +88,23 @@ def atomic_replace(
     shutil.rmtree(bak, ignore_errors=True)
 
 
+def _has_data_files(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def read_parquet_recovering(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a table maintained by :func:`atomic_replace`, first healing
-    any interrupted swap.  Returns None if the table does not exist."""
+    any interrupted swap.  Returns None if the table does not exist OR
+    holds no data files — a writer that committed zero rows (e.g. a
+    micro-batch where every document failed the quality gate) leaves a
+    directory with only a _SUCCESS marker, and spark.read.parquet on
+    it raises UNABLE_TO_INFER_SCHEMA; treating it as absent keeps
+    empty-so-far tables indistinguishable from never-written ones
+    instead of wedging every subsequent read."""
     recover(path)
-    if not os.path.isdir(path):
+    if not os.path.isdir(path) or not _has_data_files(path):
         return None
     return spark.read.parquet(path)

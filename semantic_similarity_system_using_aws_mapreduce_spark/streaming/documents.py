@@ -110,24 +110,41 @@ def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
-def compact_index(spark: SparkSession, index_path: str, keep_batch: int) -> None:
-    """Fold every index partition EXCEPT ``keep_batch``'s into a single
-    one-file ``ingest_batch=-1`` base partition, atomically.  Without
-    this, one parquet file accrues per micro-batch and the probe join
-    eventually reads 1e5 footers.  ``keep_batch`` (the in-flight
-    micro-batch) stays in its own partition so a crash-replay of that
-    batch can still exclude its own rows from the probe."""
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    keep_batch: int,
+    rows_per_file: int = 2_000_000,
+) -> None:
+    """Fold every index partition EXCEPT ``keep_batch``'s into a
+    bounded-file-count ``ingest_batch=-1`` base partition, atomically.
+    Without this, one parquet file accrues per micro-batch and the
+    probe join eventually reads 1e5 footers.  ``keep_batch`` (the
+    in-flight micro-batch) stays in its own partition so a
+    crash-replay of that batch can still exclude its own rows from
+    the probe.
+
+    The fold's width follows the measured base size (one cheap count
+    over 8-long rows): ~``rows_per_file`` signature rows per output
+    file, capped at the cluster's parallelism — never a single-task
+    rewrite of the whole accumulated index (the base grows with the
+    corpus, unlike the CMS sketch's bounded cells)."""
     index = read_parquet_recovering(spark, index_path)
     if index is None:
         return
-    base = (
-        index.filter(F.col("ingest_batch") != keep_batch)
+    folded = index.filter(F.col("ingest_batch") != keep_batch).dropDuplicates(
         # a replayed batch rewrites its partition while its rows may
         # already sit in the base — the fold dedupes by doc_id so such
         # residue can never accumulate
-        .dropDuplicates(["doc_id"])
-        .withColumn("ingest_batch", F.lit(COMPACTED_BATCH))
-        .coalesce(1)
+        ["doc_id"]
+    )
+    n = folded.count()
+    n_files = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n // rows_per_file)),
+    )
+    base = folded.withColumn("ingest_batch", F.lit(COMPACTED_BATCH)).repartition(
+        n_files
     )
     tail = index.filter(F.col("ingest_batch") == keep_batch)
     atomic_replace(
@@ -157,27 +174,44 @@ def build_bucketed_sig_index(
     joins (a pre-union would discard the table's partitioning).
 
     ``covered_batch`` (the streaming loop passes the compacting batch
-    id) is recorded in a one-row meta table at
-    ``<index_path>_bucketmeta`` AFTER the rebuild commits: the next
-    probe treats index partitions with ``ingest_batch > covered`` as
-    the tail.  Written after, so a crash between the two leaves a
-    stale covered value — the tail then overlaps the table and the
-    probe sees duplicate candidates, which the candidate ``distinct``
-    absorbs; a hole is impossible."""
+    id) switches the rebuild to a VERSIONED manifest-pointer protocol,
+    because a catalog ``saveAsTable`` overwrite is the one rewrite
+    here with no atomic rename: the buckets land in a fresh
+    ``<table>__v<batch>`` table, and only after that write commits
+    does the one-row meta at ``<index_path>_bucketmeta`` atomically
+    swap to name it (covered_batch + table_version).  A crash mid
+    table write leaves a torn UNREFERENCED version — the live meta
+    still points at the previous intact version (or at nothing, which
+    falls back to the parquet explode), so a torn table can never
+    silently swallow probe candidates.  Superseded versions are
+    dropped after the swap (a crash there leaves an orphan the next
+    rebuild re-collects).  The probe treats index partitions with
+    ``ingest_batch > covered`` as the tail; a stale-but-intact meta
+    only means the tail overlaps the table, and the candidate
+    ``distinct`` absorbs the duplicates — a hole is impossible."""
     from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
 
-    sigs = spark.read.parquet(index_path)
+    sigs = read_parquet_recovering(spark, index_path)
+    if sigs is None:
+        raise ValueError(f"no signature index at {index_path}")
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     buckets = signature_buckets(sigs, n_bands, rows_per_band)
-    write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
-    if covered_batch is not None:
-        atomic_replace(
-            spark.createDataFrame(
-                [(covered_batch,)], "covered_batch long"
-            ),
-            index_path + "_bucketmeta",
-        )
-    return spark.table(table)
+    if covered_batch is None:
+        write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
+        return spark.table(table)
+    version = f"{table}__v{covered_batch}"
+    write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
+    atomic_replace(
+        spark.createDataFrame(
+            [(covered_batch, version)],
+            "covered_batch long, table_version string",
+        ),
+        index_path + "_bucketmeta",
+    )
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"{table}__v") and t.name != version:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    return spark.table(version)
 
 
 def run_streaming_curation(
@@ -246,22 +280,27 @@ def run_streaming_curation(
                 # the base partition.
                 own_ids = F.broadcast(sigs.select("doc_id"))
                 index = index.join(own_ids, "doc_id", "left_anti")
-                if bucket_index_table and spark.catalog.tableExists(
-                    bucket_index_table
-                ):
+                if bucket_index_table:
                     meta = read_parquet_recovering(
                         spark, index_path + "_bucketmeta"
                     )
                     if meta is not None:
-                        covered = meta.first()["covered_batch"]
-                        base = (
-                            spark.table(bucket_index_table)
-                            .join(own_ids, "doc_id", "left_anti")
+                        row = meta.first()
+                        covered, version = (
+                            row["covered_batch"],
+                            row["table_version"],
                         )
-                        tail = signature_buckets(
-                            index.filter(F.col("ingest_batch") > covered)
-                        )
-                        index_buckets = [base, tail]
+                        # the meta is the manifest pointer: only a
+                        # version it names (whose write committed
+                        # before the pointer swapped) is ever probed
+                        if spark.catalog.tableExists(version):
+                            base = spark.table(version).join(
+                                own_ids, "doc_id", "left_anti"
+                            )
+                            tail = signature_buckets(
+                                index.filter(F.col("ingest_batch") > covered)
+                            )
+                            index_buckets = [base, tail]
             kept, _dropped = incremental_dedup(
                 sigs, index, min_agree=min_agree, index_buckets=index_buckets
             )
@@ -403,6 +442,9 @@ def forget_documents(
     out = {}
     for path in (corpus_path, index_path):
         before = read_parquet_recovering(spark, path)
+        if before is None:  # never written, or empty-so-far
+            out[path] = {"n_before": 0, "n_after": 0}
+            continue
         kept = before.join(F.broadcast(ids), "doc_id", "left_anti")
         n_before = before.count()
         # preserve the ingest_batch partition layout the streaming
@@ -410,9 +452,16 @@ def forget_documents(
         # for subsequent partitioned appends
         parts = ["ingest_batch"] if "ingest_batch" in before.columns else None
         atomic_replace(kept, path, partition_by=parts)
-        out[path] = {"n_before": n_before, "n_after": spark.read.parquet(path).count()}
+        after = read_parquet_recovering(spark, path)
+        out[path] = {
+            "n_before": n_before,
+            "n_after": 0 if after is None else after.count(),
+        }
     if bucket_index_table:
         spark.sql(f"DROP TABLE IF EXISTS {bucket_index_table}")
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"{bucket_index_table}__v"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         import shutil as _shutil
 
         _shutil.rmtree(index_path + "_bucketmeta", ignore_errors=True)

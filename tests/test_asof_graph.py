@@ -149,3 +149,28 @@ def test_connected_components_empty_edges(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
     assert connected_components(empty, local_threshold=0).count() == 0
+
+
+def test_connected_components_self_loops_and_string_ids_agree(spark):
+    """Regression (r5 review): a node whose only edge is a self-loop
+    must still receive a label on BOTH paths, and the local path must
+    preserve non-long id types instead of hardcoding a long schema."""
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    local = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(
+        map(tuple, connected_components(edges, local_threshold=0).collect())
+    )
+    assert local == dist == [(1, 1), (2, 1), (5, 5)]
+
+    sedges = spark.createDataFrame(
+        [("b", "a"), ("c", "c")], "doc_a string, doc_b string"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(sedges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+    sdist = {
+        r.node: r.cluster_id
+        for r in connected_components(sedges, local_threshold=0).collect()
+    }
+    assert sdist == got

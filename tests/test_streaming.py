@@ -794,9 +794,13 @@ def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
         ids_p = {r.doc_id for r in spark.read.parquet(corpus_p).collect()}
         assert ids_b == ids_p == expect
         assert {r.doc_id for r in spark.read.parquet(index_b).collect()} == expect
-        assert spark.catalog.tableExists("bkt_probe_t")
         meta = spark.read.parquet(index_b + "_bucketmeta").collect()
         assert [r.covered_batch for r in meta] == [3]
+        # manifest-pointer protocol: the meta names the live version,
+        # which must exist; superseded versions were dropped
+        assert meta[0].table_version == "bkt_probe_t__v3"
+        assert spark.catalog.tableExists("bkt_probe_t__v3")
+        assert not spark.catalog.tableExists("bkt_probe_t__v1")
 
         # crash-replay of the final batch under the bucketed probe: the
         # rebuilt table already contains batch 3's rows — the own-id
@@ -816,7 +820,9 @@ def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
 
         # RTBF with the bucket table: drop + fallback + readmission
         forget_documents(spark, corpus_b, index_b, [1], bucket_index_table="bkt_probe_t")
-        assert not spark.catalog.tableExists("bkt_probe_t")
+        assert not any(
+            t.name.startswith("bkt_probe_t") for t in spark.catalog.listTables()
+        )
         assert not os.path.isdir(index_b + "_bucketmeta")
         drop_file(src_b, "b4", [(50, long_text("a"))])  # forgotten content, new id
         run_streaming_curation(
@@ -828,3 +834,40 @@ def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_probe_t")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkt_probe_t__v"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_curation_survives_an_all_rejected_first_batch(spark, tmp_path):
+    """Regression (r5 review): a micro-batch where EVERY document
+    fails the quality gate writes an empty (file-less) partition dir;
+    the next batch's index/corpus reads must treat it as
+    absent-so-far, not raise UNABLE_TO_INFER_SCHEMA and wedge the
+    stream permanently."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "empty_first_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_ef_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    drop_file("b0", [(1, "too short"), (2, " ".join(["rep"] * 40))])  # all fail
+    drop_file("b1", [(10, long_text("a"))])
+
+    corpus_path = str(tmp_path / "ef_corpus")
+    index_path = str(tmp_path / "ef_index")
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {10}
+    assert {r.doc_id for r in spark.read.parquet(index_path).collect()} == {10}
