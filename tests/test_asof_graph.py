@@ -174,3 +174,24 @@ def test_connected_components_self_loops_and_string_ids_agree(spark):
         for r in connected_components(sedges, local_threshold=0).collect()
     }
     assert sdist == got
+
+
+def test_connected_components_paths_agree_on_random_graphs(spark):
+    """Property drill: on seeded random graphs (mixed cliques, chains,
+    self-loops, isolated pairs), the driver union-find and the
+    distributed pointer-doubling loop must produce identical labels."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = []
+        for _ in range(80):
+            a, b = rng.randrange(n), rng.randrange(n)
+            edges.append((a, b))  # includes self-loops when a == b
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        local = sorted(map(tuple, connected_components(df).collect()))
+        dist = sorted(
+            map(tuple, connected_components(df, local_threshold=0).collect())
+        )
+        assert local == dist, f"trial {trial} diverged"

@@ -108,3 +108,57 @@ def test_recover_is_idempotent(spark, tmp_path):
     for _ in range(3):
         recover(path)
     assert not os.path.isdir(path)
+
+
+def test_random_crash_injection_never_loses_the_table(spark, tmp_path):
+    """Property drill: interrupt atomic_replace at EVERY possible
+    os.rename call site (fail on the k-th rename, for all k), plus the
+    no-crash case.  After each interruption, read_parquet_recovering
+    must return either the complete old or the complete new content —
+    never a torn mix, never an error, never a lost table — and a
+    retried replace must converge on the new content."""
+    import os as _os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import atomic
+
+    path = str(tmp_path / "crashy")
+
+    class Boom(RuntimeError):
+        pass
+
+    for fail_at in [1, 2, 3, None]:
+        # reset to a known old state
+        import shutil
+
+        for d in (path, path + ".__tmp__", path + ".__bak__"):
+            shutil.rmtree(d, ignore_errors=True)
+        _write(spark, path, [1, 2])
+
+        calls = {"n": 0}
+        real_rename = _os.rename
+
+        def flaky_rename(a, b, fail_at=fail_at, calls=calls):
+            calls["n"] += 1
+            if fail_at is not None and calls["n"] >= fail_at:
+                raise Boom()
+            return real_rename(a, b)
+
+        new_df = spark.createDataFrame([(9,), (8,)], "v long")
+        _os.rename = flaky_rename
+        try:
+            atomic.atomic_replace(new_df, path)
+            crashed = False
+        except Boom:
+            crashed = True
+        finally:
+            _os.rename = real_rename
+
+        got = atomic.read_parquet_recovering(spark, path)
+        assert got is not None, f"table lost (fail_at={fail_at})"
+        vals = sorted(r.v for r in got.collect())
+        assert vals in ([1, 2], [8, 9]), (fail_at, vals)
+        # a retry always converges to the new content
+        atomic.atomic_replace(spark.createDataFrame([(9,), (8,)], "v long"), path)
+        assert sorted(r.v for r in spark.read.parquet(path).collect()) == [8, 9]
+        if fail_at is None:
+            assert not crashed and vals == [8, 9]
