@@ -110,6 +110,40 @@ def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def read_corpus_asof(
+    spark: SparkSession, corpus_path: str, batch: int
+) -> DataFrame | None:
+    """Reproducibility read: the curated corpus EXACTLY as it stood
+    after micro-batch ``batch`` committed — the ``ingest_batch``
+    partition layout doubles as a free version axis, so pinning a
+    training run to its ingest watermark is a partition-pruned filter
+    (``ingest_batch <= batch``), no table format or snapshot log
+    needed.  Rows folded away by a later corpus compaction are out of
+    scope here: the CORPUS is never compacted (only the signature
+    index is), precisely so this axis stays truthful.  Returns None
+    before anything was ingested."""
+    corpus = read_parquet_recovering(spark, corpus_path)
+    if corpus is None:
+        return None
+    return corpus.filter(F.col("ingest_batch") <= batch)
+
+
+def corpus_versions(spark: SparkSession, corpus_path: str) -> list[int]:
+    """The committed ingest watermarks available to
+    :func:`read_corpus_asof`, ascending (one per non-empty
+    micro-batch)."""
+    corpus = read_parquet_recovering(spark, corpus_path)
+    if corpus is None:
+        return []
+    return [
+        r.ingest_batch
+        for r in corpus.select("ingest_batch")
+        .distinct()
+        .orderBy("ingest_batch")
+        .collect()
+    ]
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,

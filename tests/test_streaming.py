@@ -871,3 +871,48 @@ def test_curation_survives_an_all_rejected_first_batch(spark, tmp_path):
     run_streaming_curation(spark, str(src), corpus_path, index_path)
     assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {10}
     assert {r.doc_id for r in spark.read.parquet(index_path).collect()} == {10}
+
+
+def test_corpus_asof_reads_each_ingest_watermark(spark, tmp_path):
+    """Time-travel over the partitioned corpus: read_corpus_asof(b)
+    returns exactly the documents admitted by micro-batches <= b (a
+    partition-pruned filter, no snapshot log), and corpus_versions
+    lists the committed watermarks."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        corpus_versions,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "asof_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_asof_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    drop_file("b0", [(1, long_text("a"))])
+    drop_file("b1", [(11, long_text("b")), (12, long_text("a"))])  # 12 dups 1
+    drop_file("b2", [(21, long_text("c"))])
+
+    corpus_path = str(tmp_path / "asof_corpus")
+    index_path = str(tmp_path / "asof_index")
+    assert read_corpus_asof(spark, corpus_path, 0) is None
+    assert corpus_versions(spark, corpus_path) == []
+    run_streaming_curation(spark, str(src), corpus_path, index_path)
+
+    assert corpus_versions(spark, corpus_path) == [0, 1, 2]
+    def ids(b):
+        return {r.doc_id for r in read_corpus_asof(spark, corpus_path, b).collect()}
+    assert ids(0) == {1}
+    assert ids(1) == {1, 11}
+    assert ids(2) == {1, 11, 21}
