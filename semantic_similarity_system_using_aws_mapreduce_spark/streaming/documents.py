@@ -163,27 +163,38 @@ def compact_index(
     file, capped at the cluster's parallelism — never a single-task
     rewrite of the whole accumulated index (the base grows with the
     corpus, unlike the CMS sketch's bounded cells)."""
+    from pyspark import StorageLevel
+
     index = read_parquet_recovering(spark, index_path)
     if index is None:
         return
-    folded = index.filter(F.col("ingest_batch") != keep_batch).dropDuplicates(
-        # a replayed batch rewrites its partition while its rows may
-        # already sit in the base — the fold dedupes by doc_id so such
-        # residue can never accumulate
-        ["doc_id"]
+    folded = (
+        index.filter(F.col("ingest_batch") != keep_batch)
+        .dropDuplicates(
+            # a replayed batch rewrites its partition while its rows
+            # may already sit in the base — the fold dedupes by doc_id
+            # so such residue can never accumulate
+            ["doc_id"]
+        )
+        # the sizing count and the rewrite both consume the fold —
+        # persist so the scan + dedup shuffle runs once, not twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = folded.count()
-    n_files = max(
-        1,
-        min(spark.sparkContext.defaultParallelism, -(-n // rows_per_file)),
-    )
-    base = folded.withColumn("ingest_batch", F.lit(COMPACTED_BATCH)).repartition(
-        n_files
-    )
-    tail = index.filter(F.col("ingest_batch") == keep_batch)
-    atomic_replace(
-        base.unionByName(tail), index_path, partition_by=["ingest_batch"]
-    )
+    try:
+        n = folded.count()
+        n_files = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, -(-n // rows_per_file)),
+        )
+        base = folded.withColumn(
+            "ingest_batch", F.lit(COMPACTED_BATCH)
+        ).repartition(n_files)
+        tail = index.filter(F.col("ingest_batch") == keep_batch)
+        atomic_replace(
+            base.unionByName(tail), index_path, partition_by=["ingest_batch"]
+        )
+    finally:
+        folded.unpersist()
 
 
 def build_bucketed_sig_index(
@@ -227,13 +238,28 @@ def build_bucketed_sig_index(
 
     sigs = read_parquet_recovering(spark, index_path)
     if sigs is None:
-        raise ValueError(f"no signature index at {index_path}")
+        # nothing ingested yet (or everything forgotten): nothing to
+        # index — callers skip; raising here would wedge a stream
+        # whose first batches were all rejected
+        return None
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     buckets = signature_buckets(sigs, n_bands, rows_per_band)
     if covered_batch is None:
         write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
         return spark.table(table)
-    version = f"{table}__v{covered_batch}"
+    # the version name is unique PER REBUILD ATTEMPT, not just per
+    # batch: a crash-replay of the compacting batch re-enters here
+    # with the same covered_batch, and overwriting the version the
+    # live meta already names would be exactly the non-atomic rewrite
+    # this protocol exists to avoid — a fresh attempt table leaves the
+    # referenced one untouched until the pointer swaps
+    prefix = f"{table}__v{covered_batch}_a"
+    prior = [
+        int(t.name[len(prefix):])
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit()
+    ]
+    version = f"{prefix}{max(prior) + 1 if prior else 0}"
     write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
     atomic_replace(
         spark.createDataFrame(
@@ -318,7 +344,10 @@ def run_streaming_curation(
                     meta = read_parquet_recovering(
                         spark, index_path + "_bucketmeta"
                     )
-                    if meta is not None:
+                    if meta is not None and "table_version" in meta.columns:
+                        # (a meta without table_version predates the
+                        # versioned protocol — fall back to the
+                        # parquet explode until the next rebuild)
                         row = meta.first()
                         covered, version = (
                             row["covered_batch"],

@@ -41,6 +41,7 @@ DSIR_KEEP = 0.25
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language mixture sampling — a pure map-side
     filter (no shuffle, no RNG): keep iff md5('smp:'||doc_id)%1000

@@ -44,6 +44,7 @@ BLOOM_K = 2
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -201,7 +202,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import cluster_split
 
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
+    sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
     cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
     comp = connected_components(cands).withColumnRenamed("node", "doc_id")
     return (

@@ -796,11 +796,15 @@ def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
         assert {r.doc_id for r in spark.read.parquet(index_b).collect()} == expect
         meta = spark.read.parquet(index_b + "_bucketmeta").collect()
         assert [r.covered_batch for r in meta] == [3]
-        # manifest-pointer protocol: the meta names the live version,
-        # which must exist; superseded versions were dropped
-        assert meta[0].table_version == "bkt_probe_t__v3"
-        assert spark.catalog.tableExists("bkt_probe_t__v3")
-        assert not spark.catalog.tableExists("bkt_probe_t__v1")
+        # manifest-pointer protocol: the meta names the live version
+        # (unique per rebuild ATTEMPT), which must exist; superseded
+        # versions were dropped
+        assert meta[0].table_version.startswith("bkt_probe_t__v3_a")
+        assert spark.catalog.tableExists(meta[0].table_version)
+        assert not any(
+            t.name.startswith("bkt_probe_t__v1_")
+            for t in spark.catalog.listTables()
+        )
 
         # crash-replay of the final batch under the bucketed probe: the
         # rebuilt table already contains batch 3's rows — the own-id
@@ -916,3 +920,51 @@ def test_corpus_asof_reads_each_ingest_watermark(spark, tmp_path):
     assert ids(0) == {1}
     assert ids(1) == {1, 11}
     assert ids(2) == {1, 11, 21}
+
+
+def test_bucketed_compaction_survives_all_rejected_batches(spark, tmp_path):
+    """Regression (r5 second review): with compact_every=1 and the
+    bucketed probe table enabled, an all-rejected first batch leaves
+    an empty-so-far index — the rebuild must SKIP (return None), not
+    raise inside foreachBatch and wedge the stream; later batches
+    then build the table normally."""
+    import glob
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        build_bucketed_sig_index,
+        run_streaming_curation,
+    )
+
+    def long_text(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "bkt_empty_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_be_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    drop_file("b0", [(1, "too short")])          # all rejected
+    drop_file("b1", [(10, long_text("a"))])
+
+    corpus_path = str(tmp_path / "be_corpus")
+    index_path = str(tmp_path / "be_index")
+    try:
+        # standalone: empty index -> None, no exception
+        assert build_bucketed_sig_index(spark, index_path, "be_probe_t") is None
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path,
+            compact_every=1, bucket_index_table="be_probe_t",
+        )
+        assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {10}
+        meta = spark.read.parquet(index_path + "_bucketmeta").collect()
+        assert spark.catalog.tableExists(meta[0].table_version)
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("be_probe_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
