@@ -131,17 +131,25 @@ def read_corpus_asof(
 def corpus_versions(spark: SparkSession, corpus_path: str) -> list[int]:
     """The committed ingest watermarks available to
     :func:`read_corpus_asof`, ascending (one per non-empty
-    micro-batch)."""
-    corpus = read_parquet_recovering(spark, corpus_path)
-    if corpus is None:
+    micro-batch).  Answered from the partition DIRECTORY NAMES alone —
+    the values are the version axis, so listing metadata beats a
+    distinct scan job over every corpus file."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import recover
+
+    recover(corpus_path)
+    if not os.path.isdir(corpus_path):
         return []
-    return [
-        r.ingest_batch
-        for r in corpus.select("ingest_batch")
-        .distinct()
-        .orderBy("ingest_batch")
-        .collect()
-    ]
+    out = []
+    for d in os.listdir(corpus_path):
+        if d.startswith("ingest_batch="):
+            v = d.split("=", 1)[1]
+            try:
+                out.append(int(v))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def compact_index(
@@ -205,7 +213,7 @@ def build_bucketed_sig_index(
     n_bands: int = 4,
     rows_per_band: int = 2,
     covered_batch: int | None = None,
-) -> DataFrame:
+) -> DataFrame | None:
     """Materialize the signature index's BUCKET relation as a catalog
     table bucketed by the probe-join key (band, k0..k{r-1}) — the
     100 TB probe shape the incremental-dedup docstring prescribes: the
@@ -233,7 +241,14 @@ def build_bucketed_sig_index(
     rebuild re-collects).  The probe treats index partitions with
     ``ingest_batch > covered`` as the tail; a stale-but-intact meta
     only means the tail overlaps the table, and the candidate
-    ``distinct`` absorbs the duplicates — a hole is impossible."""
+    ``distinct`` absorbs the duplicates — a hole is impossible.
+
+    Returns None (instead of raising) when the index is missing or
+    empty-so-far — a compact_every=1 stream whose first batches were
+    all rejected must skip the rebuild, not wedge on an exception."""
+    import os
+    import shutil
+
     from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
 
     sigs = read_parquet_recovering(spark, index_path)
@@ -242,22 +257,38 @@ def build_bucketed_sig_index(
         # index — callers skip; raising here would wedge a stream
         # whose first batches were all rejected
         return None
+    # Spark stores catalog/warehouse names lowercased — fold here so
+    # attempt enumeration and GC below can never miss a mixed-case
+    # caller's own tables
+    table = table.lower()
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     buckets = signature_buckets(sigs, n_bands, rows_per_band)
     if covered_batch is None:
         write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
         return spark.table(table)
-    # the version name is unique PER REBUILD ATTEMPT, not just per
+    # The version name is unique PER REBUILD ATTEMPT, not just per
     # batch: a crash-replay of the compacting batch re-enters here
     # with the same covered_batch, and overwriting the version the
     # live meta already names would be exactly the non-atomic rewrite
     # this protocol exists to avoid — a fresh attempt table leaves the
-    # referenced one untouched until the pointer swaps
+    # referenced one untouched until the pointer swaps.  Attempts are
+    # enumerated from the WAREHOUSE DIRECTORIES, not the catalog: the
+    # default catalog is in-memory (non-durable), so after a driver
+    # crash the replayed batch would see an empty catalog, pick the
+    # same attempt name, and saveAsTable would collide with the
+    # surviving non-empty directory (or worse, overwrite the live
+    # version in place).  The directory listing also sees attempts
+    # whose write crashed before ever reaching the catalog.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     prefix = f"{table}__v{covered_batch}_a"
+
+    def _attempt_dirs():
+        if not os.path.isdir(warehouse):
+            return []
+        return [d for d in os.listdir(warehouse) if d.startswith(prefix)]
+
     prior = [
-        int(t.name[len(prefix):])
-        for t in spark.catalog.listTables()
-        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit()
+        int(d[len(prefix):]) for d in _attempt_dirs() if d[len(prefix):].isdigit()
     ]
     version = f"{prefix}{max(prior) + 1 if prior else 0}"
     write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
@@ -268,9 +299,16 @@ def build_bucketed_sig_index(
         ),
         index_path + "_bucketmeta",
     )
+    # GC superseded versions: catalog entries AND their (durable)
+    # warehouse directories — including orphans from attempts that
+    # crashed before reaching the catalog
     for t in spark.catalog.listTables():
         if t.name.startswith(f"{table}__v") and t.name != version:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith(f"{table}__v") and d != version:
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     return spark.table(version)
 
 
@@ -521,11 +559,24 @@ def forget_documents(
             "n_after": 0 if after is None else after.count(),
         }
     if bucket_index_table:
-        spark.sql(f"DROP TABLE IF EXISTS {bucket_index_table}")
-        for t in spark.catalog.listTables():
-            if t.name.startswith(f"{bucket_index_table}__v"):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        import os as _os
         import shutil as _shutil
 
+        base = bucket_index_table.lower()  # catalog names are lowercased
+        spark.sql(f"DROP TABLE IF EXISTS {base}")
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"{base}__v"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        # orphan warehouse dirs from attempts that never reached the
+        # (non-durable) catalog still name the forgotten docs — sweep
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        if _os.path.isdir(warehouse):
+            for d in _os.listdir(warehouse):
+                if d == base or d.startswith(f"{base}__v"):
+                    _shutil.rmtree(
+                        _os.path.join(warehouse, d), ignore_errors=True
+                    )
         _shutil.rmtree(index_path + "_bucketmeta", ignore_errors=True)
     return out

@@ -15,6 +15,28 @@ from semantic_similarity_system_using_aws_mapreduce_spark.workload.events import
 
 SF_DIR = "/root/testdata/sf0.001"
 
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _long_text(seed: str) -> str:
+    """30 distinct tokens: clears the curation defaults
+    (min_tokens=24, ttr=0.35) — the ONE definition every streaming
+    micro-batch test builds admissible documents from."""
+    return " ".join(f"{seed}{i}" for i in range(30))
+
+
+def _drop_batch_file(spark, tmp_path, src, name, rows):
+    """Land `rows` as a single flat parquet file in `src` — one
+    micro-batch for the maxFilesPerTrigger=1 file source (file order
+    follows name order)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    ds = tmp_path / f"_{src.name}_{name}_ds"
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(str(ds))
+    part = _glob.glob(str(ds / "part-*.parquet"))[0]
+    _shutil.copy(part, str(src / f"{name}.parquet"))
+
 
 def test_tumbling_counts_match_batch(spark):
     stream = read_event_stream(spark, SF_DIR)
@@ -339,9 +361,7 @@ def test_streaming_curation_matches_sequential_batch_application(spark, tmp_path
         run_streaming_curation,
     )
 
-    def long_text(seed: str) -> str:
-        # 30 distinct tokens: passes min_tokens=24 and ttr=0.35
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     batch_a = [
         (1, long_text("a")),
@@ -478,18 +498,14 @@ def test_streaming_curation_restart_processes_only_new_files(spark, tmp_path):
 
     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "restart_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     corpus_path = str(tmp_path / "restart_corpus")
     index_path = str(tmp_path / "restart_index")
@@ -523,18 +539,14 @@ def test_forget_documents_erases_and_readmits(spark, tmp_path):
         run_streaming_curation,
     )
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "forget_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     corpus_path = str(tmp_path / "forget_corpus")
     index_path = str(tmp_path / "forget_index")
@@ -624,18 +636,14 @@ def test_curation_compaction_bounds_index_files_and_stays_exactly_once(
 
     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "compact_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     drop_file("b0", [(1, long_text("a")), (2, long_text("b"))])
     drop_file("b1", [(11, long_text("c")), (12, long_text("a"))])  # 12 dups 1
@@ -693,8 +701,7 @@ def test_bucketed_sig_index_probe_has_no_exchange_on_index_side(spark, tmp_path)
     from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import read_bucketed
     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import build_bucketed_sig_index
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     indexed = spark.createDataFrame(
@@ -753,8 +760,7 @@ def test_curation_with_bucketed_probe_table_matches_plain_run(spark, tmp_path):
         run_streaming_curation,
     )
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
 
@@ -854,18 +860,14 @@ def test_curation_survives_an_all_rejected_first_batch(spark, tmp_path):
 
     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "empty_first_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_ef_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     drop_file("b0", [(1, "too short"), (2, " ".join(["rep"] * 40))])  # all fail
     drop_file("b1", [(10, long_text("a"))])
@@ -891,18 +893,14 @@ def test_corpus_asof_reads_each_ingest_watermark(spark, tmp_path):
         run_streaming_curation,
     )
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "asof_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_asof_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     drop_file("b0", [(1, long_text("a"))])
     drop_file("b1", [(11, long_text("b")), (12, long_text("a"))])  # 12 dups 1
@@ -936,18 +934,14 @@ def test_bucketed_compaction_survives_all_rejected_batches(spark, tmp_path):
         run_streaming_curation,
     )
 
-    def long_text(seed: str) -> str:
-        return " ".join(f"{seed}{i}" for i in range(30))
+    long_text = _long_text
 
     schema = "doc_id long, text string"
     src = tmp_path / "bkt_empty_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_be_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = glob.glob(str(ds / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     drop_file("b0", [(1, "too short")])          # all rejected
     drop_file("b1", [(10, long_text("a"))])
