@@ -323,6 +323,7 @@ def run_streaming_curation(
     compact_every: int = 0,
     bucket_index_table: str | None = None,
     n_index_buckets: int = 32,
+    stats: bool = False,
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -344,6 +345,12 @@ def run_streaming_curation(
     candidate joins.  At 100 TB this is the difference between
     shuffling the whole index's bucket relation every micro-batch and
     shuffling only the micro-batch.
+
+    ``stats=True`` additionally writes a one-row-per-batch ingest
+    funnel (n_arrived / n_gated / n_kept) to ``<corpus_path>_stats``,
+    partitioned and replay-idempotent like every other table here —
+    the operational answer to "what did batch N reject, and why is
+    the corpus growing slower than the crawl".
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
@@ -414,6 +421,26 @@ def run_streaming_curation(
                 gated.join(kept_ids, "doc_id"), corpus_path, batch_id
             )
             _write_batch_partition(kept, index_path, batch_id)
+            if stats:
+                # per-batch ingest funnel (arrived -> gate -> dedup),
+                # the streaming face of the curation CLI's funnel
+                # report: three counts over already-cached relations,
+                # written idempotently into the batch's own partition
+                # so replays rewrite rather than double-count
+                row = [
+                    (
+                        batch.count(),
+                        gated.count(),
+                        kept.count(),
+                    )
+                ]
+                _write_batch_partition(
+                    spark.createDataFrame(
+                        row, "n_arrived long, n_gated long, n_kept long"
+                    ),
+                    corpus_path + "_stats",
+                    batch_id,
+                )
             kept.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
                 if bucket_index_table:

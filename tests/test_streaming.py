@@ -962,3 +962,32 @@ def test_bucketed_compaction_survives_all_rejected_batches(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("be_probe_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_curation_stats_record_the_per_batch_funnel(spark, tmp_path):
+    """stats=True: one (n_arrived, n_gated, n_kept) row per
+    micro-batch in <corpus_path>_stats, accounting for every arriving
+    document (gate rejections and dedup drops included)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    src = tmp_path / "stats_incoming"
+    src.mkdir()
+    _drop_batch_file(
+        spark, tmp_path, src, "b0",
+        [(1, _long_text("a")), (2, "too short"), (3, _long_text("b"))],
+    )
+    _drop_batch_file(
+        spark, tmp_path, src, "b1",
+        [(11, _long_text("a")), (12, _long_text("c"))],  # 11 dups 1
+    )
+
+    corpus_path = str(tmp_path / "stats_corpus")
+    index_path = str(tmp_path / "stats_index")
+    run_streaming_curation(spark, str(src), corpus_path, index_path, stats=True)
+
+    stats = {
+        r.ingest_batch: (r.n_arrived, r.n_gated, r.n_kept)
+        for r in spark.read.parquet(corpus_path + "_stats").collect()
+    }
+    assert stats == {0: (3, 2, 2), 1: (2, 2, 1)}
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 3, 12}
