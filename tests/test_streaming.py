@@ -991,3 +991,78 @@ def test_curation_stats_record_the_per_batch_funnel(spark, tmp_path):
     }
     assert stats == {0: (3, 2, 2), 1: (2, 2, 1)}
     assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 3, 12}
+
+
+def test_streaming_soak_all_features_interact_consistently(spark, tmp_path):
+    """Capstone integration: ten micro-batches through the full
+    feature set at once — compaction every 3 batches, the versioned
+    bucketed probe table, per-batch stats — then a right-to-be-
+    forgotten deletion, then MORE ingest on the same checkpoint
+    (including resubmission of forgotten content and fresh
+    duplicates).  Asserts global invariants the focused tests check
+    only pairwise: corpus/index mirror each other, content is unique,
+    stats account for every batch, the probe table matches the meta,
+    and time-travel reads stay truthful."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        corpus_versions,
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    src = tmp_path / "soak_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "soak_corpus")
+    index_path = str(tmp_path / "soak_index")
+    kw = dict(compact_every=3, bucket_index_table="soak_probe_t", stats=True)
+
+    try:
+        # batches 0-9: every 3rd doc is a duplicate of an earlier one
+        expect = set()
+        for b in range(10):
+            fresh = 10 * b + 1
+            rows = [(fresh, _long_text(f"s{b}"))]
+            expect.add(fresh)
+            if b % 3 == 2:  # duplicate of batch b-2's fresh doc
+                rows.append((10 * b + 2, _long_text(f"s{b - 2}")))
+            _drop_batch_file(spark, tmp_path, src, f"b{b:02d}", rows)
+        run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+
+        corpus = spark.read.parquet(corpus_path)
+        assert {r.doc_id for r in corpus.collect()} == expect
+        texts = [r.text for r in corpus.collect()]
+        assert len(texts) == len(set(texts))
+        idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+        assert idx_ids == expect
+        stats = spark.read.parquet(corpus_path + "_stats")
+        assert stats.count() == 10
+        assert stats.agg(F.sum("n_kept")).first()[0] == len(expect)
+        meta = spark.read.parquet(index_path + "_bucketmeta").first()
+        assert spark.catalog.tableExists(meta.table_version)
+        # time-travel: watermark 4 holds exactly batches 0-4's keeps
+        assert {r.doc_id for r in read_corpus_asof(spark, corpus_path, 4).collect()} == {
+            1, 11, 21, 31, 41,
+        }
+        assert corpus_versions(spark, corpus_path) == list(range(10))
+
+        # forget one early doc, then resubmit its content + a dup
+        forget_documents(
+            spark, corpus_path, index_path, [21], bucket_index_table="soak_probe_t"
+        )
+        expect.discard(21)
+        _drop_batch_file(
+            spark, tmp_path, src, "b10",
+            [(201, _long_text("s2")), (202, _long_text("s5"))],  # 202 dups 51
+        )
+        run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+        expect.add(201)  # forgotten content readmitted under a new id
+
+        corpus = spark.read.parquet(corpus_path)
+        assert {r.doc_id for r in corpus.collect()} == expect
+        texts = [r.text for r in corpus.collect()]
+        assert len(texts) == len(set(texts))
+        assert {r.doc_id for r in spark.read.parquet(index_path).collect()} == expect
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("soak_probe_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
