@@ -168,3 +168,28 @@ def test_morton_code_clamps_negative_inputs(spark):
         .first()
     )
     assert row.z == row.z0 == 0b1010
+
+
+def test_spread_small_scan_is_a_noop_on_well_split_tables(spark, tmp_path):
+    """The guard that makes spread_small_scan safe at scale: a scan
+    that already has >= defaultParallelism/2 splits (any real
+    multi-file table) passes through UNTOUCHED — no repartition, no
+    extra exchange; only the pathological one-file fixture case
+    respreads."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.tables import spread_small_scan
+
+    p = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many_files")
+    spark.range(10_000).withColumn("t", F.lit("x")).repartition(p).write.parquet(many)
+    df = spark.read.parquet(many)
+    assert df.rdd.getNumPartitions() * 2 >= p
+    out = spread_small_scan(df)
+    assert out is df  # identity, not just same count: zero plan change
+
+    one = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    df1 = spark.read.parquet(one)
+    out1 = spread_small_scan(df1)
+    assert out1.rdd.getNumPartitions() == p
