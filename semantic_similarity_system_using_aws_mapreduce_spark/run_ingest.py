@@ -1,0 +1,125 @@
+"""Continuous-ingest runner — the operational CLI over the streaming
+curation surface (streaming/documents.py), pairing run_curation.py's
+one-shot batch funnel with the grows-forever deployment mode:
+
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest ingest SRC_DIR OUTDIR
+        [--compact-every N] [--bucket-table NAME] [--stats]
+        [--min-tokens 24] [--min-ttr 0.35] [--min-agree 6]
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest forget OUTDIR --doc-ids 1,2,3
+        [--bucket-table NAME]
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest versions OUTDIR
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest asof OUTDIR --batch N --out PATH
+
+``ingest`` drains every file currently in SRC_DIR (one micro-batch
+per file, availableNow) through quality gate -> incremental dedup
+against the persisted signature index, writing under OUTDIR:
+
+    corpus/        admitted documents, one ``ingest_batch`` partition
+                   per micro-batch (the version axis ``asof`` reads)
+    sig_index/     minhash signature index future runs dedup against
+    corpus_stats/  (with --stats) per-batch funnel counts
+    corpus_ckpt/   the streaming checkpoint — KEEP it: re-running
+                   ingests only files that arrived since
+
+Re-running ``ingest`` as new files land is the whole deployment
+story: the checkpoint skips processed files, replayed batches rewrite
+their own partitions, and previously admitted content drops as a
+duplicate — an at-least-once source, an exactly-once corpus.
+``forget`` is the right-to-be-forgotten path (erases corpus + index
+rows and any derived probe table, atomically).  ``versions`` / ``asof``
+pin a training run to an ingest watermark for reproducibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
+from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+    corpus_versions,
+    forget_documents,
+    read_corpus_asof,
+    run_streaming_curation,
+)
+
+
+def _paths(outdir: str) -> tuple[str, str]:
+    return os.path.join(outdir, "corpus"), os.path.join(outdir, "sig_index")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="run_ingest")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ing = sub.add_parser("ingest", help="drain SRC_DIR into the curated corpus")
+    p_ing.add_argument("src_dir")
+    p_ing.add_argument("outdir")
+    p_ing.add_argument("--min-tokens", type=int, default=24)
+    p_ing.add_argument("--min-ttr", type=float, default=0.35)
+    p_ing.add_argument("--min-agree", type=int, default=6)
+    p_ing.add_argument("--compact-every", type=int, default=0)
+    p_ing.add_argument("--bucket-table", default=None)
+    p_ing.add_argument("--stats", action="store_true")
+
+    p_fgt = sub.add_parser("forget", help="right-to-be-forgotten deletion")
+    p_fgt.add_argument("outdir")
+    p_fgt.add_argument("--doc-ids", required=True, help="comma-separated ids")
+    p_fgt.add_argument("--bucket-table", default=None)
+
+    p_ver = sub.add_parser("versions", help="list committed ingest watermarks")
+    p_ver.add_argument("outdir")
+
+    p_aso = sub.add_parser("asof", help="materialize the corpus as of a watermark")
+    p_aso.add_argument("outdir")
+    p_aso.add_argument("--batch", type=int, required=True)
+    p_aso.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name="spark-semsim-ingest")
+    corpus_path, index_path = _paths(args.outdir)
+
+    if args.cmd == "ingest":
+        run_streaming_curation(
+            spark,
+            args.src_dir,
+            corpus_path,
+            index_path,
+            min_tokens=args.min_tokens,
+            min_ttr=args.min_ttr,
+            min_agree=args.min_agree,
+            compact_every=args.compact_every,
+            bucket_index_table=args.bucket_table,
+            n_index_buckets=32,
+            stats=args.stats,
+        )
+        print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
+        return 0
+    if args.cmd == "forget":
+        ids = [int(x) for x in args.doc_ids.split(",") if x]
+        report = forget_documents(
+            spark,
+            corpus_path,
+            index_path,
+            ids,
+            bucket_index_table=args.bucket_table,
+        )
+        print(json.dumps(report))
+        return 0
+    if args.cmd == "versions":
+        print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
+        return 0
+    if args.cmd == "asof":
+        snap = read_corpus_asof(spark, corpus_path, args.batch)
+        if snap is None:
+            print(json.dumps({"error": "no corpus ingested yet"}))
+            return 1
+        snap.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        return 0
+    raise AssertionError(args.cmd)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

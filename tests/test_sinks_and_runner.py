@@ -216,3 +216,48 @@ def test_run_curation_funnel_contract(spark, tmp_path):
         min_tokens=24, min_ttr=0.35, shard_budget=128,
     )
     assert manifest2["funnel"] == funnel
+
+
+def test_run_ingest_cli_end_to_end(spark, tmp_path):
+    """The streaming-ingest CLI drives the whole lifecycle in-process:
+    ingest (incremental across two invocations), versions, asof
+    materialization, and forget — each verb printing machine-readable
+    JSON and leaving the documented OUTDIR layout."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_ingest import main
+
+    def long_text(seed):
+        return " ".join(f"{seed}{i}" for i in range(30))
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "cli_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        ds = tmp_path / f"_cli_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = _glob.glob(str(ds / "part-*.parquet"))[0]
+        _shutil.copy(part, str(src / f"{name}.parquet"))
+
+    outdir = str(tmp_path / "cli_out")
+    drop_file("b0", [(1, long_text("a")), (2, "too short")])
+    assert main(["ingest", str(src), outdir, "--stats"]) == 0
+
+    # second invocation picks up only the new file (shared checkpoint)
+    drop_file("b1", [(11, long_text("a")), (12, long_text("b"))])  # 11 dups 1
+    assert main(["ingest", str(src), outdir, "--stats"]) == 0
+
+    corpus = spark.read.parquet(f"{outdir}/corpus")
+    assert {r.doc_id for r in corpus.collect()} == {1, 12}
+    stats = spark.read.parquet(f"{outdir}/corpus_stats")
+    assert stats.count() == 2
+
+    assert main(["versions", outdir]) == 0
+    snap_out = str(tmp_path / "cli_snap")
+    assert main(["asof", outdir, "--batch", "0", "--out", snap_out]) == 0
+    assert {r.doc_id for r in spark.read.parquet(snap_out).collect()} == {1}
+
+    assert main(["forget", outdir, "--doc-ids", "1"]) == 0
+    assert {r.doc_id for r in spark.read.parquet(f"{outdir}/corpus").collect()} == {12}
