@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     p_aso.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
+    if args.cmd == "ingest" and args.bucket_table and not args.compact_every:
+        ap.error("--bucket-table requires --compact-every (its rebuild cadence)")
     spark = get_spark(app_name="spark-semsim-ingest")
     corpus_path, index_path = _paths(args.outdir)
 
