@@ -79,8 +79,23 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "ingest" and args.bucket_table and not args.compact_every:
         ap.error("--bucket-table requires --compact-every (its rebuild cadence)")
-    spark = get_spark(app_name="spark-semsim-ingest")
     corpus_path, index_path = _paths(args.outdir)
+
+    if args.cmd == "versions":
+        # pure filesystem metadata — no reason to boot a JVM
+        print(json.dumps({"versions": corpus_versions(None, corpus_path)}))
+        return 0
+
+    if args.cmd == "ingest" and not (
+        os.path.isdir(args.src_dir) and os.listdir(args.src_dir)
+    ):
+        # the crawler hasn't landed anything yet: a normal state on
+        # the re-run-as-files-arrive deployment path, not a traceback
+        print(json.dumps({"versions": corpus_versions(None, corpus_path),
+                          "note": "no input files yet"}))
+        return 0
+
+    spark = get_spark(app_name="spark-semsim-ingest")
 
     if args.cmd == "ingest":
         run_streaming_curation(
@@ -99,7 +114,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
         return 0
     if args.cmd == "forget":
-        ids = [int(x) for x in args.doc_ids.split(",") if x]
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        if not ids:
+            ap.error("--doc-ids parsed to an empty list; refusing a "
+                     "no-op full rewrite of corpus and index")
         report = forget_documents(
             spark,
             corpus_path,
@@ -109,16 +127,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(report))
         return 0
-    if args.cmd == "versions":
-        print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
-        return 0
     if args.cmd == "asof":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         snap = read_corpus_asof(spark, corpus_path, args.batch)
         if snap is None:
             print(json.dumps({"error": "no corpus ingested yet"}))
             return 1
-        snap.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        # the row count rides the write itself (Observation — the S5
+        # counters pattern), not a second scan of the snapshot
+        obs = Observation()
+        snap.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"rows": obs.get["n"]}))
         return 0
     raise AssertionError(args.cmd)
 

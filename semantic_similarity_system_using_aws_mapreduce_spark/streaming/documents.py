@@ -294,8 +294,12 @@ def build_bucketed_sig_index(
     write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
     atomic_replace(
         spark.createDataFrame(
-            [(covered_batch, version)],
-            "covered_batch long, table_version string",
+            # n_buckets rides the meta so a FRESH SESSION (empty
+            # in-memory catalog) can re-register the surviving
+            # warehouse directory with the right bucket spec — see
+            # _reregister_bucket_table
+            [(covered_batch, version, n_buckets)],
+            "covered_batch long, table_version string, n_buckets long",
         ),
         index_path + "_bucketmeta",
     )
@@ -310,6 +314,35 @@ def build_bucketed_sig_index(
             if d.startswith(f"{table}__v") and d != version:
                 shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     return spark.table(version)
+
+
+def _reregister_bucket_table(
+    spark: SparkSession, version: str, n_buckets: int
+) -> bool:
+    """Make a bucketed probe-table version usable in THIS session:
+    the default catalog is in-memory, so a fresh process (each CLI
+    invocation, any restart) knows nothing of the table even though
+    its warehouse directory — bucket-suffixed files included —
+    survived.  Re-register it as an external bucketed table over that
+    directory; without this the probe silently falls back to the full
+    parquet explode every batch until the next compaction, the exact
+    shuffle the table exists to avoid.  True iff the version is now
+    queryable."""
+    import os
+
+    if spark.catalog.tableExists(version):
+        return True
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, version)
+    if not os.path.isdir(loc):
+        return False
+    spark.sql(
+        f"CREATE TABLE {version} "
+        "(doc_id BIGINT, band INT, k0 BIGINT, k1 BIGINT) "
+        f"USING parquet CLUSTERED BY (band, k0, k1) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return True
 
 
 def run_streaming_curation(
@@ -364,6 +397,10 @@ def run_streaming_curation(
         raise ValueError("bucket_index_table requires compact_every (its rebuild cadence)")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if stats:
+            # the arrived-count below and the gate both read the
+            # batch — cache it so stats never re-scan the source file
+            batch = batch.cache()
         gated = quality_gate(batch, min_tokens, min_ttr)
         # cache: signatures + corpus write both consume the gate
         gated = gated.cache()
@@ -398,10 +435,17 @@ def run_streaming_curation(
                             row["covered_batch"],
                             row["table_version"],
                         )
+                        nb = (
+                            int(row["n_buckets"])
+                            if "n_buckets" in meta.columns
+                            else n_index_buckets
+                        )
                         # the meta is the manifest pointer: only a
                         # version it names (whose write committed
-                        # before the pointer swapped) is ever probed
-                        if spark.catalog.tableExists(version):
+                        # before the pointer swapped) is ever probed;
+                        # a fresh session re-registers the surviving
+                        # warehouse directory first
+                        if _reregister_bucket_table(spark, version, nb):
                             base = spark.table(version).join(
                                 own_ids, "doc_id", "left_anti"
                             )
@@ -424,7 +468,7 @@ def run_streaming_curation(
             if stats:
                 # per-batch ingest funnel (arrived -> gate -> dedup),
                 # the streaming face of the curation CLI's funnel
-                # report: three counts over already-cached relations,
+                # report: three counts, each over a cached relation,
                 # written idempotently into the batch's own partition
                 # so replays rewrite rather than double-count
                 row = [
@@ -454,6 +498,8 @@ def run_streaming_curation(
                 compact_index(spark, index_path, keep_batch=batch_id)
         finally:
             gated.unpersist()
+            if stats:
+                batch.unpersist()
 
     (
         read_document_stream(spark, source_dir)

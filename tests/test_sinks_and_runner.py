@@ -223,23 +223,16 @@ def test_run_ingest_cli_end_to_end(spark, tmp_path):
     ingest (incremental across two invocations), versions, asof
     materialization, and forget — each verb printing machine-readable
     JSON and leaving the documented OUTDIR layout."""
-    import glob as _glob
-    import shutil as _shutil
+    from test_streaming import _drop_batch_file, _long_text
 
     from semantic_similarity_system_using_aws_mapreduce_spark.run_ingest import main
 
-    def long_text(seed):
-        return " ".join(f"{seed}{i}" for i in range(30))
-
-    schema = "doc_id long, text string"
+    long_text = _long_text
     src = tmp_path / "cli_incoming"
     src.mkdir()
 
     def drop_file(name, rows):
-        ds = tmp_path / f"_cli_{name}_ds"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
-        part = _glob.glob(str(ds / "part-*.parquet"))[0]
-        _shutil.copy(part, str(src / f"{name}.parquet"))
+        _drop_batch_file(spark, tmp_path, src, name, rows)
 
     outdir = str(tmp_path / "cli_out")
     drop_file("b0", [(1, long_text("a")), (2, "too short")])

@@ -1066,3 +1066,52 @@ def test_streaming_soak_all_features_interact_consistently(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("soak_probe_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_bucket_table_reregisters_after_catalog_loss(spark, tmp_path):
+    """Fresh-session simulation: the in-memory catalog forgets the
+    bucketed probe table between processes while its warehouse
+    directory survives.  The next batch must RE-REGISTER it from the
+    meta's recorded bucket spec (external table over the surviving
+    files) instead of silently falling back to the parquet explode —
+    and keep deduping correctly."""
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    src = tmp_path / "rereg_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "rereg_corpus")
+    index_path = str(tmp_path / "rereg_index")
+    kw = dict(compact_every=1, bucket_index_table="rereg_probe_t", n_index_buckets=4)
+
+    try:
+        _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+        run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+        meta = spark.read.parquet(index_path + "_bucketmeta").first()
+        version = meta.table_version
+        assert spark.catalog.tableExists(version)
+
+        # simulate a process restart: catalog entry gone, files intact
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(warehouse, version)
+        shutil.copytree(loc, loc + ".save")
+        spark.sql(f"DROP TABLE {version}")  # managed drop deletes the dir
+        os.rename(loc + ".save", loc)
+        assert not spark.catalog.tableExists(version)
+
+        _drop_batch_file(
+            spark, tmp_path, src, "b1",
+            [(11, _long_text("a")), (12, _long_text("b"))],  # 11 dups 1
+        )
+        run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+        # the probe re-registered the surviving version mid-batch
+        # (batch 1's own compaction then superseded it)
+        assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 12}
+        meta2 = spark.read.parquet(index_path + "_bucketmeta").first()
+        assert spark.catalog.tableExists(meta2.table_version)
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("rereg_probe_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
