@@ -327,7 +327,11 @@ def _reregister_bucket_table(
     directory; without this the probe silently falls back to the full
     parquet explode every batch until the next compaction, the exact
     shuffle the table exists to avoid.  True iff the version is now
-    queryable."""
+    queryable.
+
+    The declared DDL pins the streaming protocol's banding (4 bands x
+    2 rows -> doc_id, band, k0, k1); a deployment changing
+    rows_per_band must extend both this schema and the meta."""
     import os
 
     if spark.catalog.tableExists(version):
