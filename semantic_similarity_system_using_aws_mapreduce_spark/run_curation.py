@@ -7,7 +7,7 @@ operators into the standard funnel:
     train/val/test split -> token-budget shard materialization
 
     python -m semantic_similarity_system_using_aws_mapreduce_spark.run_curation DOCS OUTDIR
-        [--format parquet|jsonl|csv] [--eval-docs PATH]
+        [--format parquet|orc|jsonl|csv] [--eval-docs PATH]
         [--min-tokens 24] [--min-ttr 0.35] [--contam-overlap 5]
         [--shard-budget 2048] [--no-shards]
 
@@ -59,6 +59,8 @@ from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import w
 def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "jsonl":
         return read_jsonl_documents(spark, path)[0]
     if fmt == "csv":
@@ -178,7 +180,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("docs")
     ap.add_argument("outdir")
-    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"])
+    ap.add_argument("--format", default="parquet", choices=["parquet", "orc", "jsonl", "csv"])
     ap.add_argument("--eval-docs", default=None)
     ap.add_argument("--min-tokens", type=int, default=24)
     ap.add_argument("--min-ttr", type=float, default=0.35)

@@ -254,3 +254,20 @@ def test_run_ingest_cli_end_to_end(spark, tmp_path):
 
     assert main(["forget", outdir, "--doc-ids", "1"]) == 0
     assert {r.doc_id for r in spark.read.parquet(f"{outdir}/corpus").collect()} == {12}
+
+
+def test_curation_cli_reads_orc(spark, tmp_path):
+    """--format orc: the columnar sibling of parquet, read natively —
+    the funnel result must match the parquet run on the same rows."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30)), "en", "s") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    orc_path = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_path)
+
+    out = str(tmp_path / "orc_out")
+    report = curate(spark, spark.read.orc(orc_path), out, shards=False)
+    assert report["n_input"] == 30
+    curated = spark.read.parquet(f"{out}/curated.parquet")
+    assert curated.count() == report["n_kept"] > 0
