@@ -170,3 +170,82 @@ def test_bm25_ranks_exact_matches_first_and_handles_absent_terms(spark, tmp_path
     assert q0[0].bm25 > q0[1].bm25 > 0
     # query 1: no term exists anywhere -> no rows, no error
     assert 1 not in by_q
+
+
+def test_bm25_matches_pure_python_reference_on_random_corpora(spark, tmp_path):
+    """Differential check: the Spark BM25 pipeline must reproduce an
+    independent pure-Python implementation (same idf variant, same
+    micro-quantization) on seeded random corpora — scores AND top-k
+    ranking, across several vocabulary/length regimes."""
+    import math
+    import random
+
+    import semantic_similarity_system_using_aws_mapreduce_spark.workload.text as txt
+
+    def py_bm25(docs, queries, k1=1.2, b=0.75, topk=5):
+        toks = {d: t.split() for d, t in docs}
+        toks = {d: [w for w in t if w] for d, t in toks.items()}
+        n = len(toks)
+        sum_dl = sum(len(t) for t in toks.values())
+        out = {}
+        for q_id, q in queries:
+            terms = list(dict.fromkeys(q.split()))
+            scores = {}
+            for d, t in toks.items():
+                s_micro = 0
+                hit = False
+                for term in terms:
+                    tf = t.count(term)
+                    if tf == 0:
+                        continue
+                    df = sum(1 for tt in toks.values() if term in tt)
+                    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                    tfn = (tf * (k1 + 1.0)) / (
+                        tf + k1 * ((1.0 - b) + b * len(t) * n / sum_dl)
+                    )
+                    s_micro += int(
+                        math.floor(idf * tfn * 1_000_000 + 0.5)
+                    )  # HALF_UP on positives
+                    hit = True
+                if hit:
+                    scores[d] = s_micro
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+            out[q_id] = [
+                (rank + 1, d, round(s / 1_000_000.0, 6))
+                for rank, (d, s) in enumerate(ranked)
+            ]
+        return out
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(30)]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+            for i in range(25)
+        ]
+        queries = [(0, "tok1 tok2"), (1, "tok3 tok3 tok4 tok5")]
+
+        out_dir = str(tmp_path / f"bm25_rand_{trial}")
+        spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(out_dir + "/documents.parquet")
+
+        orig_q, orig_t = txt.BM25_QUERIES, txt._BM25_TERMS
+        try:
+            txt.BM25_QUERIES = queries
+            txt._BM25_TERMS = [
+                (q, t) for q, s in queries for t in dict.fromkeys(s.split())
+            ]
+            rows = txt.q_bm25_search(spark, out_dir).collect()
+        finally:
+            txt.BM25_QUERIES, txt._BM25_TERMS = orig_q, orig_t
+
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, []).append((r.rank, r.doc_id, r.bm25))
+        for q in got:
+            got[q].sort()
+        want = py_bm25(docs, queries)
+        want = {q: v for q, v in want.items() if v}
+        assert got == want, f"trial {trial}: {got} != {want}"
