@@ -308,3 +308,33 @@ def test_bloom_probe_null_key_is_false_not_null(spark):
     by_key = {r.key: r.might_contain for r in probed.collect()}
     assert by_key["a"] is True
     assert by_key[None] is False
+
+
+def test_bloom_bitmap_bits_match_pure_python_md5(spark):
+    """Bit-level differential: the (word_idx, bits) bitmap relation
+    must equal an independent hashlib-md5 reconstruction — pinning the
+    60-bit hash contract, the modulo placement, and the 63-bit word
+    packing exactly (not just the membership behavior)."""
+    import hashlib
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import bloom_build
+
+    keys = [f"key{i}" for i in range(50)]
+    m_bits, k = 1 << 12, 3
+
+    words: dict = {}
+    for key in keys:
+        for i in range(k):
+            h = int(hashlib.md5(f"bloom:{i}:{key}".encode()).hexdigest()[:15], 16)
+            p = h % m_bits
+            words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
+
+    got = {
+        r.word_idx: r.bits
+        for r in bloom_build(
+            spark.createDataFrame([(x,) for x in keys], "key string"),
+            m_bits=m_bits,
+            k=k,
+        ).collect()
+    }
+    assert got == words
