@@ -338,3 +338,40 @@ def test_bloom_bitmap_bits_match_pure_python_md5(spark):
         ).collect()
     }
     assert got == words
+
+
+def test_minhash_signatures_match_pure_python(spark):
+    """Differential: (shingle md5 -> universal hash family -> min)
+    reproduced independently with hashlib and plain integer math —
+    pinning the full signature contract (60-bit hash, Mersenne-prime
+    family, per-component mins) beyond the DuckDB oracle."""
+    import hashlib
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        A,
+        B,
+        P,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(shingle_hashes(df)).collect()}
+
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }  # distinct 3-gram shingles
+        hs = {
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh
+        }
+        want[doc_id] = tuple(
+            min((A[k] * (h % P) + B[k]) % P for h in hs) for k in range(8)
+        )
+    assert got == want
