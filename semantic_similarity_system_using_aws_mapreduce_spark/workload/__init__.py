@@ -94,24 +94,19 @@ for _m in _MODULES:
 #   q_cohort_retention - same family (integer epoch-week cohort
 #                      matrix); grouped-agg + co-partitioned join
 #                      shapes all hold driver slots elsewhere
-#   q_data_card - corpus release report; GROUPING SETS' driver slot is
-#                      q_cube_qty, the micro-quantized mean recipe's
-#                      is q_lm_quality
 #   q_hash_embeddings - model-free hashed document vectors (the
 #                      feature-hashing bridge from text to the
 #                      embedding operators); the explode+conditional-
 #                      sum shape holds driver slots via
 #                      q_source_similarity's 24-aggregate pattern
-#   q_table_stats - ANALYZE-style profiling; the sketch-audit pattern's
-#                      driver slot is q_sketch_accuracy
-# ROTATION (round 5): q_exact_jaccard_join and q_cms_heavy_hitters are
-# PROMOTED out of this list into _PRIORITY (VERDICT r4 "Next round" #7)
-# so the two newest algorithm families gain driver-witnessed rows; the
-# exact join's all-pairs oracle is cheap at the driver's sf0.01.
+# ROTATION (round 5): q_exact_jaccard_join and q_cms_heavy_hitters
+# were PROMOTED out of this list into _PRIORITY (VERDICT r4 #7) and
+# gained green r5 rows.  ROTATION (round 6): q_data_card and
+# q_table_stats likewise promote (VERDICT r5 #5) so the
+# release-report and ANALYZE families gain driver-witnessed rows —
+# both are one-pass/one-GROUPING-SETS plans, cheap at sf0.01.
 LOCAL_ONLY = [
-    "q_table_stats",
     "q_hash_embeddings",
-    "q_data_card",
     "q_cohort_retention",
     "q_conversion_funnel",
     "q_asof_next_view_after_purchase",
@@ -134,102 +129,18 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 5),
-# executing the round-4 registry's own note: the 18-query tail the r4
-# cap evicted (each green in r3, mirror-verified since) rotates back
-# to the front, plus the two LOCAL_ONLY promotions
-# (q_exact_jaccard_join, q_cms_heavy_hitters — VERDICT r4 #7).  The
-# 20 round-4 _PRIORITY entries (all fully green in CORRECTNESS_r04)
-# demote to the new _LAST tail, keeping the
+# order-sensitive cap can't starve them again.  ROTATION (round 6),
+# executing the round-5 registry's own note and VERDICT r5 #1/#5: the
+# 21-query tail the r5 cap evicted (each fully green in
+# CORRECTNESS_r04, mirror-verified since) rotates back to the front,
+# plus the two LOCAL_ONLY promotions (q_data_card, q_table_stats —
+# never driver-verified).  The 21 round-5 _PRIORITY entries (all fully
+# green in CORRECTNESS_r05) demote to the new _LAST tail together
+# with two coverage-subsumed middle entries (q_cube_qty,
+# q_sketch_accuracy — both green r5), keeping the
 # every-export-green-within-two-rounds invariant.
 _PRIORITY = [
-    # evicted by the cap in r4 — rotate back in front (green r3):
-    "q_dedup_clusters",
-    "q_lang_id",
-    "q_regex_token_stats",
-    "q_rolling_fingerprint",
-    "q_doc_quality",
-    "q_asof_view_before_purchase",
-    "q_token_totals",
-    "q_doc_chunks",
-    "q_minhash_signatures",
-    "q01_pricing_summary",
-    "q_window_functions",
-    "q_token_counts",
-    "q_semi_join",
-    "q_anti_join",
-    "q_pivot_status",
-    "q_exact_dedup",
-    "q_label_centroids",
-    "q_above_nation_avg",
-    # promoted from LOCAL_ONLY — never driver-verified:
-    "q_exact_jaccard_join",
-    "q_cms_heavy_hitters",
-    # new in round 5 — never driver-verified:
-    "q_bm25_search",
-]
-
-# Exported last: with 71 exported queries and a 50-row driver cap,
-# exactly these 21 fall off this round.  Every one was fully green in
-# CORRECTNESS_r04 (round 4's _PRIORITY plus q_unpivot — rows, schema,
-# AND hash), so the rotation keeps every export driver-green within
-# two consecutive rounds, AND each is coverage-subsumed by queries
-# that keep a slot:
-#   q_user_event_pivot    - pivot surface carried by the rotating-in
-#                           q_pivot_status (+ q_unpivot keeps a slot)
-#   q_array_agg           - array aggregation carried by the
-#                           rotating-in q_label_centroids
-#   q_acctbal_share       - 1-row-agg broadcast compare carried by the
-#                           rotating-in q_above_nation_avg and
-#                           q_token_totals
-#   q_distinct_counts     - count-distinct surface also in
-#                           q_sketch_accuracy's exact audit branch
-#   q05_local_supplier    - multi-way join + grouped agg carried by
-#                           q03_shipping_priority, q_part_brand_revenue
-#   q_date_buckets        - date bucketing also in q_hourly_event_stats
-#   q_string_funcs        - string expression surface rides
-#                           q_pii_redaction and q_regex_token_stats
-#   q_full_outer_align    - the J4 zero-filled alignment is the inner
-#                           subplan of q_source_similarity (keeps slot)
-#   q_having_big_customers- grouped HAVING filter rides
-#                           q_part_brand_revenue (keeps a slot)
-#   q_range_frame         - RANGE window frame; the window family's
-#                           rotating-in slot is q_window_functions,
-#                           q_hourly_event_stats keeps a slot
-#   q_sequence_packing    - fixed-budget splitting; chunking family's
-#                           rotating-in slot is q_doc_chunks
-#   q_semantic_dedup      - SRP-bucketed cosine dedup; embedding family
-#                           keeps q_cosine_pairs/q_ann_lsh_topk slots,
-#                           clustering rides rotating-in q_dedup_clusters
-#   q_duplicate_spans     - span-hash subplan rides the rotating-in
-#                           q_rolling_fingerprint and q_doc_chunks
-#   q_training_order      - hash-range enumeration; deterministic-hash
-#                           ordering also rides q_stratified_sample
-#   q_span_scrub          - consumes q_duplicate_spans' relation; the
-#                           span-hash shape is covered as above
-#   q_source_mixture      - broadcast rate-table sampling carried by
-#                           q_stratified_sample + q_sample_per_group
-#   q_event_sequences     - ordered event windows ride q_sessionization
-#                           and the rotating-in q_asof_view_before_purchase
-#   q_dsir_select         - hashed-feature scoring rides the
-#                           mirror-verified q_hash_embeddings family;
-#                           broadcast ratio-table shape as q_source_mixture
-#   q_bloom_dedup         - membership-probe semantics also witnessed
-#                           by q_decontaminate (keeps a slot)
-#   q_leakage_safe_split  - adds one map-side bucket atop the
-#                           rotating-in q_dedup_clusters subplan
-#   q_unpivot             - STACK/melt is the inverse reshape of the
-#                           pivot family, whose slots are the
-#                           rotating-in q_pivot_status and the (green
-#                           r4) q_user_event_pivot; multi-shape
-#                           aggregation keeps q_cube_qty's slot
-#                           (demoted to make room for the new
-#                           q_bm25_search; green r4)
-# All remain verified by the local mirror test either way.
-# ROUND-6 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-5 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-_LAST = [
+    # evicted by the cap in r5 — rotate back in front (green r4):
     "q_unpivot",
     "q_user_event_pivot",
     "q_array_agg",
@@ -251,6 +162,99 @@ _LAST = [
     "q_dsir_select",
     "q_bloom_dedup",
     "q_leakage_safe_split",
+    # promoted from LOCAL_ONLY — never driver-verified:
+    "q_data_card",
+    "q_table_stats",
+]
+
+# Exported last: with 73 exported queries and a 50-row driver cap,
+# exactly these 23 fall off this round.  Every one is fully green in
+# CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty and
+# q_sketch_accuracy — rows, schema, AND hash), so the rotation keeps
+# every export driver-green within two consecutive rounds, AND each is
+# coverage-subsumed by queries that keep a slot:
+#   q_dedup_clusters      - connected components also the subplan of
+#                           the rotating-in q_leakage_safe_split and
+#                           q_semantic_dedup
+#   q_lang_id             - per-doc expression chain; the lang-ID
+#                           family rides q_doc_quality's sibling
+#                           map-side chains (q_lm_quality,
+#                           q_repetition_signals keep slots)
+#   q_regex_token_stats   - regex token surface rides q_pii_redaction
+#                           (keeps a slot) and rotating-in
+#                           q_string_funcs
+#   q_rolling_fingerprint - span-hash shape carried by the rotating-in
+#                           q_duplicate_spans and q_span_scrub
+#   q_doc_quality         - quality statistics ride q_lm_quality and
+#                           q_quality_gate (keep slots)
+#   q_asof_view_before_purchase - as-of family; temporal-order surface
+#                           rides the rotating-in q_event_sequences
+#                           and q_sessionization (keeps a slot)
+#   q_token_totals        - 1-row-agg broadcast compare carried by the
+#                           rotating-in q_acctbal_share
+#   q_doc_chunks          - chunking family's rotating-in slot is
+#                           q_sequence_packing
+#   q_minhash_signatures  - subplan of q_minhash_lsh_candidates
+#                           (keeps a slot)
+#   q01_pricing_summary   - grouped agg over lineitem; carried by the
+#                           rotating-in q05_local_supplier and
+#                           q03_shipping_priority (keeps a slot)
+#   q_window_functions    - window family rides the rotating-in
+#                           q_range_frame; q_hourly_event_stats keeps
+#   q_token_counts        - A1 sum-by-key also inside
+#                           q_token_source_assoc (keeps a slot)
+#   q_semi_join / q_anti_join - semi/anti shapes also inside
+#                           q_decontaminate (anti) and the rotating-in
+#                           q_bloom_dedup / q_leakage_safe_split
+#   q_pivot_status        - pivot surface carried by the rotating-in
+#                           q_user_event_pivot and q_unpivot
+#   q_exact_dedup         - md5-groupBy also the first stage of
+#                           q_curation_funnel (keeps a slot)
+#   q_label_centroids     - array agg carried by the rotating-in
+#                           q_array_agg
+#   q_above_nation_avg    - broadcast-compare carried by the
+#                           rotating-in q_acctbal_share
+#   q_exact_jaccard_join  - prefix-filter join; near-dup family keeps
+#                           q_minhash_lsh_candidates,
+#                           q_ngram_jaccard_dups, q_simhash_near_dups
+#   q_cms_heavy_hitters   - sketch family; the rotating-in
+#                           q_table_stats carries the sketch-audit
+#                           pattern this round
+#   q_bm25_search         - token-stream scoring; tf/idf shape rides
+#                           q_tfidf_top_terms (keeps a slot); green r5
+#   q_cube_qty            - CUBE grouping sets; the rotating-in
+#                           q_data_card carries GROUPING SETS
+#   q_sketch_accuracy     - the sketch-audit pattern's slot passes to
+#                           the rotating-in q_table_stats; also the
+#                           most expensive middle query at sf0.01
+# All remain verified by the local mirror test either way.
+# ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-6 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+_LAST = [
+    "q_dedup_clusters",
+    "q_lang_id",
+    "q_regex_token_stats",
+    "q_rolling_fingerprint",
+    "q_doc_quality",
+    "q_asof_view_before_purchase",
+    "q_token_totals",
+    "q_doc_chunks",
+    "q_minhash_signatures",
+    "q01_pricing_summary",
+    "q_window_functions",
+    "q_token_counts",
+    "q_semi_join",
+    "q_anti_join",
+    "q_pivot_status",
+    "q_exact_dedup",
+    "q_label_centroids",
+    "q_above_nation_avg",
+    "q_exact_jaccard_join",
+    "q_cms_heavy_hitters",
+    "q_bm25_search",
+    "q_cube_qty",
+    "q_sketch_accuracy",
 ]
 
 _EXPORTED = (
