@@ -158,9 +158,53 @@ PIPELINE_CONFIGS = [
 ]
 
 
+def _pipeline_only() -> None:
+    """Measure the pipeline configs from a FRESH process/JVM and print
+    one JSON line: {key: {"min": s, "median": s}, ...}.
+
+    Isolation rationale (VERDICT r5): the 200k-line config read 10.6 s
+    in-session vs 7.0 s in r4 on byte-identical pipeline code — and
+    slower than the 1M-line config in the same run.  The cost is
+    scheduler/listener bookkeeping accumulated by the ~50 queries that
+    ran first in the shared session; no in-session cleanup recovers it
+    (measured: clearCache + System.gc leave it intact, only a restart
+    does).  Running the configs in their own JVM measures the
+    pipeline, not the session's age; the median is reported alongside
+    the min so a round with one lucky run stays interpretable."""
+    import statistics
+
+    spark = get_spark(app_name="bench-pipeline")
+    # one-time whole-stage-codegen warmup (unreported, both modes)
+    for checkpointed in (True, False):
+        try:
+            _bench_pipeline(spark, 20_000, checkpointed)
+        except Exception:  # noqa: BLE001 — real failure reported below
+            break
+    out: dict[str, dict[str, float]] = {}
+    for n_lines, checkpointed in PIPELINE_CONFIGS:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
+        try:
+            runs = [_bench_pipeline(spark, n_lines, checkpointed) for _ in range(3)]
+        except Exception as exc:  # noqa: BLE001
+            out[key] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            continue
+        out[key] = {
+            "min": min(runs),
+            "median": round(statistics.median(runs), 3),
+        }
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--pipeline-only" in sys.argv:
+        _pipeline_only()
+        return
+
     spark = get_spark(app_name="bench")
 
     if "--dry" in sys.argv:
@@ -241,51 +285,49 @@ def main() -> None:
             print(f"  {name}: {dest[name]:.3f}s {runs}", file=sys.stderr)
 
     # Measurement ORDER: headline queries -> pipelines -> extras.
-    # The pipeline configs run BEFORE the extra block (r1's original
-    # ordering): the heavy iterative extras (q_semantic_dedup's
-    # connected-components loop drives ~500 stages/run) age the session
-    # enough that a 200k pipeline measured after them reads 14 s where
-    # a quiet session reads ~7 s — and no cleanup short of a restart
-    # recovers it (measured; the lingering cost is scheduler/listener
-    # bookkeeping, not heap, so the per-query GC cannot help).
     _run_queries([(n, timings) for n in HEADLINE])
 
-    # Unreported warmup at 20k lines in both modes: the first pipeline
-    # execution pays one-time whole-stage-codegen compilation (~20 s)
-    # that would otherwise land on whichever config runs first and make
-    # round-over-round numbers incomparable.
-    for checkpointed in (True, False):
-        try:
-            _bench_pipeline(spark, 20_000, checkpointed)
-        except Exception:  # noqa: BLE001 — real failure reported below
-            break
-    # The 200k checkpointed config is part of `value` (same composition
-    # as BENCH_r01, so the headline number stays round-over-round
-    # comparable); the two 1M configs are reported separately in
-    # `pipeline` so they are visible without inflating `value`.
+    # The pipeline configs are measured in a FRESH SUBPROCESS JVM (see
+    # _pipeline_only): round 5 proved the in-session measurement reads
+    # the session's age, not the pipeline — byte-identical code swung
+    # 7.0 -> 10.6 s depending only on what ran before it, and no
+    # in-session cleanup recovers the scheduler/listener bookkeeping a
+    # restart does.  The 200k checkpointed config stays part of `value`
+    # (same composition as BENCH_r01, so the headline number remains
+    # round-over-round comparable); the two 1M configs are reported in
+    # `pipeline`; every config's MEDIAN-of-3 lands in
+    # `pipeline_median` so one lucky run can't hide instability.
     extra: dict[str, float] = {}
+    pipeline_median: dict[str, float] = {}
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            check=True,
+        )
+        results = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001
+        results = {}
+        errors["pipeline_subprocess"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  pipelines: ERROR {errors['pipeline_subprocess']}", file=sys.stderr)
     for n_lines, checkpointed in PIPELINE_CONFIGS:
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
         key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
-        # min of N: single-run pipeline wall-clocks vary up to 5x on a
-        # noisy shared box (measured); min is the stable comparable.
-        # The 200k config (part of `value`) gets a third run: measured
-        # back to back, the first 200k execution after the 20k warmups
-        # still reads 11-18 s where the settled time is ~7 s, and two
-        # samples are not reliably enough to catch one settled run.
+        r = results.get(key)
+        if not r:
+            continue
+        if "error" in r:
+            errors[key] = r["error"]
+            print(f"  {key}: ERROR {r['error']}", file=sys.stderr)
+            continue
         headline_config = (n_lines, checkpointed) == (PIPELINE_LINES, True)
         dest = timings if headline_config else extra
-        try:
-            dest[key] = min(
-                _bench_pipeline(spark, n_lines, checkpointed)
-                for _ in range(3 if headline_config else 2)
-            )
-        except Exception as exc:  # noqa: BLE001
-            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"  {key}: ERROR {errors[key]}", file=sys.stderr)
-            continue
-        print(f"  {key}: {dest[key]:.3f}s", file=sys.stderr)
+        dest[key] = r["min"]
+        pipeline_median[key] = r["median"]
+        print(f"  {key}: {r['min']:.3f}s (median {r['median']:.3f}s)", file=sys.stderr)
 
     _run_queries([(n, extra_queries) for n in EXTRA])
 
@@ -322,6 +364,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra_queries,
         "pipeline": extra,
+        "pipeline_median": pipeline_median,
         "runs_per_query": RUNS_PER_QUERY,
         "sf": float(sf),
     }

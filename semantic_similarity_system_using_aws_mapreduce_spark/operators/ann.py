@@ -274,6 +274,89 @@ def cosine_topk_exact_join(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine above ``threshold`` with NO driver
+    collect and NO broadcast of the data — the blocked matmul form of
+    workload/embeddings.q_cosine_pairs (which builds a driver-collected
+    broadcast matrix: the right fast path while the matrix fits
+    executor memory, and a hard wall past it).
+
+    Plan: hash every vector into one of B blocks, replicate each block
+    to the B(B+1)/2 unordered block pairs via a broadcast join against
+    the tiny pair relation, then one ``applyInPandas`` numpy matmul per
+    (block_i, block_j) group.  Each task holds at most 2N/B vectors —
+    pick B so a block pair fits an executor and the plan survives any
+    N; total shuffle volume is the inherent O(N*B) replication of
+    blocked all-pairs.  Fully lazy: building the DataFrame runs no
+    jobs (the broadcast-matrix path runs a toPandas at build time).
+
+    Output contract matches q_cosine_pairs exactly: (vec_a, vec_b,
+    cosine) with vec_a < vec_b, cosine unrounded double.  Every
+    unordered pair lands in exactly one group — the diagonal group of
+    its shared block, or the single (bi < bj) group of its two blocks —
+    so no distinct/dedup pass is needed."""
+    spark = df.sparkSession
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    lhs = blocked.join(
+        F.broadcast(pairs), blocked["_blk"] == pairs["bi"]
+    ).select("bi", "bj", "_id", "_vec", F.lit(0).alias("_side"))
+    # the diagonal group carries its block once (side 0 doubles as both
+    # operands); off-diagonal groups get the second block as side 1
+    rhs = (
+        blocked.join(F.broadcast(pairs), blocked["_blk"] == pairs["bj"])
+        .filter(F.col("bi") != F.col("bj"))
+        .select("bi", "bj", "_id", "_vec", F.lit(1).alias("_side"))
+    )
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a = pdf[pdf["_side"] == 0]
+        ids_a = a["_id"].to_numpy()
+        mat_a = np.array(a["_vec"].tolist(), dtype=np.float64)
+        if len(ids_a) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if bi == bj:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["_side"] == 1]
+            ids_b = b["_id"].to_numpy()
+            if len(ids_b) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            mat_b = np.array(b["_vec"].tolist(), dtype=np.float64)
+            mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+        sims = mat_a @ mat_b.T
+        if bi == bj:
+            # each unordered within-block pair once: strict upper triangle
+            mask = (sims > threshold) & (ids_b[None, :] > ids_a[:, None])
+        else:
+            mask = sims > threshold
+        ii, jj = np.nonzero(mask)
+        va, vb = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ii, jj]})
+
+    return (
+        lhs.unionByName(rhs)
+        .groupBy("bi", "bj")
+        .applyInPandas(score, schema="vec_a long, vec_b long, cosine double")
+    )
+
+
 def ann_topk_ivf_lazy(
     df: DataFrame,
     k: int = 10,

@@ -76,8 +76,10 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin with per-element array lambdas is 10x+ slower (HOFs are
     interpreted); per-pair Python would be worse still.  The matrix
     must fit executor memory (dim x N floats); past that you move to
-    the LSH-bucketed path (q_minhash_lsh_candidates' plan shape with a
-    sign-random-projection hash family) or IVF partitioning.
+    operators/ann.cosine_pairs_blocked (the EXACT blocked-matmul form:
+    hash-blocked block-pair groups, no driver collect, each task holds
+    2N/B vectors — tested pair-identical to this query) or give up
+    exactness for the LSH-bucketed path / IVF partitioning.
     """
     import numpy as np
     import pandas as pd

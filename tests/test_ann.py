@@ -85,6 +85,62 @@ def test_ivf_lazy_recall_and_exact_join_agrees(spark):
         assert m.isclose(got[key], truth[key], rel_tol=1e-9)
 
 
+def test_cosine_pairs_blocked_matches_broadcast_path(spark):
+    """The blocked exact all-pairs cosine (no driver collect, no data
+    broadcast) must emit EXACTLY the broadcast-matrix path's pairs —
+    same (vec_a, vec_b) set, same cosines to 1e-9 — for several block
+    counts including B=1 (degenerate single diagonal group) and a B
+    large enough that many blocks are near-empty."""
+    import math as m
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.embeddings import (
+        COSINE_THRESHOLD,
+        q_cosine_pairs,
+    )
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_cosine_pairs(spark, SF_DIR).collect()
+    }
+    assert truth  # the fixture must produce pairs or the test is vacuous
+    for n_blocks in (1, 4, 16):
+        got = {
+            (r.vec_a, r.vec_b): round(r.cosine, 6)
+            for r in cosine_pairs_blocked(
+                _emb(spark), COSINE_THRESHOLD, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(truth), f"pair set diverged at B={n_blocks}"
+        for key, c in truth.items():
+            assert m.isclose(got[key], c, abs_tol=1e-9)
+
+
+def test_cosine_pairs_blocked_builds_lazily(spark):
+    """Building the blocked plan must run NO jobs (the broadcast-matrix
+    q_cosine_pairs runs a toPandas collect at build time — the exact
+    driver-memory dependence the blocked form exists to remove)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = set(tracker.getJobIdsForGroup())
+        fn()
+        return len(set(tracker.getJobIdsForGroup()) - before)
+
+    # the only build-time job either side may run is parquet schema
+    # inference inside spark.read — measure it as the lazy baseline
+    baseline = jobs_during(lambda: _emb(spark).select("vec_id").schema)
+    built = jobs_during(
+        lambda: cosine_pairs_blocked(_emb(spark), 0.4, n_blocks=8).schema
+    )
+    assert built <= baseline, (
+        f"cosine_pairs_blocked ran {built} jobs at build time "
+        f"(lazy baseline: {baseline})"
+    )
+
+
 def test_ivf_recall_query_builds_lazily(spark):
     """Building q_ann_ivf_recall must run no more Spark jobs than any
     plain lazy query on the same tables (the only build-time job either
