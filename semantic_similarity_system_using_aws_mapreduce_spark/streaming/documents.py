@@ -57,6 +57,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
     atomic_replace,
     read_parquet_recovering,
+    resolve_table_dir,
 )
 
 SIG_SCHEMA = "doc_id long, " + ", ".join(f"h{k} long" for k in range(8))
@@ -100,13 +101,16 @@ def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Idempotent micro-batch append: the rows land in the
     ``ingest_batch=<id>`` Hive partition via dynamic partition
     overwrite, so an at-least-once replay of the batch REWRITES its
-    own partition instead of appending a duplicate copy."""
+    own partition instead of appending a duplicate copy.  The target
+    resolves through :func:`~..sources.atomic.resolve_table_dir` so the
+    same code appends into the bare directory (rename mode) or into
+    the manifest-named live version (manifest mode — object stores)."""
     (
         df.withColumn("ingest_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
-        .parquet(path)
+        .parquet(resolve_table_dir(path))
     )
 
 
@@ -136,13 +140,11 @@ def corpus_versions(spark: SparkSession, corpus_path: str) -> list[int]:
     distinct scan job over every corpus file."""
     import os
 
-    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import recover
-
-    recover(corpus_path)
-    if not os.path.isdir(corpus_path):
+    table_dir = resolve_table_dir(corpus_path, initialize=False)
+    if not os.path.isdir(table_dir):
         return []
     out = []
-    for d in os.listdir(corpus_path):
+    for d in os.listdir(table_dir):
         if d.startswith("ingest_batch="):
             v = d.split("=", 1)[1]
             try:
@@ -294,12 +296,15 @@ def build_bucketed_sig_index(
     write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
     atomic_replace(
         spark.createDataFrame(
-            # n_buckets rides the meta so a FRESH SESSION (empty
-            # in-memory catalog) can re-register the surviving
-            # warehouse directory with the right bucket spec — see
-            # _reregister_bucket_table
-            [(covered_batch, version, n_buckets)],
-            "covered_batch long, table_version string, n_buckets long",
+            # n_buckets AND the banding ride the meta so a FRESH
+            # SESSION (empty in-memory catalog) can re-register the
+            # surviving warehouse directory with the right bucket spec
+            # and key columns — see _reregister_bucket_table (ADVICE
+            # r5: a hardcoded 4x2 DDL would silently mis-register a
+            # deployment built with a different rows_per_band)
+            [(covered_batch, version, n_buckets, n_bands, rows_per_band)],
+            "covered_batch long, table_version string, n_buckets long, "
+            "n_bands long, rows_per_band long",
         ),
         index_path + "_bucketmeta",
     )
@@ -317,7 +322,10 @@ def build_bucketed_sig_index(
 
 
 def _reregister_bucket_table(
-    spark: SparkSession, version: str, n_buckets: int
+    spark: SparkSession,
+    version: str,
+    n_buckets: int,
+    rows_per_band: int = 2,
 ) -> bool:
     """Make a bucketed probe-table version usable in THIS session:
     the default catalog is in-memory, so a fresh process (each CLI
@@ -329,9 +337,11 @@ def _reregister_bucket_table(
     shuffle the table exists to avoid.  True iff the version is now
     queryable.
 
-    The declared DDL pins the streaming protocol's banding (4 bands x
-    2 rows -> doc_id, band, k0, k1); a deployment changing
-    rows_per_band must extend both this schema and the meta."""
+    The DDL derives from the banding the bucketmeta recorded (ADVICE
+    r5: a hardcoded 4x2 schema would silently mis-register a
+    deployment built with a different rows_per_band — the meta now
+    carries n_bands/rows_per_band, and this derives the key columns
+    from it)."""
     import os
 
     if spark.catalog.tableExists(version):
@@ -340,10 +350,12 @@ def _reregister_bucket_table(
     loc = os.path.join(warehouse, version)
     if not os.path.isdir(loc):
         return False
+    key_cols = ", ".join(["band"] + [f"k{r}" for r in range(rows_per_band)])
+    key_ddl = ", ".join(f"k{r} BIGINT" for r in range(rows_per_band))
     spark.sql(
         f"CREATE TABLE {version} "
-        "(doc_id BIGINT, band INT, k0 BIGINT, k1 BIGINT) "
-        f"USING parquet CLUSTERED BY (band, k0, k1) INTO {n_buckets} BUCKETS "
+        f"(doc_id BIGINT, band INT, {key_ddl}) "
+        f"USING parquet CLUSTERED BY ({key_cols}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{loc}'"
     )
     return True
@@ -408,6 +420,9 @@ def run_streaming_curation(
         gated = quality_gate(batch, min_tokens, min_ttr)
         # cache: signatures + corpus write both consume the gate
         gated = gated.cache()
+        kept = None  # released in the finally — a raise between the
+        # cache and the success-path unpersist must not leak the block
+        # for the life of the session (ADVICE r5)
         try:
             sigs = minhash_signatures(shingle_hashes(gated))
             index = read_parquet_recovering(spark, index_path)
@@ -444,17 +459,33 @@ def run_streaming_curation(
                             if "n_buckets" in meta.columns
                             else n_index_buckets
                         )
+                        # banding from the meta (pre-banding metas
+                        # default to the protocol's 4x2) so the
+                        # re-registered DDL and the tail's bucket
+                        # columns always match the table's layout
+                        bands = (
+                            int(row["n_bands"])
+                            if "n_bands" in meta.columns
+                            else 4
+                        )
+                        rpb = (
+                            int(row["rows_per_band"])
+                            if "rows_per_band" in meta.columns
+                            else 2
+                        )
                         # the meta is the manifest pointer: only a
                         # version it names (whose write committed
                         # before the pointer swapped) is ever probed;
                         # a fresh session re-registers the surviving
                         # warehouse directory first
-                        if _reregister_bucket_table(spark, version, nb):
+                        if _reregister_bucket_table(spark, version, nb, rpb):
                             base = spark.table(version).join(
                                 own_ids, "doc_id", "left_anti"
                             )
                             tail = signature_buckets(
-                                index.filter(F.col("ingest_batch") > covered)
+                                index.filter(F.col("ingest_batch") > covered),
+                                bands,
+                                rpb,
                             )
                             index_buckets = [base, tail]
             kept, _dropped = incremental_dedup(
@@ -489,7 +520,6 @@ def run_streaming_curation(
                     corpus_path + "_stats",
                     batch_id,
                 )
-            kept.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
                 if bucket_index_table:
                     build_bucketed_sig_index(
@@ -501,6 +531,8 @@ def run_streaming_curation(
                     )
                 compact_index(spark, index_path, keep_batch=batch_id)
         finally:
+            if kept is not None:
+                kept.unpersist()
             gated.unpersist()
             if stats:
                 batch.unpersist()
@@ -615,7 +647,19 @@ def forget_documents(
     so the next ingest falls back to the parquet index until the next
     compaction rebuilds it; filtering the snapshot in place would
     race an in-flight rebuild for no benefit, since the table is a
-    cache of the (now rewritten) index, not a source of truth."""
+    cache of the (now rewritten) index, not a source of truth.  When
+    the caller does NOT pass it, the ``<index_path>_bucketmeta`` file
+    is consulted: if it names a live table version, the base table
+    name is derived from it and swept anyway (ADVICE r5 — an RTBF run
+    that forgot the flag must not silently leave content-derived
+    signature buckets on disk)."""
+    if bucket_index_table is None:
+        meta = read_parquet_recovering(spark, index_path + "_bucketmeta")
+        if meta is not None and "table_version" in meta.columns:
+            row = meta.first()
+            if row is not None and row["table_version"]:
+                # versions are named <table>__v<batch>_a<attempt>
+                bucket_index_table = row["table_version"].split("__v")[0]
     ids = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
     out = {}
     for path in (corpus_path, index_path):

@@ -511,9 +511,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: dl sums and tf are integers; each term's
     real-valued BM25 contribution is quantized to int64 micro-units
     BEFORE the per-(query, doc) sum (the q_lm_quality recipe — FP
-    addition order can never flip a hash), avgdl enters as the exact
-    integer ratio dl*N/Σdl, and the rank window breaks score ties on
-    doc_id over the INTEGER micro score."""
+    addition order can never flip a hash), and the rank window breaks
+    score ties on doc_id over the INTEGER micro score.  The per-term
+    contribution itself is floating point with the oracle MIRRORING
+    the op order (the length normalization evaluates
+    (B*dl)*N/Σdl in IEEE doubles on both sides, and JVM Math.log
+    must agree with DuckDB's ln within the micro-unit rounding
+    boundary) — op-order-mirrored FP plus quantization, not
+    integer-exact arithmetic end to end; the differential tests cover
+    the agreement empirically (ADVICE r5 corrected the stronger
+    claim the docstring used to make)."""
     docs = _docs_spread(spark, sf_dir)
     lengths = docs.select(
         "doc_id", _tokens_col().alias("_toks")

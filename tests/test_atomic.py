@@ -110,6 +110,164 @@ def test_recover_is_idempotent(spark, tmp_path):
     assert not os.path.isdir(path)
 
 
+def test_manifest_mode_replace_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_df = spark.createDataFrame([(1,), (2,)], "v long")
+    atomic_replace(_write_df, path, mode="manifest")
+    got = read_parquet_recovering(spark, path, mode="manifest")
+    assert sorted(r.v for r in got.collect()) == [1, 2]
+    # data lives in a versioned dir, never at the bare path
+    assert not os.path.isdir(path)
+    assert os.path.isfile(path + ".__manifest__")
+    # replace may read its own target — no lineage cycle
+    atomic_replace(got.filter("v > 1"), path, mode="manifest")
+    got2 = read_parquet_recovering(spark, path, mode="manifest")
+    assert sorted(r.v for r in got2.collect()) == [2]
+    # superseded version GC'd: exactly one version dir remains
+    vdirs = [d for d in os.listdir(tmp_path) if ".__v" in d]
+    assert len(vdirs) == 1, vdirs
+
+
+def test_manifest_mode_migrates_a_rename_mode_table(spark, tmp_path):
+    """Flipping the mode must keep legacy tables readable, and the
+    first manifest replace supersedes the legacy directory."""
+    path = str(tmp_path / "t")
+    _write(spark, path, [1, 2, 3])  # legacy rename-mode layout
+    got = read_parquet_recovering(spark, path, mode="manifest")
+    assert sorted(r.v for r in got.collect()) == [1, 2, 3]
+    atomic_replace(got.filter("v > 1"), path, mode="manifest")
+    assert not os.path.isdir(path)  # legacy dir GC'd after the swap
+    got2 = read_parquet_recovering(spark, path, mode="manifest")
+    assert sorted(r.v for r in got2.collect()) == [2, 3]
+
+
+def test_manifest_mode_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "v long, p long")
+    atomic_replace(df, path, partition_by=["p"], mode="manifest")
+    kept = read_parquet_recovering(spark, path, mode="manifest").filter("v = 2")
+    atomic_replace(kept, path, partition_by=["p"], mode="manifest")
+    live = read_parquet_recovering(spark, path, mode="manifest")
+    assert [tuple(r) for r in live.select("v", "p").collect()] == [(2, 20)]
+    vdir = [d for d in os.listdir(tmp_path) if ".__v" in d]
+    assert len(vdir) == 1
+    assert os.path.isdir(os.path.join(tmp_path, vdir[0], "p=20"))
+
+
+def test_manifest_mode_missing_and_empty(spark, tmp_path):
+    assert read_parquet_recovering(spark, str(tmp_path / "no"), mode="manifest") is None
+    # zero-row write: depending on the Spark version the version dir
+    # holds either no data files (-> None, the UNABLE_TO_INFER_SCHEMA
+    # guard) or one schema-bearing empty part file (-> empty DF); both
+    # are sound — what must never happen is an exception
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "v long")
+    atomic_replace(empty, path, mode="manifest")
+    got = read_parquet_recovering(spark, path, mode="manifest")
+    assert got is None or got.count() == 0
+
+
+def test_manifest_mode_env_var_selects_protocol(spark, tmp_path, monkeypatch):
+    """Call sites that pass no mode= must follow the env var — the
+    streaming tables switch protocol without code changes."""
+    monkeypatch.setenv("SPARK_GRAFT_ATOMIC_MODE", "manifest")
+    path = str(tmp_path / "t")
+    atomic_replace(spark.createDataFrame([(7,)], "v long"), path)
+    assert os.path.isfile(path + ".__manifest__")
+    assert not os.path.isdir(path)
+    got = read_parquet_recovering(spark, path)
+    assert [r.v for r in got.collect()] == [7]
+
+
+def test_manifest_crash_injection_never_loses_the_table(spark, tmp_path):
+    """Mirror of the rename-mode drill: interrupt the manifest protocol
+    at (a) the version-directory parquet write, (b) the manifest
+    pointer swap, plus the no-crash case.  After every interruption
+    the read must return the complete old content or the complete new
+    content — never torn, never lost — and a retry converges."""
+    import os as _os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import atomic
+
+    path = str(tmp_path / "crashy")
+
+    class Boom(RuntimeError):
+        pass
+
+    for fail_at in ("write", "swap", None):
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+        os.makedirs(tmp_path, exist_ok=True)
+        atomic.atomic_replace(
+            spark.createDataFrame([(1,), (2,)], "v long"), path, mode="manifest"
+        )
+
+        fired = {"n": 0}
+        real_replace = _os.replace
+
+        def flaky_swap(a, b, fail_at=fail_at, fired=fired):
+            if fail_at == "swap":
+                fired["n"] += 1
+                raise Boom()
+            return real_replace(a, b)
+
+        new_df = spark.createDataFrame([(9,), (8,)], "v long")
+        if fail_at == "write":
+            # simulate a crash mid parquet job: a torn version dir
+            # (no _SUCCESS) with a HIGHER number than the live one,
+            # exactly what an interrupted write leaves behind
+            live = max(
+                int(d.split(".__v")[1].rstrip("_")) for d in os.listdir(tmp_path)
+                if ".__v" in d
+            )
+            torn = f"{path}.__v{live + 1}__"
+            os.makedirs(torn)
+            with open(os.path.join(torn, "part-0.parquet"), "wb") as f:
+                f.write(b"torn garbage")
+            crashed = True
+        else:
+            _os.replace = flaky_swap
+            try:
+                atomic.atomic_replace(new_df, path, mode="manifest")
+                crashed = False
+            except Boom:
+                crashed = True
+            finally:
+                _os.replace = real_replace
+            if fail_at == "swap":
+                assert fired["n"] > 0  # the injection must actually fire
+
+        assert crashed == (fail_at is not None), fail_at
+        got = atomic.read_parquet_recovering(spark, path, mode="manifest")
+        assert got is not None, f"table lost (fail_at={fail_at})"
+        vals = sorted(r.v for r in got.collect())
+        expected_old = fail_at is not None
+        assert vals == ([1, 2] if expected_old else [8, 9]), (fail_at, vals)
+        # a retry always converges on the new content and GCs garbage
+        atomic.atomic_replace(
+            spark.createDataFrame([(9,), (8,)], "v long"), path, mode="manifest"
+        )
+        got = atomic.read_parquet_recovering(spark, path, mode="manifest")
+        assert sorted(r.v for r in got.collect()) == [8, 9]
+        vdirs = [d for d in os.listdir(tmp_path) if ".__v" in d]
+        assert len(vdirs) == 1, (fail_at, vdirs)
+
+
+def test_manifest_recover_gcs_unreferenced_versions(spark, tmp_path):
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import recover as _recover
+
+    path = str(tmp_path / "t")
+    atomic_replace(spark.createDataFrame([(1,)], "v long"), path, mode="manifest")
+    # orphan attempt + stale manifest tmp
+    os.makedirs(path + ".__v99__")
+    with open(path + ".__manifest__.tmp", "w") as f:
+        f.write("{}")
+    _recover(path, mode="manifest")
+    assert not os.path.isdir(path + ".__v99__")
+    assert not os.path.exists(path + ".__manifest__.tmp")
+    got = read_parquet_recovering(spark, path, mode="manifest")
+    assert [r.v for r in got.collect()] == [1]
+
+
 def test_random_crash_injection_never_loses_the_table(spark, tmp_path):
     """Property drill: interrupt atomic_replace at every os.rename
     call site (from a clean state it performs exactly two: path->bak

@@ -1115,3 +1115,118 @@ def test_bucket_table_reregisters_after_catalog_loss(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("rereg_probe_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_curation_in_manifest_atomic_mode(spark, tmp_path, monkeypatch):
+    """The whole continuous-ingest loop under the object-store-safe
+    manifest protocol (SPARK_GRAFT_ATOMIC_MODE=manifest): per-batch
+    partition appends land inside the manifest-named live version,
+    compaction mints a new version behind the pointer swap, as-of
+    reads and RTBF work unchanged, and NO table ever lives at a bare
+    path that a non-atomic rename would have to swap."""
+    import os as _os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+        read_parquet_recovering,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        corpus_versions,
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ATOMIC_MODE", "manifest")
+
+    src = tmp_path / "mani_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+    _drop_batch_file(
+        spark, tmp_path, src, "b1",
+        [(11, _long_text("b")), (12, _long_text("a"))],  # 12 dups 1
+    )
+    _drop_batch_file(spark, tmp_path, src, "b2", [(21, _long_text("c"))])
+
+    corpus_path = str(tmp_path / "mani_corpus")
+    index_path = str(tmp_path / "mani_index")
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, compact_every=2
+    )
+
+    corpus = read_parquet_recovering(spark, corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 11, 21}
+    index = read_parquet_recovering(spark, index_path)
+    assert {r.doc_id for r in index.collect()} == {1, 11, 21}
+    # manifest layout: versioned dirs + manifest file, no bare table dir
+    assert _os.path.isfile(corpus_path + ".__manifest__")
+    assert _os.path.isfile(index_path + ".__manifest__")
+    assert not _os.path.isdir(corpus_path)
+    assert not _os.path.isdir(index_path)
+    # compaction (batch 1) folded the index through atomic_replace in
+    # manifest mode: exactly one live index version remains
+    idx_versions = [
+        d for d in _os.listdir(tmp_path) if d.startswith("mani_index.__v")
+    ]
+    assert len(idx_versions) == 1, idx_versions
+    # the as-of axis still works (the corpus is never compacted)
+    assert corpus_versions(spark, corpus_path) == [0, 1, 2]
+    assert {r.doc_id for r in read_corpus_asof(spark, corpus_path, 1).collect()} == {1, 11}
+
+    # RTBF: the rewrite is a manifest pointer swap, and the forgotten
+    # content becomes admissible again
+    report = forget_documents(spark, corpus_path, index_path, [11])
+    assert report[corpus_path] == {"n_before": 3, "n_after": 2}
+    _drop_batch_file(spark, tmp_path, src, "b3", [(31, _long_text("b"))])
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, compact_every=2
+    )
+    corpus = read_parquet_recovering(spark, corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 21, 31}
+
+
+def test_forget_documents_autosweeps_bucket_table_from_meta(spark, tmp_path):
+    """ADVICE r5: an RTBF run that omits bucket_index_table must not
+    leave content-derived signature buckets on disk — forget_documents
+    now derives the base table name from the recorded bucketmeta and
+    sweeps it (catalog entries, warehouse dirs, and the meta)."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+
+    src = tmp_path / "asweep_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+    _drop_batch_file(spark, tmp_path, src, "b1", [(11, _long_text("b"))])
+
+    corpus_path = str(tmp_path / "asweep_corpus")
+    index_path = str(tmp_path / "asweep_index")
+    try:
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path,
+            compact_every=1, bucket_index_table="asweep_probe_t",
+            n_index_buckets=4,
+        )
+        meta = spark.read.parquet(index_path + "_bucketmeta").first()
+        assert spark.catalog.tableExists(meta.table_version)
+        # banding now rides the meta (ADVICE r5 #2)
+        assert (meta.n_bands, meta.rows_per_band) == (4, 2)
+
+        # the flag is OMITTED — the sweep must happen anyway
+        forget_documents(spark, corpus_path, index_path, [1])
+        assert not any(
+            t.name.startswith("asweep_probe_t")
+            for t in spark.catalog.listTables()
+        )
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        assert not any(
+            d.startswith("asweep_probe_t") for d in os.listdir(warehouse)
+        ), "warehouse dirs with forgotten content survived"
+        assert not os.path.isdir(index_path + "_bucketmeta")
+        assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {11}
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("asweep_probe_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
