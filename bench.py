@@ -147,6 +147,8 @@ EXTRA = [
     "q_bloom_dedup",
     "q_leakage_safe_split",
     "q_bm25_search",
+    "q_blocked_cosine_pairs",
+    "q_hybrid_rrf",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -165,12 +165,16 @@ _PRIORITY = [
     # promoted from LOCAL_ONLY — never driver-verified:
     "q_data_card",
     "q_table_stats",
+    # new in round 6 — never driver-verified:
+    "q_blocked_cosine_pairs",
+    "q_hybrid_rrf",
 ]
 
-# Exported last: with 73 exported queries and a 50-row driver cap,
-# exactly these 23 fall off this round.  Every one is fully green in
-# CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty and
-# q_sketch_accuracy — rows, schema, AND hash), so the rotation keeps
+# Exported last: with 75 exported queries and a 50-row driver cap,
+# exactly these 25 fall off this round.  Every one is fully green in
+# CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty,
+# q_sketch_accuracy, q_cosine_pairs, and q_embedding_parity_measures —
+# rows, schema, AND hash), so the rotation keeps
 # every export driver-green within two consecutive rounds, AND each is
 # coverage-subsumed by queries that keep a slot:
 #   q_dedup_clusters      - connected components also the subplan of
@@ -227,6 +231,11 @@ _PRIORITY = [
 #   q_sketch_accuracy     - the sketch-audit pattern's slot passes to
 #                           the rotating-in q_table_stats; also the
 #                           most expensive middle query at sf0.01
+#   q_cosine_pairs        - its oracle is VERBATIM the new
+#                           q_blocked_cosine_pairs' oracle (same rows,
+#                           scale plan), which takes the driver slot
+#   q_embedding_parity_measures - the D1-D6 measure family's standard
+#                           form holds a slot via q_source_similarity
 # All remain verified by the local mirror test either way.
 # ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-6 entries here) so the
@@ -255,6 +264,8 @@ _LAST = [
     "q_bm25_search",
     "q_cube_qty",
     "q_sketch_accuracy",
+    "q_cosine_pairs",
+    "q_embedding_parity_measures",
 ]
 
 _EXPORTED = (

@@ -16,7 +16,7 @@ oracle for the bucketed one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 COSINE_THRESHOLD = 0.4
@@ -309,8 +309,96 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocked_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of q_cosine_pairs: exact all-pairs cosine above
+    the threshold with no driver collect and no data broadcast
+    (operators/ann.cosine_pairs_blocked — hash-blocked block-pair
+    groups, one numpy matmul per group, each task bounded at 2N/B
+    vectors).  Shares q_cosine_pairs' oracle VERBATIM: the two plans
+    must produce identical rows, which is exactly the claim the blocked
+    path makes — same answer, no executor-memory wall."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+
+    out = cosine_pairs_blocked(
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        COSINE_THRESHOLD,
+        n_blocks=8,
+    )
+    return out.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+# Reciprocal-rank-fusion constants: the standard k=60 (Cormack et al.
+# 2009); both arms contribute their top-5, fused top-5 reported.
+RRF_K = 60
+HYBRID_TOPK = 5
+DENSE_TOPK = 5
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical arm, workload/text.q_bm25_search)
+    fused with dense cosine ranking (embedding arm) by reciprocal-rank
+    fusion — rrf(d) = Σ_arms 1/(k + rank_arm(d)) — the de-facto way
+    production search ships lexical+vector today.  Query q_id doubles
+    as the query document's vec_id (documents and embeddings share the
+    id domain).
+
+    Scale shape: the lexical arm shuffles only query-term postings
+    (see q_bm25_search), the dense arm broadcasts the 3-row query-
+    vector set and scores map-side (one candidate shuffle for the
+    per-query top-k window), and the fusion aggregates a ≤(arms × k)
+    row relation.  Cross-engine exactness: each arm ranks over
+    ROUND(score, 6) with doc_id tie-break, and each rank's RRF
+    contribution is quantized to int64 micro-units before the fusion
+    sum (no half-way rounding ties exist for ranks ≤ 10)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import (
+        BM25_QUERIES,
+        q_bm25_search,
+    )
+
+    lex = q_bm25_search(spark, sf_dir).select("q_id", "doc_id", "rank")
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q_ids = [q for q, _ in BM25_QUERIES]
+    qv = e.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qe")))
+    )
+    scored = e.crossJoin(F.broadcast(qv)).select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cosine")
+    )
+    wd = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        scored.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= DENSE_TOPK)
+        .select("q_id", "doc_id", "rank")
+    )
+
+    contrib = F.round(F.lit(1_000_000.0) / (RRF_K + F.col("rank")), 0).cast("long")
+    fused = (
+        lex.unionByName(dense)
+        .select("q_id", "doc_id", contrib.alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c").alias("rrf_micro"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select(
+            "q_id",
+            "rank",
+            "doc_id",
+            F.round(F.col("rrf_micro") / 1_000_000.0, 6).alias("rrf"),
+        )
+    )
+
+
 QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
+    "q_blocked_cosine_pairs": q_blocked_cosine_pairs,
+    "q_hybrid_rrf": q_hybrid_rrf,
     "q_ann_ivf_recall": q_ann_ivf_recall,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_embedding_quantization": q_embedding_quantization,
@@ -494,3 +582,52 @@ ORACLES = {
         SELECT label, n_vectors, centroid_norm FROM norms JOIN counts USING (label)
     """,
 }
+
+# The blocked plan claims BIT-IDENTICAL output to the broadcast-matrix
+# plan, so it runs against the SAME oracle — a hash mismatch on either
+# falsifies the equivalence, not just the arithmetic.
+ORACLES["q_blocked_cosine_pairs"] = ORACLES["q_cosine_pairs"]
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Composes the lexical arm's full BM25 oracle (verbatim, as a
+    subquery — the two rankings must come from the same definition) with
+    a dense-cosine ranking and the integer-quantized RRF fusion."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import (
+        BM25_QUERIES,
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    q_ids = ", ".join(str(q) for q, _ in BM25_QUERIES)
+    return f"""
+        WITH lex AS (SELECT q_id, doc_id, rank FROM ({_TEXT_ORACLES["q_bm25_search"]}) b),
+        {_UNNEST},
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id),
+        dots AS (SELECT b.vec_id AS q_id, a.vec_id AS doc_id, sum(a.v * b.v) AS dot
+                 FROM u a JOIN u b ON a.i = b.i AND b.vec_id IN ({q_ids})
+                 GROUP BY 1, 2),
+        dsc AS (SELECT d.q_id, d.doc_id,
+                       round(d.dot / (na.nrm * nq.nrm), 6) AS cosine
+                FROM dots d
+                JOIN norms na ON na.vec_id = d.doc_id
+                JOIN norms nq ON nq.vec_id = d.q_id),
+        dr AS (SELECT q_id, doc_id,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cosine DESC, doc_id) AS rank
+               FROM dsc),
+        arms AS (SELECT q_id, doc_id, rank FROM lex
+                 UNION ALL
+                 SELECT q_id, doc_id, rank FROM dr WHERE rank <= {DENSE_TOPK}),
+        fused AS (SELECT q_id, doc_id,
+                         sum(round(1000000.0 / ({RRF_K} + rank), 0)::BIGINT) AS rrf_micro
+                  FROM arms GROUP BY 1, 2),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                                ORDER BY rrf_micro DESC, doc_id) AS rank
+                   FROM fused)
+        SELECT q_id, rank::INT AS rank, doc_id,
+               round(rrf_micro / 1000000.0, 6) AS rrf
+        FROM ranked WHERE rank <= {HYBRID_TOPK}
+    """
+
+
+ORACLES["q_hybrid_rrf"] = _hybrid_rrf_oracle()

@@ -53,6 +53,8 @@ def test_export_ordered_for_the_driver_cap():
         "q_leakage_safe_split",
         "q_data_card",
         "q_table_stats",
+        "q_blocked_cosine_pairs",
+        "q_hybrid_rrf",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
