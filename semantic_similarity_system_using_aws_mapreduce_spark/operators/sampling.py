@@ -388,14 +388,22 @@ def dsir_select(
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import word_shingles
 
     def feat_buckets(df: DataFrame) -> DataFrame:
-        toks = tokens(F.col(text_col))
+        # token array materialized in its own projection first: the
+        # bigram construction references it n+1 times (slices + size),
+        # and Catalyst does not collapse a projection through
+        # Generate — inline tokens() would re-split the text per
+        # reference (the shingle_hashes discipline)
+        toks = F.col("_toks")
         bigrams = F.when(F.size(toks) >= 2, word_shingles(toks, 2)).otherwise(
             F.array().cast("array<string>")
         )
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.concat(toks, bigrams)).alias("ft"),
-        ).select("doc_id", hash_bucket(F.col("ft"), salt, n_buckets).alias("b"))
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+            )
+            .select("doc_id", F.explode(F.concat(toks, bigrams)).alias("ft"))
+            .select("doc_id", hash_bucket(F.col("ft"), salt, n_buckets).alias("b"))
+        )
 
     # per-(doc, bucket) occurrence counts feed BOTH the raw frequency
     # table and the scoring join — persist so the explode runs once
@@ -405,29 +413,36 @@ def dsir_select(
         .agg(F.count("*").alias("m"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: operators/__init__ contract
     )
+    from pyspark.sql import Window
+
     c_raw = dfb.groupBy("b").agg(F.sum("m").alias("c_r"))
-    # coalesce: sum() over zero rows is NULL, but the oracle's count(*)
-    # over an empty/token-less target is 0 — without this every
-    # log-ratio would go NULL and all weights would silently collapse
-    # to 0 instead of the real smoothed ratios
-    n_raw = c_raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"))
     c_tgt = feat_buckets(target).groupBy("b").agg(F.count("*").alias("c_t"))
-    n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    # Totals as UNPARTITIONED window sums over the joined bucket
+    # relation (bounded at n_buckets rows, so the single window
+    # partition is a constant, never the corpus) — the earlier
+    # crossJoin-of-aggregates form re-executed the c_raw subplan for
+    # n_r and the whole TARGET explode for n_t (profiled: ~1 s of the
+    # query was those second evaluations).  FULL outer so n_t counts
+    # target-only buckets exactly like the independent aggregate did;
+    # ratio rows themselves keep the c_raw-bucket domain (filter).
+    wall = Window.partitionBy()
+    n_r = F.sum(F.coalesce(F.col("c_r"), F.lit(0))).over(wall)
+    n_t = F.sum(F.coalesce(F.col("c_t"), F.lit(0))).over(wall)
     # ln(p_t[b]/p_r[b]) in int64 micro-nats; buckets unseen in the
-    # target keep the smoothed floor via the left join + coalesce
+    # target keep the smoothed floor via the coalesce
     lr = F.round(
         F.log(
-            ((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + n_buckets))
-            / ((F.col("c_r") + 1.0) / (F.col("n_r") + n_buckets))
+            ((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (n_t + n_buckets))
+            / ((F.col("c_r") + 1.0) / (n_r + n_buckets))
         )
         * 1_000_000,
         0,
     ).cast("long")
     ratio = (
-        c_raw.join(c_tgt, "b", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
-        .select("b", lr.alias("lr_micro"))
+        c_raw.join(c_tgt, "b", "full_outer")
+        .select("b", "c_r", lr.alias("lr_micro"))
+        .filter(F.col("c_r").isNotNull())
+        .select("b", "lr_micro")
     )
     weights = (
         dfb.join(F.broadcast(ratio), "b")
@@ -448,6 +463,12 @@ def dsir_select(
             F.coalesce(F.col("w_micro"), F.lit(0)).cast("long").alias("w_micro"),
         )
         .withColumn("score_micro", F.col("w_micro") + g_micro)
+        # the percentile gate AND the final projection both consume the
+        # scored relation — persist (doc_id + three longs per doc) so
+        # the weights join runs once, not twice (caller-owned cache,
+        # operators/__init__ contract; profiled: the second evaluation
+        # was ~1.4 s of the query)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thr = scored.agg(
         F.round(F.expr(f"percentile(score_micro, {1.0 - keep_frac})"), 6).alias("thr")

@@ -68,6 +68,19 @@ def main(argv: list[str] | None = None) -> int:
     p_fgt.add_argument("--doc-ids", required=True, help="comma-separated ids")
     p_fgt.add_argument("--bucket-table", default=None)
 
+    for p in (p_ing, p_fgt):
+        p.add_argument(
+            "--atomic-mode",
+            choices=("rename", "manifest"),
+            default=None,
+            help="table-replacement protocol: rename (temp-and-swap; "
+            "local FS/HDFS, the default) or manifest (versioned dirs "
+            "behind an atomically-replaced pointer file — the rename-"
+            "free protocol object stores need). Equivalent to setting "
+            "SPARK_GRAFT_ATOMIC_MODE. Use the SAME mode across all "
+            "runs against one OUTDIR.",
+        )
+
     p_ver = sub.add_parser("versions", help="list committed ingest watermarks")
     p_ver.add_argument("outdir")
 
@@ -79,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "ingest" and args.bucket_table and not args.compact_every:
         ap.error("--bucket-table requires --compact-every (its rebuild cadence)")
+    if getattr(args, "atomic_mode", None):
+        os.environ["SPARK_GRAFT_ATOMIC_MODE"] = args.atomic_mode
     corpus_path, index_path = _paths(args.outdir)
 
     if args.cmd == "versions":

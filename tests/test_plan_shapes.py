@@ -219,3 +219,31 @@ def test_bm25_probe_is_broadcast_only_no_corpus_sort_merge(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_no_corpus_sort_merge(spark):
+    """q_hybrid_rrf composes the BM25 arm (broadcast-only, pinned
+    above) with the dense arm: the 3-row query-vector set must meet
+    the embeddings via broadcast, never sort-merge, and the fusion
+    never degenerates to a CartesianProduct."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload import ALL_QUERIES
+
+    plan = plan_of(ALL_QUERIES["q_hybrid_rrf"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_blocked_cosine_single_data_shuffle(spark):
+    """cosine_pairs_blocked shuffles the replicated vectors exactly
+    once (the block-pair groupBy); the block-pair relation meets the
+    data via broadcast.  No collect happens at plan time (pinned in
+    test_ann) and no sort-merge/cartesian appears."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(cosine_pairs_blocked(emb, 0.4, n_blocks=8))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert n_shuffles(plan) == 1, f"blocked path gained a shuffle:\n{plan}"

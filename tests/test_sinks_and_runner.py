@@ -271,3 +271,44 @@ def test_curation_cli_reads_orc(spark, tmp_path):
     assert report["n_input"] == 30
     curated = spark.read.parquet(f"{out}/curated.parquet")
     assert curated.count() == report["n_kept"] > 0
+
+
+def test_run_ingest_cli_manifest_mode(spark, tmp_path, monkeypatch):
+    """--atomic-mode manifest: the CLI lifecycle under the
+    object-store-safe protocol — ingest twice, forget, and the corpus
+    never lives at a bare path a non-atomic rename would have to
+    swap."""
+    import os
+
+    from test_streaming import _drop_batch_file, _long_text
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_ingest import main
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+        read_parquet_recovering,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ATOMIC_MODE", raising=False)
+    src = tmp_path / "mcli_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+    outdir = str(tmp_path / "mcli_out")
+    try:
+        assert main(["ingest", str(src), outdir, "--atomic-mode", "manifest"]) == 0
+        _drop_batch_file(spark, tmp_path, src, "b1", [(11, _long_text("a"))])  # dup
+        _drop_batch_file(spark, tmp_path, src, "b2", [(21, _long_text("b"))])
+        assert main(["ingest", str(src), outdir, "--atomic-mode", "manifest"]) == 0
+        corpus_path = f"{outdir}/corpus"
+        assert os.path.isfile(corpus_path + ".__manifest__")
+        assert not os.path.isdir(corpus_path)
+        corpus = read_parquet_recovering(spark, corpus_path, mode="manifest")
+        assert {r.doc_id for r in corpus.collect()} == {1, 21}
+        assert (
+            main(
+                ["forget", outdir, "--doc-ids", "1", "--atomic-mode", "manifest"]
+            )
+            == 0
+        )
+        corpus = read_parquet_recovering(spark, corpus_path, mode="manifest")
+        assert {r.doc_id for r in corpus.collect()} == {21}
+    finally:
+        os.environ.pop("SPARK_GRAFT_ATOMIC_MODE", None)
