@@ -149,6 +149,7 @@ EXTRA = [
     "q_bm25_search",
     "q_blocked_cosine_pairs",
     "q_hybrid_rrf",
+    "q_containment_dups",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

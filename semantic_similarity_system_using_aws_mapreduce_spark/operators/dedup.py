@@ -800,3 +800,91 @@ def prefix_jaccard_join(
         .distinct()
     )
     return ngram_jaccard_pairs(hashes, t / 1000.0, candidates=cands)
+
+
+def prefix_containment_join(
+    hashes: DataFrame,
+    threshold_permille: int = 800,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: ordered pairs (doc_a, doc_b,
+    containment) with C(A→B) = |A∩B| / |A| >= t — the asymmetric
+    near-dup relation resemblance misses: a short document quoted
+    wholesale inside a much longer one has jaccard ≈ |A|/|B| (tiny)
+    but containment ≈ 1.  Training-data dedup wants both signals
+    (Lee et al. 2022 dedup taxonomy: near-dup AND subsumption).
+
+    Prefix lemma (asymmetric form): if |A∩B| >= ceil(t*|A|) then the
+    intersection cannot hide entirely in A's last ceil(t*|A|)-1
+    rarity-ordered elements, so A's PREFIX (first
+    |A| - ceil(t*|A|) + 1 rarest shingles) must share a hash with B —
+    with SOME element of B, not just B's prefix, so the probe joins
+    A-prefixes against the FULL index.  Recall is exact; verification
+    keeps precision at 1 (the mirror oracle is the all-pairs SQL).
+
+    Scale note: unlike the symmetric join, the full-index side means
+    a stop-shingle's posting list does meet every prefix that carries
+    it; rarity ordering keeps such shingles out of PREFIXES (their df
+    rank is last), so the hot list is joined only against the few
+    documents rare-enough-to-prefix it — the blowup is one-sided and
+    bounded.  Pass ``max_doc_freq`` to additionally drop
+    ultra-common shingles from the INDEX side (containment of a
+    surviving pair is then understated by at most the dropped
+    overlap — the standard posting-cutoff trade-off).  Integer
+    per-mille threshold for the same exact-prefix-length reason as
+    :func:`prefix_jaccard_join`."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    t = threshold_permille
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
+    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        hashes.join(dfreq, "h")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr(f"(n * {t} + 999) div 1000") + 1
+    ).select("doc_id", "h")
+    index = hashes
+    if max_doc_freq is not None:
+        common = (
+            dfreq.filter(F.col("df") > max_doc_freq).select("h")
+        )
+        index = hashes.join(F.broadcast(common), "h", "left_anti")
+    cands = (
+        prefix.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cands.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    # integer-exact gate (inter*1000 >= t*n_a), matching the integer
+    # prefix arithmetic — a float threshold compare could disagree
+    # with the oracle at exact-boundary pairs
+    return (
+        inter.join(na, "doc_a")
+        .filter(F.col("inter") * 1000 >= F.lit(t) * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

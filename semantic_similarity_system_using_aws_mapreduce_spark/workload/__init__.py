@@ -168,13 +168,14 @@ _PRIORITY = [
     # new in round 6 — never driver-verified:
     "q_blocked_cosine_pairs",
     "q_hybrid_rrf",
+    "q_containment_dups",
 ]
 
-# Exported last: with 75 exported queries and a 50-row driver cap,
-# exactly these 25 fall off this round.  Every one is fully green in
+# Exported last: with 76 exported queries and a 50-row driver cap,
+# exactly these 26 fall off this round.  Every one is fully green in
 # CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty,
-# q_sketch_accuracy, q_cosine_pairs, and q_embedding_parity_measures —
-# rows, schema, AND hash), so the rotation keeps
+# q_sketch_accuracy, q_cosine_pairs, q_embedding_parity_measures, and
+# q_ann_ivf_recall — rows, schema, AND hash/flag), so the rotation keeps
 # every export driver-green within two consecutive rounds, AND each is
 # coverage-subsumed by queries that keep a slot:
 #   q_dedup_clusters      - connected components also the subplan of
@@ -236,6 +237,10 @@ _PRIORITY = [
 #                           scale plan), which takes the driver slot
 #   q_embedding_parity_measures - the D1-D6 measure family's standard
 #                           form holds a slot via q_source_similarity
+#   q_ann_ivf_recall      - the weakest check kind (recall acceptance
+#                           flag) and the most expensive driver row;
+#                           the ANN family keeps q_ann_lsh_topk's
+#                           hash-verified slot
 # All remain verified by the local mirror test either way.
 # ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-6 entries here) so the
@@ -266,6 +271,7 @@ _LAST = [
     "q_sketch_accuracy",
     "q_cosine_pairs",
     "q_embedding_parity_measures",
+    "q_ann_ivf_recall",
 ]
 
 _EXPORTED = (

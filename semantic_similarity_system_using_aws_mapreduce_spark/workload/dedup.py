@@ -87,6 +87,26 @@ def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_PERMILLE = 800
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-containment self-join (|A∩B|/|A| >= 0.8, ordered
+    pairs) via asymmetric prefix filtering — the subsumption signal
+    resemblance misses (a short doc quoted inside a long one scores
+    jaccard ≈ |A|/|B| but containment ≈ 1).  The oracle is the plain
+    all-pairs SQL, so the mirror test proves the one-sided pruning
+    finds every qualifying ordered pair
+    (operators/dedup.prefix_containment_join for the lemma and the
+    100 TB shape)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import prefix_containment_join
+
+    return prefix_containment_join(
+        shingle_hashes(_docs(spark, sf_dir)),
+        threshold_permille=CONTAINMENT_PERMILLE,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -222,6 +242,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_exact_jaccard_join": q_exact_jaccard_join,
+    "q_containment_dups": q_containment_dups,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
@@ -272,6 +293,19 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+    "q_containment_dups": f"""
+        WITH {_SH_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / sa.n, 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE i * 1000 >= {CONTAINMENT_PERMILLE} * sa.n
     """,
     "q_leakage_safe_split": f"""
         WITH RECURSIVE {_SIGS_CTE},

@@ -375,3 +375,57 @@ def test_minhash_signatures_match_pure_python(spark):
             min((A[k] * (h % P) + B[k]) % P for h in hs) for k in range(8)
         )
     assert got == want
+
+
+def test_containment_join_catches_subsumption_jaccard_misses(spark):
+    """The differentiating case: a short document quoted wholesale
+    inside a much longer one — jaccard(A,B) = |A|/|B| is far below
+    any dedup threshold, but containment(A→B) = 1.  The symmetric
+    prefix join must NOT pair them; the containment join MUST, in the
+    A→B direction only.  Also: an exact duplicate pair appears in
+    BOTH orderings with containment 1, and the prefix-pruned result
+    equals the brute-force all-pairs answer on a random corpus."""
+    import itertools
+    import random
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        prefix_containment_join,
+        prefix_jaccard_join,
+        shingle_hashes,
+    )
+
+    rng = random.Random(11)
+    short = " ".join(f"q{i}" for i in range(20))              # the quote
+    long_doc = short + " " + " ".join(f"w{i}" for i in range(200))
+    rows = [(0, short), (1, long_doc), (2, short), (3, " ".join(f"z{i}" for i in range(50)))]
+    # random filler corpus so prefix pruning has something to prune
+    for d in range(4, 40):
+        k = rng.randint(10, 60)
+        rows.append((d, " ".join(f"r{rng.randint(0, 400)}x{j}" for j in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in prefix_containment_join(sh, 800).collect()
+    }
+    jacc = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_jaccard_join(sh, 800).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)] == 1.0   # quote subsumed
+    assert (1, 0) not in cont                        # not the other way
+    assert (0, 1) not in jacc and (1, 0) not in jacc  # jaccard blind to it
+    assert cont[(0, 2)] == 1.0 and cont[(2, 0)] == 1.0  # exact dup, both ways
+
+    # recall proof at operator level: prefix-pruned == brute force
+    sh_rows = sh.collect()
+    sets: dict[int, set] = {}
+    for r in sh_rows:
+        sets.setdefault(r.doc_id, set()).add(r.h)
+    brute = set()
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if inter * 1000 >= 800 * len(sets[a]):
+            brute.add((a, b))
+    assert set(cont) == brute

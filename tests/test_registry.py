@@ -55,6 +55,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_table_stats",
         "q_blocked_cosine_pairs",
         "q_hybrid_rrf",
+        "q_containment_dups",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
