@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--compact-every", type=int, default=0)
     p_ing.add_argument("--bucket-table", default=None)
     p_ing.add_argument("--stats", action="store_true")
+    p_ing.add_argument(
+        "--postings",
+        action="store_true",
+        help="maintain the incremental BM25 retrieval tables "
+        "(corpus_postings / corpus_doclens) alongside the corpus",
+    )
 
     p_fgt = sub.add_parser("forget", help="right-to-be-forgotten deletion")
     p_fgt.add_argument("outdir")
@@ -125,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             bucket_index_table=args.bucket_table,
             n_index_buckets=32,
             stats=args.stats,
+            postings=args.postings,
         )
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
         return 0

@@ -373,6 +373,7 @@ def run_streaming_curation(
     bucket_index_table: str | None = None,
     n_index_buckets: int = 32,
     stats: bool = False,
+    postings: bool = False,
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -400,6 +401,13 @@ def run_streaming_curation(
     partitioned and replay-idempotent like every other table here —
     the operational answer to "what did batch N reject, and why is
     the corpus growing slower than the crawl".
+
+    ``postings=True`` additionally maintains the incremental BM25
+    retrieval tables ``<corpus_path>_postings`` / ``_doclens``
+    (streaming/retrieval.py): each batch's admitted documents are
+    tokenized ONCE into per-batch partitions, idempotent under replay
+    like the corpus itself, and ``bm25_search_postings`` answers
+    ranked queries without ever re-tokenizing the corpus.
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
@@ -496,10 +504,23 @@ def run_streaming_curation(
             # the CDC upsert sink).
             kept = kept.cache()
             kept_ids = kept.select("doc_id")
-            _write_batch_partition(
-                gated.join(kept_ids, "doc_id"), corpus_path, batch_id
-            )
+            admitted = gated.join(kept_ids, "doc_id")
+            _write_batch_partition(admitted, corpus_path, batch_id)
             _write_batch_partition(kept, index_path, batch_id)
+            if postings:
+                from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
+                    DOCLENS_SUFFIX,
+                    POSTINGS_SUFFIX,
+                    postings_delta,
+                )
+
+                post, dlen = postings_delta(admitted)
+                _write_batch_partition(
+                    post, corpus_path + POSTINGS_SUFFIX, batch_id
+                )
+                _write_batch_partition(
+                    dlen, corpus_path + DOCLENS_SUFFIX, batch_id
+                )
             if stats:
                 # per-batch ingest funnel (arrived -> gate -> dedup),
                 # the streaming face of the curation CLI's funnel
@@ -660,9 +681,19 @@ def forget_documents(
             if row is not None and row["table_version"]:
                 # versions are named <table>__v<batch>_a<attempt>
                 bucket_index_table = row["table_version"].split("__v")[0]
+    import os as _os_paths
+
     ids = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
     out = {}
-    for path in (corpus_path, index_path):
+    # derived retrieval tables (postings/doclens) name the forgotten
+    # docs too — rewrite them whenever they exist
+    derived = [
+        corpus_path + sfx
+        for sfx in ("_postings", "_doclens")
+        if _os_paths.path.isdir(corpus_path + sfx)
+        or _os_paths.path.isfile(corpus_path + sfx + ".__manifest__")
+    ]
+    for path in (corpus_path, index_path, *derived):
         before = read_parquet_recovering(spark, path)
         if before is None:  # never written, or empty-so-far
             out[path] = {"n_before": 0, "n_after": 0}

@@ -1,0 +1,122 @@
+"""Incremental lexical retrieval over the continuously-ingested
+corpus: the streaming loop (documents.run_streaming_curation with
+``postings=True``) maintains a term-postings table and a doc-length
+table alongside the corpus, and :func:`bm25_search_postings` answers
+Okapi BM25 queries from those tables WITHOUT re-tokenizing the corpus.
+
+Net-new engine surface (the reference is batch-only, SURVEY §2.9);
+the scoring arithmetic is workload/text.q_bm25_search's exactly — the
+same constants, the same int64 micro-unit quantization, the same
+rank tie-break — so the equivalence test can demand bit equality
+between "search the streamed index" and "score the final corpus from
+scratch".
+
+Tables (both under the corpus path prefix, both written through the
+same idempotent per-batch dynamic-partition-overwrite as the corpus
+itself, so at-least-once replay rewrites rather than double-counts):
+
+    <corpus>_postings   (doc_id, term, tf, ingest_batch)
+    <corpus>_doclens    (doc_id, dl, ingest_batch)
+
+Scale shape: the postings DELTA is per-batch (tokenize the batch's
+admitted docs once); a query reads the doc-length table (2 longs per
+doc) for N/Σdl and ONLY the query terms' postings (filter against a
+broadcast term set pushes into the parquet scan) — at 100 TB the
+query never touches the corpus text, and the only aggregations are
+over query-term postings.  df is computed from the filtered postings,
+never from a corpus scan.  Right-to-be-forgotten: forget_documents
+rewrites both tables with the same anti-join + atomic swap as the
+corpus (tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import tokens
+from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import read_parquet_recovering
+
+POSTINGS_SUFFIX = "_postings"
+DOCLENS_SUFFIX = "_doclens"
+
+
+def postings_delta(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a batch of documents: one tokenize pass
+    feeds both (the token array is materialized in its own projection
+    first — the shingle_hashes discipline)."""
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", "_toks", F.size("_toks").alias("dl"))
+    postings = (
+        toked.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, toked.select("doc_id", "dl")
+
+
+def bm25_search_postings(
+    spark: SparkSession,
+    corpus_path: str,
+    queries: list[tuple[int, str]],
+    topk: int = 5,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame | None:
+    """Rank the ingested corpus for each (q_id, query_text) — Okapi
+    BM25 from the streamed postings/doclens tables, arithmetic
+    bit-identical to workload/text.q_bm25_search (same constants by
+    default, same op order, int64 micro-quantized contributions,
+    doc_id rank tie-break).  Returns (q_id, rank, doc_id, bm25) or
+    None if nothing has been ingested."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import BM25_B, BM25_K1
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    postings = read_parquet_recovering(spark, corpus_path + POSTINGS_SUFFIX)
+    doclens = read_parquet_recovering(spark, corpus_path + DOCLENS_SUFFIX)
+    if postings is None or doclens is None:
+        return None
+    terms = [(q, t) for q, s in queries for t in dict.fromkeys(s.split())]
+    qterms = spark.createDataFrame(terms, "q_id long, term string")
+    totals = doclens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # only the query terms' postings ever leave the scan
+    tf = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .select("doc_id", "term", "tf")
+        .join(doclens.select("doc_id", "dl"), "doc_id")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(idf * tfn * 1_000_000, 0).cast("long").alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("c_micro").alias("s_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("s_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "q_id",
+            "rank",
+            "doc_id",
+            F.round(F.col("s_micro") / 1_000_000.0, 6).alias("bm25"),
+        )
+    )

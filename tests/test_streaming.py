@@ -1230,3 +1230,83 @@ def test_forget_documents_autosweeps_bucket_table_from_meta(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("asweep_probe_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_postings_index_and_bm25_search(spark, tmp_path):
+    """Incremental retrieval tables: after draining the stream with
+    postings=True, the accumulated postings/doclens tables must be
+    ROW-IDENTICAL to tokenizing the final corpus from scratch (the
+    streamed deltas lose and gain nothing), bm25_search_postings must
+    rank from them deterministically, a crash-replay of the last
+    batch must not double-count, and forget_documents must erase the
+    forgotten doc's rows from both tables."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
+        DOCLENS_SUFFIX,
+        POSTINGS_SUFFIX,
+        bm25_search_postings,
+        postings_delta,
+    )
+
+    src = tmp_path / "post_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("alpha"))])
+    _drop_batch_file(
+        spark, tmp_path, src, "b1",
+        [(11, _long_text("beta") + " alpha0 alpha1"), (12, _long_text("alpha"))],  # 12 dups 1
+    )
+    _drop_batch_file(spark, tmp_path, src, "b2", [(21, "too short")])  # all rejected
+
+    corpus_path = str(tmp_path / "post_corpus")
+    index_path = str(tmp_path / "post_index")
+    kw = dict(postings=True)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 11}
+
+    def table_rows(path, cols):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+        )
+
+    # streamed accumulation == single-shot tokenization of the corpus
+    post_truth, dlen_truth = postings_delta(corpus.select("doc_id", "text"))
+    assert table_rows(corpus_path + POSTINGS_SUFFIX, ["doc_id", "term", "tf"]) == sorted(
+        tuple(r) for r in post_truth.collect()
+    )
+    assert table_rows(corpus_path + DOCLENS_SUFFIX, ["doc_id", "dl"]) == sorted(
+        tuple(r) for r in dlen_truth.collect()
+    )
+
+    # ranked search: doc 11 contains both beta* and alpha0/alpha1 —
+    # for the alpha query, doc 1 (pure alpha) must outrank doc 11
+    res = bm25_search_postings(
+        spark, corpus_path, [(0, "alpha0 alpha1"), (1, "beta0")], topk=3
+    )
+    rows = {(r.q_id, r.rank): r.doc_id for r in res.collect()}
+    assert rows[(0, 1)] == 1 and rows[(0, 2)] == 11
+    assert rows[(1, 1)] == 11 and (1, 2) not in rows
+
+    # crash-replay of the last non-empty batch: remove its commit and
+    # re-run — the partition rewrite must leave the tables identical
+    before = table_rows(corpus_path + POSTINGS_SUFFIX, ["doc_id", "term", "tf"])
+    os.remove(os.path.join(corpus_path + "_ckpt", "commits", "1"))
+    crc = os.path.join(corpus_path + "_ckpt", "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    assert table_rows(corpus_path + POSTINGS_SUFFIX, ["doc_id", "term", "tf"]) == before
+
+    # RTBF reaches the retrieval tables
+    forget_documents(spark, corpus_path, index_path, [11])
+    left = {r.doc_id for r in spark.read.parquet(corpus_path + POSTINGS_SUFFIX).collect()}
+    assert left == {1}
+    assert {r.doc_id for r in spark.read.parquet(corpus_path + DOCLENS_SUFFIX).collect()} == {1}
+    res = bm25_search_postings(spark, corpus_path, [(1, "beta0")], topk=3)
+    assert res.count() == 0
