@@ -222,3 +222,51 @@ def test_semantic_dedup_chunked_blocking_is_bit_identical(spark):
     base = sorted(map(tuple, semantic_dedup(df).collect()))
     assert base == sorted(map(tuple, semantic_dedup(df, n_chunks=3).collect()))
     assert base == sorted(map(tuple, semantic_dedup(df, n_chunks=5).collect()))
+
+
+def test_cosine_pairs_blocked_differential_vs_independent_numpy(spark):
+    """Independent-reconstruction differential: random vectors scored
+    by a direct numpy loop written here (no shared code with the
+    operator), compared pair-for-pair against cosine_pairs_blocked —
+    including zero-pair thresholds, tiny N < B, and a duplicate
+    vector (cosine exactly 1.0)."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    rng = random.Random(23)
+    for n, dim, thr, blocks in ((37, 8, 0.3, 8), (5, 4, 0.0, 16), (12, 6, 0.999, 4)):
+        vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+        vecs[-1] = list(vecs[0])  # exact duplicate pair
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+
+        got = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in cosine_pairs_blocked(df, thr, n_blocks=blocks).collect()
+        }
+        a = np.array(vecs, dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        sims = a @ a.T
+        expect = {
+            (i, j): sims[i, j]
+            for i in range(n)
+            for j in range(i + 1, n)
+            if sims[i, j] > thr
+        }
+        assert set(got) == set(expect), (n, thr, blocks)
+        for key, c in expect.items():
+            assert m.isclose(got[key], c, abs_tol=1e-9), (key, got[key], c)
+        if thr < 1.0:
+            assert m.isclose(got[(0, n - 1)], 1.0, abs_tol=1e-12)
+
+    # empty input: no groups, empty result, correct schema
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.ann import cosine_pairs_blocked
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = cosine_pairs_blocked(empty, 0.5, n_blocks=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "cosine"]
