@@ -82,13 +82,15 @@ def bm25_search_postings(
     totals = doclens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    # only the query terms' postings ever leave the scan
+    # only the query terms' postings ever leave the scan; df as a
+    # window count over the tiny filtered relation (the q_bm25_search
+    # single-consumption shape — no persist, no second aggregation)
     tf = (
         postings.join(F.broadcast(qterms.select("term").distinct()), "term")
         .select("doc_id", "term", "tf")
         .join(doclens.select("doc_id", "dl"), "doc_id")
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -97,8 +99,7 @@ def bm25_search_postings(
         + k1 * (1.0 - b + b * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
     )
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(totals))
+        tf.crossJoin(F.broadcast(totals))
         .join(F.broadcast(qterms), "term")
         .select(
             "q_id",

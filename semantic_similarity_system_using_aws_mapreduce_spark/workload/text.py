@@ -529,20 +529,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     qterms = spark.createDataFrame(_BM25_TERMS, "q_id long, term string")
-    from pyspark import StorageLevel
 
-    # tf feeds BOTH the df aggregation and the scoring join; without
-    # the persist the corpus is tokenized and scanned twice (the
-    # q_tfidf_top_terms pattern; caller-owned cache per the
-    # operators/__init__ contract)
+    # df as a WINDOW count over the (tiny, query-terms-only) tf
+    # relation instead of a separate dfreq aggregation + broadcast
+    # join: tf then has a single consumer, so the corpus is tokenized
+    # exactly once with no persist needed (profiled: the old
+    # persist-and-join shape cost ~1 s of the query; same df values,
+    # oracle unchanged)
     tf = (
         lengths.select("doc_id", "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -556,8 +556,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(totals))
+        tf.crossJoin(F.broadcast(totals))
         .join(F.broadcast(qterms), "term")
         .select(
             "q_id",
