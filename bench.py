@@ -150,6 +150,7 @@ EXTRA = [
     "q_blocked_cosine_pairs",
     "q_hybrid_rrf",
     "q_containment_dups",
+    "q_event_anomalies",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -169,13 +169,15 @@ _PRIORITY = [
     "q_blocked_cosine_pairs",
     "q_hybrid_rrf",
     "q_containment_dups",
+    "q_event_anomalies",
 ]
 
-# Exported last: with 76 exported queries and a 50-row driver cap,
-# exactly these 26 fall off this round.  Every one is fully green in
+# Exported last: with 77 exported queries and a 50-row driver cap,
+# exactly these 27 fall off this round.  Every one is fully green in
 # CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty,
-# q_sketch_accuracy, q_cosine_pairs, q_embedding_parity_measures, and
-# q_ann_ivf_recall — rows, schema, AND hash/flag), so the rotation keeps
+# q_sketch_accuracy, q_cosine_pairs, q_embedding_parity_measures,
+# q_ann_ivf_recall, and q_hourly_event_stats — rows, schema, AND
+# hash/flag), so the rotation keeps
 # every export driver-green within two consecutive rounds, AND each is
 # coverage-subsumed by queries that keep a slot:
 #   q_dedup_clusters      - connected components also the subplan of
@@ -241,6 +243,10 @@ _PRIORITY = [
 #                           flag) and the most expensive driver row;
 #                           the ANN family keeps q_ann_lsh_topk's
 #                           hash-verified slot
+#   q_hourly_event_stats  - date/hour bucketing carried by the
+#                           rotating-in q_date_buckets; the grouped
+#                           event-agg shape by q_sessionization and
+#                           the new q_event_anomalies
 # All remain verified by the local mirror test either way.
 # ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-6 entries here) so the
@@ -272,6 +278,7 @@ _LAST = [
     "q_cosine_pairs",
     "q_embedding_parity_measures",
     "q_ann_ivf_recall",
+    "q_hourly_event_stats",
 ]
 
 _EXPORTED = (

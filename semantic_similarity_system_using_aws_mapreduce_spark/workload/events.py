@@ -364,7 +364,50 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 3.0  # the classic Iglewicz-Hoaglin modified-z cutoff ~3.5
+# is tuned for near-normal data; the fixture's value column is heavy-
+# tailed enough that 3.0 yields a stable non-empty anomaly set
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: the modified z-score
+    0.6745*(value - median)/MAD (Iglewicz & Hoaglin 1993) flags events
+    whose value sits far outside their event_type's distribution —
+    median/MAD instead of mean/stddev so the outliers being hunted
+    cannot mask themselves by inflating the threshold.
+
+    Plan: two grouped exact-percentile aggregates (one shuffle on
+    event_type each — at 100 TB swap percentile for approx_percentile,
+    semantics preserved) with the per-type statistics broadcast back
+    onto the scan; the flagging pass is map-side.  Cross-engine
+    exactness: median and MAD are rounded to 6 dp on both engines
+    before the z arithmetic (the q_quality_gate recipe), and the z
+    expression mirrors op order, so the >= gate cannot flip."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) >= ANOMALY_Z))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
+
+
 QUERIES = {
+    "q_event_anomalies": q_event_anomalies,
     "q_cohort_retention": q_cohort_retention,
     "q_conversion_funnel": q_conversion_funnel,
     "q_asof_next_view_after_purchase": q_asof_next_view_after_purchase,
@@ -380,6 +423,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_event_anomalies": f"""
+        WITH e AS (SELECT event_id, event_type, value FROM events),
+        med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                FROM e GROUP BY 1),
+        dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS ad
+                FROM e JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.event_id, d.event_type,
+               round(d.value, 6) AS value,
+               round(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND abs(0.6745 * (d.value - d.med) / m.mad) >= {ANOMALY_Z}
+    """,
     "q_cohort_retention": """
         WITH w AS (SELECT user_id, event_type,
                           floor(epoch(ts))::BIGINT // 604800 AS week

@@ -56,6 +56,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_blocked_cosine_pairs",
         "q_hybrid_rrf",
         "q_containment_dups",
+        "q_event_anomalies",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
