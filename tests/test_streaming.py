@@ -1310,3 +1310,48 @@ def test_streaming_postings_index_and_bm25_search(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus_path + DOCLENS_SUFFIX).collect()} == {1}
     res = bm25_search_postings(spark, corpus_path, [(1, "beta0")], topk=3)
     assert res.count() == 0
+
+
+def test_streaming_token_sketch_manifest_mode(spark, tmp_path, monkeypatch):
+    """The sketch table's every rewrite goes through atomic_replace —
+    under SPARK_GRAFT_ATOMIC_MODE=manifest the whole stream must
+    produce the identical bit-exact sketch with the table living
+    behind the manifest pointer (no bare directory), and the
+    replay-stamp skip must still hold."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import tokens as _tokens
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import cms_sketch
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+        read_parquet_recovering,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_token_sketch
+
+    monkeypatch.setenv("SPARK_GRAFT_ATOMIC_MODE", "manifest")
+    import os
+
+    rows = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    src = tmp_path / "msketch_incoming"
+    src.mkdir()
+    for i, r in enumerate(rows):
+        _drop_batch_file(spark, tmp_path, src, f"b{i}", [r])
+
+    sketch_path = str(tmp_path / "msketch")
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=64)
+    assert os.path.isfile(sketch_path + ".__manifest__")
+    assert not os.path.isdir(sketch_path)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    expected = sorted(map(tuple, cms_sketch(toks, d=3, w=64).collect()))
+    got = read_parquet_recovering(spark, sketch_path, mode="manifest")
+    assert sorted(map(tuple, got.select("i", "cell", "c").collect())) == expected
+
+    # replay: wipe the checkpoint, rerun — the applied_batch_id stamp
+    # skips both batches; the manifest keeps pointing at one version
+    import shutil as _sh
+
+    _sh.rmtree(sketch_path + "_ckpt", ignore_errors=True)
+    run_streaming_token_sketch(spark, str(src), sketch_path, d=3, w=64)
+    got = read_parquet_recovering(spark, sketch_path, mode="manifest")
+    assert sorted(map(tuple, got.select("i", "cell", "c").collect())) == expected
+    vdirs = [d for d in os.listdir(tmp_path) if d.startswith("msketch.__v")]
+    assert len(vdirs) == 1, vdirs
