@@ -162,10 +162,15 @@ def recover(path: str, mode: str | None = None) -> None:
     temp exists) or back (it does not), leaving ``path`` consistent.
     Idempotent; a no-op on a clean state.  In manifest mode this is
     garbage collection only — the pointer swap leaves no torn live
-    state to heal."""
+    state to heal — EXCEPT for a table with no manifest yet, which may
+    be a legacy rename-mode table interrupted mid-swap before the
+    mode was flipped: that state still gets the rename protocol's
+    healing (harmless no-op for a pure-manifest table)."""
     if _mode(mode) == "manifest":
         _manifest_recover(path)
-        return
+        if _live_version(path) is not None:
+            return
+        # fall through: legacy rename-mode state (or clean no-op)
     tmp, bak = path + _TMP, path + _BAK
     if os.path.isdir(path):
         # swap never started (stale tmp) or never finished cleanup (bak)
@@ -237,6 +242,10 @@ def resolve_table_dir(
     live = _live_version(path)
     if live is not None:
         return f"{path}.__v{live}__"
+    # no manifest: a legacy rename-mode table may be mid-swap — heal
+    # it BEFORE the existence check, or an interrupted legacy table
+    # would be shadowed by a fresh empty v0
+    recover(path, mode="rename")
     if os.path.isdir(path):  # legacy rename-mode layout, keep appending
         return path
     if not initialize:

@@ -325,3 +325,28 @@ def test_random_crash_injection_never_loses_the_table(spark, tmp_path):
         assert sorted(r.v for r in spark.read.parquet(path).collect()) == [8, 9]
         if fail_at is None:
             assert vals == [8, 9]
+
+
+def test_manifest_recover_heals_legacy_midswap(spark, tmp_path):
+    """A rename-mode table interrupted mid-swap, then the deployment
+    flips to manifest mode: recover and resolve_table_dir must heal
+    the legacy state (roll the committed temp forward) instead of
+    shadowing it with an empty v0."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import (
+        recover as _recover,
+        resolve_table_dir,
+    )
+
+    path = str(tmp_path / "t")
+    # mid-swap legacy state: path renamed away, committed __tmp__
+    _write(spark, path + ".__tmp__", [7, 8])
+    got = read_parquet_recovering(spark, path, mode="manifest")
+    assert sorted(r.v for r in got.collect()) == [7, 8]
+
+    # same via recover + resolve (the partition-append path)
+    shutil.rmtree(path)
+    _write(spark, path + ".__tmp__", [5])
+    _recover(path, mode="manifest")
+    d = resolve_table_dir(path, mode="manifest")
+    assert d == path  # healed legacy layout, no empty v0 shadow
+    assert _vals(spark, path) == [5]
