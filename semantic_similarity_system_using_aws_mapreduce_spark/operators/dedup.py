@@ -867,6 +867,20 @@ def prefix_containment_join(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # exact size pruning before the verify join: |A∩B| <= |B|, so
+    # containment >= t forces |B| >= t*|A| — integer arithmetic, zero
+    # recall loss, and it is the candidate filter that kills the
+    # long-doc-prefix x short-doc collisions the verify would
+    # otherwise score for nothing
+    sz = sizes.select("doc_id", "n")
+    cands = (
+        cands.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na")), "doc_a"
+        )
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")), "doc_b")
+        .filter(F.col("_nb") * 1000 >= F.lit(t) * F.col("_na"))
+        .select("doc_a", "doc_b")
+    )
     ha = hashes.select(F.col("doc_id").alias("doc_a"), "h")
     hb = hashes.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
