@@ -189,8 +189,17 @@ def _pipeline_only() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
+        # the headline 200k config gets 5 samples: identical code
+        # measured 5.6-8.3 s min-of-3 across three same-night runs
+        # purely from shared-host load, and at ~8 s/run the extra two
+        # samples are the cheapest way to tighten the min the
+        # round-over-round comparison rests on
+        n_runs = 5 if (n_lines, checkpointed) == (PIPELINE_LINES, True) else 3
         try:
-            runs = [_bench_pipeline(spark, n_lines, checkpointed) for _ in range(3)]
+            runs = [
+                _bench_pipeline(spark, n_lines, checkpointed)
+                for _ in range(n_runs)
+            ]
         except Exception as exc:  # noqa: BLE001
             out[key] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
             continue
