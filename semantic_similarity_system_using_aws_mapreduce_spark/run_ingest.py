@@ -9,6 +9,7 @@ one-shot batch funnel with the grows-forever deployment mode:
         [--bucket-table NAME]
     python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest versions OUTDIR
     python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest asof OUTDIR --batch N --out PATH
+    python -m semantic_similarity_system_using_aws_mapreduce_spark.run_ingest search OUTDIR --query "terms" [--topk 5]
 
 ``ingest`` drains every file currently in SRC_DIR (one micro-batch
 per file, availableNow) through quality gate -> incremental dedup
@@ -90,6 +91,14 @@ def main(argv: list[str] | None = None) -> int:
     p_ver = sub.add_parser("versions", help="list committed ingest watermarks")
     p_ver.add_argument("outdir")
 
+    p_srch = sub.add_parser(
+        "search", help="BM25 query against the streamed postings index"
+    )
+    p_srch.add_argument("outdir")
+    p_srch.add_argument("--query", required=True, action="append",
+                        help="query string (repeatable; q_id = position)")
+    p_srch.add_argument("--topk", type=int, default=5)
+
     p_aso = sub.add_parser("asof", help="materialize the corpus as of a watermark")
     p_aso.add_argument("outdir")
     p_aso.add_argument("--batch", type=int, required=True)
@@ -134,6 +143,27 @@ def main(argv: list[str] | None = None) -> int:
             postings=args.postings,
         )
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
+        return 0
+    if args.cmd == "search":
+        from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import bm25_search_postings
+
+        res = bm25_search_postings(
+            spark,
+            corpus_path,
+            list(enumerate(args.query)),
+            topk=args.topk,
+        )
+        if res is None:
+            print(json.dumps({
+                "error": "no postings index (ingest with --postings first)"
+            }))
+            return 1
+        print(json.dumps({
+            "results": [
+                {"q_id": r.q_id, "rank": r.rank, "doc_id": r.doc_id, "bm25": r.bm25}
+                for r in res.collect()
+            ]
+        }))
         return 0
     if args.cmd == "forget":
         ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]

@@ -312,3 +312,38 @@ def test_run_ingest_cli_manifest_mode(spark, tmp_path, monkeypatch):
         assert {r.doc_id for r in corpus.collect()} == {21}
     finally:
         os.environ.pop("SPARK_GRAFT_ATOMIC_MODE", None)
+
+
+def test_run_ingest_cli_search(spark, tmp_path, capsys):
+    """ingest --postings then the search verb: ranked JSON results
+    from the streamed index; a corpus ingested WITHOUT --postings
+    reports the actionable error instead of a traceback."""
+    import json as _json
+
+    from test_streaming import _drop_batch_file, _long_text
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_ingest import main
+
+    src = tmp_path / "srch_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("alpha"))])
+    _drop_batch_file(spark, tmp_path, src, "b1", [(11, _long_text("beta") + " alpha0")])
+    outdir = str(tmp_path / "srch_out")
+    assert main(["ingest", str(src), outdir, "--postings"]) == 0
+    capsys.readouterr()
+
+    assert main(["search", outdir, "--query", "alpha0 alpha1", "--topk", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ranked = [(r["rank"], r["doc_id"]) for r in out["results"] if r["q_id"] == 0]
+    assert ranked == [(1, 1), (2, 11)]
+
+    # no postings index -> error JSON, exit 1
+    outdir2 = str(tmp_path / "srch_out2")
+    src2 = tmp_path / "srch_incoming2"
+    src2.mkdir()
+    _drop_batch_file(spark, tmp_path, src2, "b0", [(5, _long_text("x"))])
+    assert main(["ingest", str(src2), outdir2]) == 0
+    capsys.readouterr()
+    assert main(["search", outdir2, "--query", "x0"]) == 1
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
