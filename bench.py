@@ -151,6 +151,7 @@ EXTRA = [
     "q_hybrid_rrf",
     "q_containment_dups",
     "q_event_anomalies",
+    "q_edit_similarity_dups",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

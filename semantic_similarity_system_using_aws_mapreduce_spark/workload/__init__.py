@@ -170,14 +170,15 @@ _PRIORITY = [
     "q_hybrid_rrf",
     "q_containment_dups",
     "q_event_anomalies",
+    "q_edit_similarity_dups",
 ]
 
-# Exported last: with 77 exported queries and a 50-row driver cap,
-# exactly these 27 fall off this round.  Every one is fully green in
+# Exported last: with 78 exported queries and a 50-row driver cap,
+# exactly these 28 fall off this round.  Every one is fully green in
 # CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty,
 # q_sketch_accuracy, q_cosine_pairs, q_embedding_parity_measures,
-# q_ann_ivf_recall, and q_hourly_event_stats — rows, schema, AND
-# hash/flag), so the rotation keeps
+# q_ann_ivf_recall, q_hourly_event_stats, and q_sessionization —
+# rows, schema, AND hash/flag), so the rotation keeps
 # every export driver-green within two consecutive rounds, AND each is
 # coverage-subsumed by queries that keep a slot:
 #   q_dedup_clusters      - connected components also the subplan of
@@ -247,6 +248,10 @@ _PRIORITY = [
 #                           rotating-in q_date_buckets; the grouped
 #                           event-agg shape by q_sessionization and
 #                           the new q_event_anomalies
+#   q_sessionization      - session windows also evidenced by the
+#                           rotating-in q_event_sequences and the
+#                           streaming session-window suite; gap-based
+#                           windows keep q_interval_join's slot
 # All remain verified by the local mirror test either way.
 # ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-6 entries here) so the
@@ -279,6 +284,7 @@ _LAST = [
     "q_embedding_parity_measures",
     "q_ann_ivf_recall",
     "q_hourly_event_stats",
+    "q_sessionization",
 ]
 
 _EXPORTED = (

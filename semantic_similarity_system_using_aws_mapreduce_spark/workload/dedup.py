@@ -88,6 +88,44 @@ def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_PERMILLE = 800
+EDIT_SIM_PERMILLE = 500
+
+
+def q_edit_similarity_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-level near-dup verify: normalized Levenshtein
+    similarity 1 - lev/max(len) >= 0.5 over the banded-minhash
+    candidate pairs — the fourth similarity modality next to set
+    (jaccard/containment), bit (simhash), and vector (cosine): edit
+    distance sees transpositions and in-place edits that shingle sets
+    blur.  Candidates first (never all-pairs); the O(len_a * len_b)
+    DP runs ONLY on candidate pairs, JVM-side via the built-in
+    levenshtein — at production scale cap text length or verify on a
+    prefix window, the candidate-bounded shape is unchanged.
+    Integer per-mille gate on exact integer (max - lev, max) so the
+    boundary cannot flip cross-engine; similarity rounded to 6 dp."""
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = shingle_hashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidates(
+        minhash_signatures(sh, N_HASHES), N_BANDS, N_HASHES // N_BANDS
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_lev", lev)
+        .withColumn("_mx", mx)
+        .filter((F.col("_mx") - F.col("_lev")) * 1000 >= EDIT_SIM_PERMILLE * F.col("_mx"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round((F.col("_mx") - F.col("_lev")) / F.col("_mx"), 6).alias("edit_sim"),
+        )
+    )
 
 
 def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +281,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_exact_jaccard_join": q_exact_jaccard_join,
     "q_containment_dups": q_containment_dups,
+    "q_edit_similarity_dups": q_edit_similarity_dups,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
@@ -306,6 +345,32 @@ ORACLES = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         WHERE i * 1000 >= {CONTAINMENT_PERMILLE} * sa.n
+    """,
+    "q_edit_similarity_dups": f"""
+        WITH {_SIGS_CTE},
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(da.text, db.text) AS lev,
+                   greatest(length(da.text), length(db.text)) AS mx
+            FROM cands c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b)
+        SELECT doc_a, doc_b,
+               round((mx - lev) * 1.0 / mx, 6) AS edit_sim
+        FROM scored
+        WHERE (mx - lev) * 1000 >= {EDIT_SIM_PERMILLE} * mx
     """,
     "q_leakage_safe_split": f"""
         WITH RECURSIVE {_SIGS_CTE},

@@ -57,6 +57,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_hybrid_rrf",
         "q_containment_dups",
         "q_event_anomalies",
+        "q_edit_similarity_dups",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
