@@ -662,6 +662,7 @@ def ann_topk_lsh_portable(
     quant: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 0,
 ) -> DataFrame:
     """SRP-LSH approximate top-k with a fully deterministic,
     cross-engine-reproducible hash family — the scale-safe ANN plan the
@@ -694,8 +695,19 @@ def ann_topk_lsh_portable(
     only pairwise stage, bucketed never all-pairs) -> per-pair
     array-dot scoring, linear in candidate count -> window top-k.  No
     driver collect, no broadcast of the data matrix.
-    """
 
+    ``probe_radius=1`` is MULTI-PROBE LSH (Lv et al. 2007, simplified
+    to the full Hamming-1 ring): each vector additionally probes the
+    n_planes buckets that differ from its own in exactly one sign
+    bit — near-boundary neighbors land one bit apart far more often
+    than chance, so radius 1 buys the recall of ~n_planes extra hash
+    tables for a map-side explode factor of n_planes+1 on the PROBE
+    side only (the index side stays one bucket per vector — storage
+    does not grow, unlike adding tables).  Candidates remain a
+    superset of radius 0, so recall is monotone (tested).
+    """
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
     sigs = srp_signatures_portable(df, n_planes, n_tables, quant, id_col, vec_col)
     # Both sides of the self-join derive sigs; persist so the (pure
     # map-side, but 32-lambda) signature scan runs once.  Blocks are
@@ -703,7 +715,22 @@ def ann_topk_lsh_portable(
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: operators/__init__ contract
-    a, b = sigs.alias("a"), sigs.alias("b")
+    probe = sigs
+    if probe_radius == 1:
+        probe = sigs.select(
+            "vec_id",
+            "t",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    a, b = probe.alias("a"), sigs.alias("b")
     cand = (
         a.join(
             b,
