@@ -902,3 +902,121 @@ def prefix_containment_join(
             F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
         )
     )
+
+
+def source_overlap(sh: DataFrame, sources: DataFrame) -> DataFrame:
+    """EXACT pairwise Jaccard overlap between data sources — the
+    cross-source contamination matrix a data card reports before
+    mixing corpora (is src_a largely a re-crawl of src_b?).
+
+    ``sh``: (doc_id, h) distinct shingle hashes (:func:`shingle_hashes`);
+    ``sources``: (doc_id, source).  Returns (src_a, src_b, shared,
+    jaccard) for every unordered pair sharing >= 1 distinct shingle.
+
+    Plan (inverted index, never a doc-level or source-level all-pairs
+    join): distinct (source, h) -> groupBy h collecting the <= S-long
+    sorted source set -> expand each set's ordered pairs with array
+    expressions -> count per pair (partial agg folds the corpus-sized
+    pair stream down to <= S^2 groups map-side) -> broadcast the S-row
+    size relation for the union term.  Per-shingle work is bounded by
+    S^2 regardless of posting-list length, so a shingle present in
+    every source costs S^2, not |postings|^2 — the same hot-key bound
+    the banded-LSH plans rely on.  The S-source set also caps
+    collect_set state per key.  At 100 TB the only corpus-sized
+    shuffles are the (source,h) distinct and the groupBy h."""
+    ss = sh.join(sources, "doc_id").select("source", "h").distinct()
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    srcs = F.col("srcs")
+    # ordered pairs (srcs[i], srcs[j]) for i < j from the sorted set
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        ss.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("_na")))
+    nb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("_nb")))
+    return (
+        inter.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("_na") + F.col("_nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_kmv(
+    sh: DataFrame, sources: DataFrame, k: int = 256, pregate: bool = True
+) -> DataFrame:
+    """KMV (bottom-k) ESTIMATE of the pairwise source Jaccard matrix —
+    the sketch path that replaces :func:`source_overlap`'s exact
+    inverted index when the per-source distinct-shingle sets are too
+    large to co-shuffle: per-source state collapses to k int64s, and
+    the pairwise estimation runs over an S*k-row relation.
+
+    Estimator: with M = the k smallest of A union B (merge of the two
+    bottom-k sketches), J-hat = |M intersect A intersect B| / |M| —
+    the classic KMV coincidence ratio, std err ~ 1/sqrt(k).
+
+    The bottom-k per source is a window rank.  At scale, sorting every
+    (source, h) row just to keep k is wasteful, so ``pregate`` first
+    estimates each source's distinct count (approx_count_distinct, a
+    fixed-size HLL per source) and discards rows hashing above
+    ~4k/n_distinct of the hash space before the window — the sort then
+    touches ~4k rows per source instead of n.  The 4x margin makes
+    losing a true bottom-k member a <= exp(-k) tail event (Chernoff on
+    Binomial(n, 4k/n) < k), and tests pin gated == ungated on real
+    data.  Output: (src_a, src_b, est_jaccard) for all pairs."""
+    ss = sh.join(sources, "doc_id").select("source", "h").distinct()
+    if pregate:
+        nd = ss.groupBy("source").agg(F.approx_count_distinct("h").alias("_nd"))
+        cut = nd.select(
+            "source",
+            F.when(
+                F.col("_nd") > 4 * k,
+                (F.lit(float(2**60)) * (4.0 * k) / F.col("_nd")).cast("long"),
+            )
+            .otherwise(F.lit(2**62))
+            .alias("_cut"),
+        )
+        ss = ss.join(F.broadcast(cut), "source").filter(F.col("h") <= F.col("_cut"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        ss.select("source", "h")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    a = sk.select(F.col("source").alias("src_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("kmv").alias("kb"))
+    merged = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    both = F.array_intersect("ka", "kb")
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.size(F.array_intersect(merged, both)) / F.size(merged), 6
+            ).alias("est_jaccard"),
+        )
+    )

@@ -171,6 +171,7 @@ _PRIORITY = [
     "q_containment_dups",
     "q_event_anomalies",
     "q_edit_similarity_dups",
+    "q_source_overlap",
 ]
 
 # Exported last: with 78 exported queries and a 50-row driver cap,
@@ -257,6 +258,11 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_sample_per_group    - (green r5) demoted when q_source_overlap
+    #                           took a window slot; per-group sampling
+    #                           rides q_stratified_sample (keeps a slot)
+    #                           and the rotated-in q_training_order
+    "q_sample_per_group",
     "q_dedup_clusters",
     "q_lang_id",
     "q_regex_token_stats",

@@ -145,6 +145,22 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: EXACT pairwise Jaccard
+    overlap between the distinct-shingle sets of every data source —
+    the number a data card reports before mixing corpora (how much of
+    src_a is a re-crawl of src_b?).  Inverted-index plan bounded by
+    S^2 per shingle (operators/dedup.source_overlap for the 100 TB
+    shape); the KMV bottom-k sketch estimator replaces it when the
+    per-source sets outgrow the exact co-shuffle
+    (operators/dedup.source_overlap_kmv; estimate-vs-exact pinned by
+    tests/test_dedup_operators.py)."""
+    docs = _docs(spark, sf_dir)
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import source_overlap
+
+    return source_overlap(shingle_hashes(docs), docs.select("doc_id", "source"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -294,6 +310,7 @@ QUERIES = {
     "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
+    "q_source_overlap": q_source_overlap,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -345,6 +362,21 @@ ORACLES = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         WHERE i * 1000 >= {CONTAINMENT_PERMILLE} * sa.n
+    """,
+    "q_source_overlap": f"""
+        WITH {_SH_CTE},
+        ss AS (SELECT DISTINCT d2.source AS source, sh.h AS h
+               FROM sh JOIN documents d2 USING (doc_id)),
+        sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*) AS shared
+                  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT src_a, src_b, shared,
+               round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
     """,
     "q_edit_similarity_dups": f"""
         WITH {_SIGS_CTE},
