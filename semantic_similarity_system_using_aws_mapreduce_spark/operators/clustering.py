@@ -1,0 +1,161 @@
+"""Distributed k-means over an embedding column — pure-DataFrame
+Lloyd iterations with model-sized driver state only.
+
+Why this exists next to MLlib's KMeans (which operators/ann.ivf_assign
+uses for IVF coarse quantization): MLlib's trainer is seeded but not
+cross-engine replayable, so its assignments can never be
+hash-verified by the DuckDB correctness gate.  This module's
+deterministic variant — seed centroids chosen by portable md5 rank,
+distances int64-free but 6-dp-rounded with rank tie-breaks — IS
+replayable, which gives the clustering family a driver-oracled query
+(workload/embeddings.q_kmeans_assign) in addition to pytest evidence.
+
+Scale shape (the same contract as MLlib's implementation):
+  * assignment is embarrassingly parallel — the k x d centroid matrix
+    rides to executors as a broadcast 1-row array (seed step) or a
+    literal array (loop steps); NO per-vector shuffle, no k-fold row
+    blowup (the argmin folds over the centroid array per row);
+  * the update step is one groupBy-(cluster, dim) partial-aggregated
+    sum/count over the posexploded assignment — the only corpus-sized
+    shuffle, carrying (cluster, i, v) triples;
+  * driver state is k x d floats per iteration (the model), never data.
+Seed selection is a distributed top-k (TakeOrderedAndProject) over an
+(id, hash) projection — bytes per row, no vector movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+
+KMEANS_SALT = "kmeans:"
+
+
+def _d2(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance, float32 inputs widened to double per
+    element (products exact in double; the 6-dp round downstream
+    absorbs sum-order differences, as in workload/embeddings._dot)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            cent,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(rank, cvec): k deterministic seed centroids — the k vectors
+    whose md5('kmeans:'||id) ranks smallest, rank = that order.  A
+    portable stand-in for random init that any engine replays."""
+    h = emb.select(
+        F.col(id_col).alias("_cent_id"),
+        md5_int(F.concat(F.lit(KMEANS_SALT), F.col(id_col))).alias("h"),
+    )
+    # distributed top-k (TakeOrderedAndProject), THEN the rank window
+    # over k rows only — never a global single-partition sort of n
+    topk = h.orderBy("h", "_cent_id").limit(k)
+    seeds = topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy("h", "_cent_id")) - 1
+    )
+    return seeds.join(emb, seeds._cent_id == emb[id_col]).select(
+        "rank", F.col(vec_col).alias("cvec")
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist2): nearest centroid per vector.
+
+    ``centroids``: (rank, cvec).  The centroid set collapses to ONE
+    row holding a sorted array of (rank, cvec) structs, broadcast to
+    every task; the argmin is an array fold per row — map-side, no
+    blowup, no shuffle.  dist2 is rounded to 6 dp before the argmin
+    and ties break on rank, so the pick is engine-portable."""
+    cents = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
+    )
+    vec = F.col(vec_col)
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(_d2(vec, c["cvec"]), 6).alias("dist2"),
+                c["rank"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col).alias("vec_id"), best.alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's algorithm: deterministic seeds, ``iters`` rounds of
+    assign + mean-update.  Returns (assignment DataFrame, centroid
+    list-of-lists, inertia-per-iteration list).
+
+    Per round: one map-side assignment pass + one (cluster, dim)
+    groupBy whose result is k x d rows — the collect is model-sized.
+    An emptied cluster keeps its previous centroid (the standard
+    convention, so k never silently shrinks)."""
+    from pyspark import StorageLevel
+
+    spark = emb.sparkSession
+    cent_rows = seed_centroids(emb, k, id_col, vec_col).collect()
+    cents = {r["rank"]: [float(v) for v in r["cvec"]] for r in cent_rows}
+    inertia = []
+    assigned = None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            [(r, c) for r, c in sorted(cents.items())], "rank int, cvec array<float>"
+        )
+        prev = assigned
+        # two jobs read each round's assignment (update stats +
+        # inertia) — persist so the scan runs once; the final round's
+        # cache is returned to the caller (operators/__init__
+        # cache-ownership contract: caller unpersists)
+        assigned = assign_clusters(emb, cent_df, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if prev is not None:
+            prev.unpersist()
+        vecs = emb.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vvec")
+        )
+        stats = (
+            assigned.join(vecs, assigned.vec_id == vecs._vid)
+            .select("cluster", F.posexplode("_vvec").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = {}
+        for row in stats:
+            new.setdefault(row["cluster"], {})[row["i"]] = row["s"] / row["n"]
+        for r in range(k):
+            if r in new:
+                cents[r] = [new[r][i] for i in sorted(new[r])]
+        inertia.append(
+            assigned.agg(F.sum("dist2").alias("j")).collect()[0]["j"]
+        )
+    return assigned, [cents[r] for r in sorted(cents)], inertia

@@ -172,6 +172,7 @@ _PRIORITY = [
     "q_event_anomalies",
     "q_edit_similarity_dups",
     "q_source_overlap",
+    "q_kmeans_assign",
 ]
 
 # Exported last: with 78 exported queries and a 50-row driver cap,
@@ -258,6 +259,11 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_token_shards        - (green r5) demoted when q_kmeans_assign
+    #                           took a window slot; the sharding family
+    #                           rides the rotated-in q_sequence_packing
+    #                           and q_training_order
+    "q_token_shards",
     #   q_sample_per_group    - (green r5) demoted when q_source_overlap
     #                           took a window slot; per-group sampling
     #                           rides q_stratified_sample (keeps a slot)

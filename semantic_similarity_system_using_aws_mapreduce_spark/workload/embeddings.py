@@ -395,7 +395,31 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd step: assign every vector to its
+    nearest of k md5-rank-seeded centroids (vec_id, cluster, dist2) —
+    the cross-engine-replayable face of operators/clustering (whose
+    kmeans_lloyd iterates this shape with model-sized driver state;
+    MLlib's trainer backs IVF but can never be hash-verified).
+    Assignment is map-side: the k x d centroid set broadcasts as one
+    array row and the argmin folds per vector — no per-vector shuffle,
+    no k-fold blowup; seeds come from a distributed top-k over an
+    (id, hash) projection.  dist2 rounds to 6 dp before the argmin
+    with rank tie-breaks, so both engines pick identically."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    e = _emb(spark, sf_dir)
+    return assign_clusters(e, seed_centroids(e, KMEANS_K))
+
+
 QUERIES = {
+    "q_kmeans_assign": q_kmeans_assign,
     "q_semantic_dedup": q_semantic_dedup,
     "q_blocked_cosine_pairs": q_blocked_cosine_pairs,
     "q_hybrid_rrf": q_hybrid_rrf,
@@ -420,6 +444,31 @@ ORACLES = {
     # Same md5-derived SRP bucket math as q_ann_lsh_topk's oracle (the
     # shared hash family), then pairs >= tau and a recursive-CTE
     # transitive closure mirroring the Spark component loop.
+    # One Lloyd step with md5-rank seeds: same double widening, 6-dp
+    # round BEFORE the argmin, rank tie-break — both engines pick the
+    # same centroid even at exact-boundary distances.
+    "q_kmeans_assign": f"""
+        WITH {_UNNEST},
+        seeds AS (
+            SELECT vec_id AS cent_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT,
+                                vec_id) - 1 AS rank
+            FROM embeddings
+            ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT, vec_id
+            LIMIT {KMEANS_K}),
+        cent AS (SELECT s.rank, u.i, u.v FROM seeds s JOIN u ON u.vec_id = s.cent_id),
+        dists AS (
+            SELECT a.vec_id, c.rank, round(sum((a.v - c.v) * (a.v - c.v)), 6) AS d2
+            FROM u a JOIN cent c ON a.i = c.i
+            GROUP BY 1, 2),
+        pick AS (
+            SELECT vec_id, rank, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, rank) AS rn
+            FROM dists)
+        SELECT vec_id, CAST(rank AS INT) AS cluster, d2 AS dist2
+        FROM pick WHERE rn = 1
+    """,
     "q_semantic_dedup": f"""
         WITH RECURSIVE u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
                           unnest(range(len(embedding))) AS i

@@ -59,6 +59,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_event_anomalies",
         "q_edit_similarity_dups",
         "q_source_overlap",
+        "q_kmeans_assign",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
