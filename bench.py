@@ -152,6 +152,9 @@ EXTRA = [
     "q_containment_dups",
     "q_event_anomalies",
     "q_edit_similarity_dups",
+    "q_source_overlap",
+    "q_kmeans_assign",
+    "q_paragraph_dedup",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

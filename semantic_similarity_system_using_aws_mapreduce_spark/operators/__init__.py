@@ -1,8 +1,9 @@
 """Library operators.
 
 CACHE OWNERSHIP CONTRACT: some operators (lsh_candidates,
-duplicate_spans, prefix_jaccard_join, simhash_near_dups,
-ann_topk_lsh_portable, dsir_select) persist an intermediate relation
+duplicate_spans, paragraph_dedup, prefix_jaccard_join,
+simhash_near_dups, ann_topk_lsh_portable, dsir_select) persist an
+intermediate relation
 that the RETURNED lazy DataFrame's plan consumes more than once — the
 persist cannot be released before the caller materializes the result,
 so these functions do NOT unpersist.  The blocks live in the session's

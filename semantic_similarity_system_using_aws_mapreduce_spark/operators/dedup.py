@@ -486,6 +486,110 @@ def scrub_spans(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    seg_words: int = 5,
+    boiler_min_docs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PARAGRAPH-level dedup with keep-first semantics plus
+    boilerplate removal — the CCNet recipe (Wenzek et al. 2020:
+    paragraphs are hashed corpus-wide; every repeat after the first
+    occurrence is dropped, which removes boilerplate headers/footers
+    and quoted passages without discarding whole documents).  The
+    fixture corpus has no newline structure, so the paragraph analog
+    is the deterministic non-overlapping ``seg_words``-token
+    segmentation; on real corpora the segmenter is a split on
+    newlines and the rest of the plan is unchanged.
+
+    Three verdicts per segment:
+      keep   - the corpus-wide FIRST occurrence (smallest
+               (doc_id, seg_idx)) of a segment seen in fewer than
+               ``boiler_min_docs`` distinct documents
+      dup    - a later occurrence of a kept segment's hash
+      boiler - any occurrence of a segment found in >=
+               ``boiler_min_docs`` distinct docs (dropped everywhere,
+               INCLUDING its first occurrence - CCNet's head/footer
+               case: text that frequent is template, not content)
+
+    Returns (doc_id, n_segments, n_kept, n_dup, n_boiler, kept_text)
+    with kept_text the surviving segments rejoined in document order
+    ('' when nothing survives - the caller decides whether an emptied
+    doc is dropped).
+
+    Global keep-first needs a total order both engines agree on; the
+    packed key doc_id * 2^20 + seg_idx gives min() that order without
+    a struct comparison (documented precondition: seg_idx < 2^20,
+    which holds for any document under ~5M tokens at seg_words=5 —
+    far beyond any single training document).
+
+    Plan shape: segmentation is map-side (sequence -> slice ->
+    array_join -> posexplode, zero exchanges — the q_doc_chunks
+    fan-out with stride == width); then ONE groupBy(seg_hash) carrying
+    a min() and a count_distinct (both partial-aggregated map-side),
+    a join back co-partitioned on seg_hash (the groupBy's exchange is
+    reused via the persist), and ONE groupBy(doc_id) to reassemble.
+    At 100 TB: every shuffle is keyed and combiner-friendly; a
+    boilerplate segment shared by millions of docs is a hot JOIN key
+    on the segments side, but its stats side is a single row, so AQE
+    skew-split handles it without replication tricks.  Unlike
+    :func:`duplicate_spans` (sliding windows, substring recall) the
+    segment fan-out is 1x the corpus token volume, not window x."""
+    from pyspark import StorageLevel
+
+    key = F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")
+    step = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(seg_words)).cast("long")
+    segs = (
+        step.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", (i * seg_words + 1).cast("int"), seg_words),
+                        " ",
+                    ),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            "seg_text",
+            md5_int(F.col("seg_text")).alias("seg_hash"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned cache: operators/__init__ contract
+    )
+    stats = segs.groupBy("seg_hash").agg(
+        F.min(key).alias("_winner"),
+        F.countDistinct("doc_id").alias("_n_docs"),
+    )
+    boiler = F.col("_n_docs") >= boiler_min_docs
+    keep = ~boiler & (key == F.col("_winner"))
+    kept_struct = F.when(keep, F.struct("seg_idx", "seg_text"))
+    return (
+        segs.join(stats, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep & ~boiler, 1)).alias("n_dup"),
+            F.count(F.when(boiler, 1)).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.seg_text,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
 def signature_buckets(
     sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:

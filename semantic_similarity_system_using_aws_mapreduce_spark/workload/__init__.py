@@ -259,6 +259,14 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_stratified_sample   - (green r5) demoted when the new
+    #                           q_paragraph_dedup took a window slot;
+    #                           hash-bucket sampling rides the
+    #                           rotated-in q_training_order and
+    #                           q_source_mixture (identical md5-bucket
+    #                           arithmetic), and the per-group form
+    #                           stays mirror-verified
+    "q_stratified_sample",
     #   q_token_shards        - (green r5) demoted when q_kmeans_assign
     #                           took a window slot; the sharding family
     #                           rides the rotated-in q_sequence_packing

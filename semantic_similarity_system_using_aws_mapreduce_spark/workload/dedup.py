@@ -200,6 +200,28 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_spans(docs, flagged, window=SPAN_W)
 
 
+SEG_WORDS = 5  # paragraph-analog segment width (fixture has no newlines)
+BOILER_MIN_DOCS = 4  # distinct-doc frequency that reclassifies a segment as template
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level dedup, CCNet-style (Wenzek et al. 2020): hash
+    every {SEG_WORDS}-token segment corpus-wide, keep only the global
+    FIRST occurrence, and drop segments frequent enough
+    (>= {BOILER_MIN_DOCS} distinct docs) to be boilerplate even at
+    their first occurrence.  One row per doc: verdict counts plus the
+    reassembled surviving text.  Sits between whole-doc dedup
+    (q_exact_dedup) and sliding-window span scrubbing (q_span_scrub):
+    passage-granular like the latter, but with keep-ONE semantics
+    (the first copy survives) rather than cut-everywhere
+    (operators/dedup.paragraph_dedup for the 100 TB shape)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _docs(spark, sf_dir), seg_words=SEG_WORDS, boiler_min_docs=BOILER_MIN_DOCS
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a deterministic 2% of documents play
     the eval set; every remaining corpus doc is scored by how many of
@@ -302,6 +324,7 @@ QUERIES = {
     "q_bloom_dedup": q_bloom_dedup,
     "q_duplicate_spans": q_duplicate_spans,
     "q_span_scrub": q_span_scrub,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_decontaminate": q_decontaminate,
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
@@ -334,6 +357,41 @@ _SIGS_CTE = f"""{_SH_CTE},
 """
 
 ORACLES = {
+    "q_paragraph_dedup": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                   array_to_string(
+                       w[(CAST(i AS BIGINT) * {SEG_WORDS} + 1):(CAST(i AS BIGINT) * {SEG_WORDS} + {SEG_WORDS})],
+                       ' ') AS seg_text
+            FROM toks,
+                 UNNEST(range(CAST(ceil(len(w) * 1.0 / {SEG_WORDS}) AS BIGINT))) AS t(i)),
+        hashed AS (
+            SELECT doc_id, seg_idx, seg_text,
+                   {_MD5INT.format(x='seg_text')} AS seg_hash
+            FROM segs),
+        stats AS (
+            SELECT seg_hash,
+                   min(doc_id * 1048576 + seg_idx) AS winner,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM hashed GROUP BY seg_hash),
+        decided AS (
+            SELECT h.doc_id, h.seg_idx, h.seg_text,
+                   s.n_docs >= {BOILER_MIN_DOCS} AS boiler,
+                   s.n_docs < {BOILER_MIN_DOCS}
+                       AND h.doc_id * 1048576 + h.seg_idx = s.winner AS keep
+            FROM hashed h JOIN stats s USING (seg_hash))
+        SELECT doc_id,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               count(*) FILTER (WHERE NOT keep AND NOT boiler) AS n_dup,
+               count(*) FILTER (WHERE boiler) AS n_boiler,
+               coalesce(
+                   string_agg(seg_text, ' ' ORDER BY seg_idx)
+                       FILTER (WHERE keep),
+                   '') AS kept_text
+        FROM decided GROUP BY doc_id
+    """,
     # the EXACT all-pairs form — deliberately index-free: matching it
     # proves the engine's prefix filter finds every qualifying pair
     "q_exact_jaccard_join": f"""

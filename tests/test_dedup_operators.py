@@ -488,3 +488,62 @@ def test_source_overlap_exact_matches_pairwise_sets(spark):
     assert max(errs) < 3 / (k**0.5)
     assert sum(errs) / len(errs) < 1 / (k**0.5)
     sh.unpersist()
+
+
+def test_paragraph_dedup_matches_bruteforce(spark):
+    """paragraph_dedup vs a brute-force Python re-derivation on a
+    corpus with planted boilerplate (a header shared by 5 docs),
+    cross-doc quoted passages, a within-doc repeat, and a ragged
+    trailing segment — every verdict kind exercised."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    W, K = 3, 4
+    header = "terms of service"  # 3 tokens -> 1 boiler segment in 5 docs
+    quote = "alpha beta gamma delta echo foxtrot"  # 2 segments, quoted by doc 7
+    rows = [
+        (1, f"{header} unique one text here body ends"),
+        (2, f"{header} other words flow into the night"),
+        (3, f"{header} {quote} tail bit"),
+        (4, f"{header} fourth document body entirely distinct words"),
+        (5, f"{header} fifth doc again with different content"),
+        (6, "free standing doc with no shared segments at all"),
+        (7, f"prefix pad pad {quote} suffix pad pad"),  # quotes doc 3
+        (8, "rep rep rep rep rep rep rep rep rep"),  # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(docs, W, K).collect()}
+
+    # brute force
+    segs = {}
+    for did, text in rows:
+        w = [t for t in text.split(" ") if t]
+        segs[did] = [
+            " ".join(w[i : i + W]) for i in range(0, len(w), W)
+        ]
+    first = {}
+    ndocs = {}
+    for did, text in rows:
+        for idx, s in enumerate(segs[did]):
+            first.setdefault(s, (did, idx))
+            ndocs.setdefault(s, set()).add(did)
+    assert max(len(d) for d in ndocs.values()) == 5  # the header
+    for did, text in rows:
+        kept, dup, boiler = [], 0, 0
+        for idx, s in enumerate(segs[did]):
+            if len(ndocs[s]) >= K:
+                boiler += 1
+            elif first[s] != (did, idx):
+                dup += 1
+            else:
+                kept.append(s)
+        r = got[did]
+        assert r.n_segments == len(segs[did])
+        assert (r.n_kept, r.n_dup, r.n_boiler) == (len(kept), dup, boiler)
+        assert r.kept_text == " ".join(kept)
+    # the planted semantics surfaced: header boilered everywhere,
+    # doc 7's quoted segments dropped as dups of doc 3's, doc 8
+    # collapsed to its first segment
+    assert got[1].n_boiler == 1 and got[5].n_boiler == 1
+    assert got[7].n_dup == 2
+    assert got[8].kept_text == "rep rep rep"
+    assert got[6].n_kept == got[6].n_segments
