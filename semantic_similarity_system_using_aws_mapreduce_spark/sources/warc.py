@@ -1,0 +1,257 @@
+"""WARC / WET web-archive ingestion (ISO 28500) — the format
+web-scale training corpora arrive in before any curation runs.
+
+A WARC file is a sequence of records::
+
+    WARC/1.0\r\n
+    WARC-Type: response | conversion | ...\r\n
+    WARC-Record-ID: <urn:uuid:...>\r\n
+    WARC-Target-URI: http://...\r\n
+    WARC-Date: 2026-01-01T00:00:00Z\r\n
+    Content-Type: ...\r\n
+    Content-Length: N\r\n
+    \r\n
+    <N payload bytes>\r\n\r\n
+
+WET extracts (the text sidecar of a crawl) are ordinary WARC files
+whose ``conversion`` records carry UTF-8 plain text payloads; raw
+crawl WARCs carry full HTTP responses in ``response`` records (status
+line + headers + body inside the payload).
+
+Parsing discipline mirrors the other readers (SURVEY §2.2 P9/P10:
+drop and count, never throw): a record with a broken header block or
+an unparseable Content-Length becomes ONE quarantine row
+(``corrupt = true``, the offending header bytes in ``payload``), and
+the parser RESYNCS by scanning for the next record marker, so one torn
+record never discards the rest of a 1 GB archive.
+
+Scale notes: ``binaryFile`` plans one task per archive, which is the
+right granularity — gzip makes archives non-splittable, and crawls
+ship as many ~1 GB files, so parallelism scales with file count
+exactly like the gzipped JSONL path.  The parse itself streams:
+records are decoded incrementally off a file object (GzipFile when the
+magic says so — multi-member archives, the common per-record-gzip
+layout, decode transparently) and leave the Python worker in bounded
+``mapInPandas`` batches, so peak memory is one archive's compressed
+bytes plus one batch, not the decompressed archive.  The HTTP body
+split for ``response`` records happens in the same pass (no second
+scan).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("corrupt", T.BooleanType()),
+    ]
+)
+
+_MARKER = b"WARC/"
+_BATCH_RECORDS = 256
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+class _PushbackStream:
+    """readline/read over a raw stream with one-shot byte pushback —
+    lets the resync scan un-consume the ``WARC/`` version line it
+    found so the main loop re-reads it as a record start."""
+
+    def __init__(self, raw) -> None:
+        self._raw = raw
+        self._head = b""
+
+    def readline(self) -> bytes:
+        if self._head:
+            i = self._head.find(b"\n")
+            if i >= 0:
+                line, self._head = self._head[: i + 1], self._head[i + 1 :]
+                return line
+            line, self._head = self._head, b""
+            return line + self._raw.readline()
+        return self._raw.readline()
+
+    def read(self, n: int) -> bytes:
+        if self._head:
+            take, self._head = self._head[:n], self._head[n:]
+            if len(take) == n:
+                return take
+            return take + self._raw.read(n - len(take))
+        return self._raw.read(n)
+
+    def push(self, data: bytes) -> None:
+        self._head = data + self._head
+
+
+def _resync(stream: _PushbackStream) -> bool:
+    """Scan forward to the next ``WARC/`` marker at a line start and
+    push it back; False at EOF.  Line-wise, O(bytes), no
+    backtracking."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return False
+        if line.startswith(_MARKER):
+            stream.push(line)
+            return True
+
+
+def parse_warc_records(
+    raw, warc_file: str
+) -> Iterator[tuple[str, str | None, str | None, str | None, str | None, str | None, bytes, int, bool]]:
+    """Yield one tuple per record (WARC_SCHEMA order) off a binary
+    file object.  Corrupt records yield a quarantine tuple and the
+    parser resyncs at the next ``WARC/`` line."""
+    stream = _PushbackStream(raw)
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue
+        if not line.startswith(_MARKER):
+            # lost framing: quarantine the stray bytes, then resync
+            yield (warc_file, None, None, None, None, None, line, len(line), True)
+            if not _resync(stream):
+                return
+            continue
+        header_lines = []
+        while True:
+            h = stream.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            header_lines.append(h)
+        block = b"".join(header_lines)
+        headers = _parse_headers(block)
+        try:
+            n = int(headers["content-length"])
+            if n < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            yield (warc_file, None, None, None, None, None, block, len(block), True)
+            if not _resync(stream):
+                return
+            continue
+        payload = stream.read(n)
+        short = len(payload) < n  # truncated archive tail
+        yield (
+            warc_file,
+            headers.get("warc-record-id"),
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("content-type"),
+            payload,
+            len(payload),
+            short,
+        )
+        if short:
+            return
+
+
+def _open_archive(content: bytes):
+    if content[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(content))
+    return io.BytesIO(content)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record under ``path`` (plain or .gz archives;
+    glob patterns work).  Corrupt records surface as quarantine rows
+    (``corrupt = true``) rather than failing the archive — filter on
+    the flag for the ingest/reject split, same contract as the JSONL
+    and CSV readers."""
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                stream = _open_archive(bytes(row["content"]))
+                buf = []
+                for rec in parse_warc_records(stream, row["path"]):
+                    buf.append(rec)
+                    if len(buf) >= _BATCH_RECORDS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def wet_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project WET ``conversion`` records onto the engine's documents
+    shape: (doc_id, text, lang, source, n_chars) with doc_id the
+    portable 60-bit md5 of the record id, source the registered domain
+    of the target URI, lang left null for the lang-ID operator to
+    fill.  Returns ``(docs, rejects)`` like the other readers; the
+    projection is pure column expressions (zero extra passes — the
+    mapInPandas parse is the only Python stage)."""
+    ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
+        "record_id"
+    ).isNotNull()
+    text = F.decode(F.col("payload"), "UTF-8")
+    host = F.parse_url(F.col("target_uri"), F.lit("HOST"))
+    docs = records.filter(ok).select(
+        F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.coalesce(host, F.lit("unknown")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+    rejects = records.filter(F.col("corrupt"))
+    return docs, rejects
+
+
+def response_bodies(records: DataFrame) -> DataFrame:
+    """HTTP bodies of ``response`` records: split each payload at the
+    first blank line (end of HTTP headers) and decode the remainder —
+    a pure column expression over the parsed relation (substring
+    arithmetic on the binary, JVM-side), no second Python pass.
+    Rows whose payload has no header terminator pass through whole
+    (some crawlers store bare bodies)."""
+    s = F.decode(F.col("payload"), "UTF-8")
+    sep = F.instr(s, "\r\n\r\n")
+    body = F.when(sep > 0, F.substring(s, sep + 4, 2_147_483_647)).otherwise(s)
+    status = F.when(
+        F.substring(s, 1, 5) == F.lit("HTTP/"),
+        F.split(F.substring(s, 1, 64), " ").getItem(1).cast("int"),
+    )
+    return records.filter(
+        (~F.col("corrupt")) & (F.col("warc_type") == "response")
+    ).select(
+        "record_id",
+        "target_uri",
+        status.alias("http_status"),
+        body.alias("body"),
+        F.length(body).cast("long").alias("n_chars"),
+    )
