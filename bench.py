@@ -155,6 +155,7 @@ EXTRA = [
     "q_source_overlap",
     "q_kmeans_assign",
     "q_paragraph_dedup",
+    "q_domain_rank",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

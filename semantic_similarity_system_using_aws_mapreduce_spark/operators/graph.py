@@ -180,3 +180,96 @@ def connected_components(
         stats["rounds"] = rounds
         stats["mode"] = "distributed"
     return labels.select("node", "cluster_id")
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 3,
+    damping_permille: int = 850,
+) -> DataFrame:
+    """Weighted PageRank in EXACT integer arithmetic — the second
+    iterative graph operator next to :func:`connected_components`
+    (authority scoring over a domain/source graph: which sources'
+    content propagates everywhere vs. which are leaf islands).
+
+    ``edges``: directed (src, dst, w) with POSITIVE integer weights;
+    ``nodes``: optional (node) universe — defaults to every endpoint,
+    pass it explicitly to rank isolated nodes too.  Returns
+    (node, rank_micro): ranks in micro-units of one unit of total
+    mass, fixed n_iter iterations.
+
+    All arithmetic is int64 with truncating division, so two engines
+    produce BIT-IDENTICAL ranks (no FP summation order to agree on):
+
+        r0(v)     = 1_000_000 div N
+        tp        = (1000 - damping) * 1000 div N
+        r_t+1(v)  = tp + Σ_u  damping * w(u,v) * r_t(u)
+                              div (1000 * W(u))
+    with W(u) the weighted out-degree (column ``wout`` — Spark's
+    case-insensitive resolver would collide a literal ``W`` with ``w``).  Flooring leaks mass (as do
+    dangling nodes, which contribute nothing — the standard
+    simplification); ranks are ordinal scores, not a probability
+    simplex.  Overflow bound: damping * max(w) * 1e6 must stay under
+    2^63 (max(w) < ~1e13) — pre-scale weights down by a constant if
+    needed; ranks are w-scale-invariant up to flooring.
+
+    Plan shape: the edge relation (joined once with its out-degree) is
+    persisted PRE-PARTITIONED on src, so each of the n_iter rounds
+    shuffles only the node-sized rank relation (join on src, groupBy
+    dst, left join back to nodes); `localCheckpoint` truncates lineage
+    like the CC loop.  N is a count() driver scalar — model-sized
+    control flow, the documented legitimate base.  At 100 TB (a
+    billion-domain web graph) every round is three keyed exchanges of
+    the node relation; the corpus never re-enters after edge
+    extraction."""
+    from pyspark import StorageLevel
+
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_micro"))
+    teleport = (1000 - damping_permille) * 1000 // n
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.col("w").cast("long").alias("w"), "wout")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.select("node", F.lit(1_000_000 // n).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"{damping_permille} * w * r div (1000 * wout)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            # EAGER: materializes the node-sized rank relation each
+            # round so the loop lineage truncates for real and the
+            # edge persist can be released before returning (the CC
+            # loop gets the same effect from its per-round
+            # convergence check)
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_micro"))

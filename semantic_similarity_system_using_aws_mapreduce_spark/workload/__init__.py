@@ -173,6 +173,7 @@ _PRIORITY = [
     "q_edit_similarity_dups",
     "q_source_overlap",
     "q_kmeans_assign",
+    "q_domain_rank",
 ]
 
 # Exported last: with 78 exported queries and a 50-row driver cap,
@@ -259,6 +260,14 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_embedding_quantization - (green r5) demoted when the new
+    #                           q_domain_rank took a window slot; the
+    #                           map-side quantization arithmetic is
+    #                           also differential-tested in test_ann,
+    #                           and the embedding family holds window
+    #                           slots via q_blocked_cosine_pairs,
+    #                           q_hybrid_rrf and q_ann_lsh_topk
+    "q_embedding_quantization",
     #   q_stratified_sample   - (green r5) demoted when the new
     #                           q_paragraph_dedup took a window slot;
     #                           hash-bucket sampling rides the

@@ -161,6 +161,51 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(shingle_hashes(docs), docs.select("doc_id", "source"))
 
 
+PAGERANK_ITERS = 3
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-authority PageRank: rank each data source on the
+    shared-shingle co-occurrence graph (edge weight = exact distinct
+    shingles shared between two sources, from the q_source_overlap
+    inverted index) — the contamination matrix condensed to one
+    authority score per source: a source whose content circulates
+    through many well-connected sources ranks high, a leaf island
+    ranks at the teleport floor.  {PAGERANK_ITERS} fixed iterations in
+    pure int64 micro-unit arithmetic, so the unrolled-iteration SQL
+    oracle hash-matches bit-for-bit (operators/graph.pagerank for the
+    100 TB shape — at web scale this is the billion-domain graph)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import source_overlap
+
+    ov = source_overlap(
+        shingle_hashes(docs), docs.select("doc_id", "source")
+    )
+    # both orientations from ONE pass over the pair relation (array
+    # explode, not a self-union that would re-derive the index twice)
+    edges = ov.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_a").alias("src"),
+                    F.col("src_b").alias("dst"),
+                    F.col("shared").alias("w"),
+                ),
+                F.struct(
+                    F.col("src_b").alias("src"),
+                    F.col("src_a").alias("dst"),
+                    F.col("shared").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    pr = pagerank(edges, nodes, n_iter=PAGERANK_ITERS)
+    return pr.select(F.col("node").alias("source"), "rank_micro")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -334,6 +379,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_source_overlap": q_source_overlap,
+    "q_domain_rank": q_domain_rank,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -356,7 +402,54 @@ _SIGS_CTE = f"""{_SH_CTE},
         sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)
 """
 
+def _pagerank_iteration_ctes(n_iter: int, damping: int = 850) -> tuple[str, str]:
+    """Unroll the integer PageRank recurrence into n_iter chained
+    CTEs — the SQL mirror of operators/graph.pagerank's loop, one CTE
+    per iteration (fixed iteration count makes the iterative operator
+    fully hash-verifiable, like the k-means oracle)."""
+    its, prev = [], "r0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+        it{k} AS (
+            SELECT n2.node,
+                   CAST((SELECT {(1000 - damping) * 1000} // N FROM nn)
+                        + coalesce(c.s, 0) AS BIGINT) AS r
+            FROM nodes n2 LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum({damping} * e.w * r.r // (1000 * o.W)) AS BIGINT) AS s
+                FROM edges e
+                JOIN {prev} r ON r.node = e.src
+                JOIN outw o ON o.src = e.src
+                GROUP BY e.dst) c ON c.node = n2.node)""")
+        prev = f"it{k}"
+    return ",".join(its), prev
+
+
+_PR_ITS, _PR_LAST = _pagerank_iteration_ctes(PAGERANK_ITERS)
+
 ORACLES = {
+    "q_domain_rank": f"""
+        WITH {_SH_CTE},
+        ss AS (SELECT DISTINCT d2.source AS source, sh.h AS h
+               FROM sh JOIN documents d2 USING (doc_id)),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*) AS shared
+                  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+                  GROUP BY 1, 2),
+        edges AS (SELECT src_a AS src, src_b AS dst,
+                         CAST(shared AS BIGINT) AS w FROM inter
+                  UNION ALL
+                  SELECT src_b, src_a, CAST(shared AS BIGINT) FROM inter),
+        nodes AS (SELECT DISTINCT source AS node FROM documents),
+        nn AS (SELECT count(*) AS N FROM nodes),
+        outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS W
+                 FROM edges GROUP BY src),
+        r0 AS (SELECT node,
+                      CAST(1000000 // (SELECT N FROM nn) AS BIGINT) AS r
+               FROM nodes),
+        {_PR_ITS}
+        SELECT node AS source, r AS rank_micro FROM {_PR_LAST}
+    """,
     "q_paragraph_dedup": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
         segs AS (

@@ -195,3 +195,61 @@ def test_connected_components_paths_agree_on_random_graphs(spark):
             map(tuple, connected_components(df, local_threshold=0).collect())
         )
         assert local == dist, f"trial {trial} diverged"
+
+
+def _pagerank_reference(edges, nodes, n_iter=3, damping=850):
+    """Pure-Python integer PageRank mirroring operators/graph.pagerank
+    (trunc division throughout; dangling nodes contribute nothing)."""
+    n = len(nodes)
+    wout = {}
+    for s, d, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: 1_000_000 // n for v in nodes}
+    tp = (1000 - damping) * 1000 // n
+    for _ in range(n_iter):
+        nxt = {v: tp for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += damping * w * r[s] // (1000 * wout[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import pagerank
+
+    # a hub (0), a chain hanging off it, an isolated node (9), and
+    # asymmetric weights — exercises teleport-only nodes, weighted
+    # split, and dangling-node leakage (node 4 has no out-edges)
+    edges = [
+        (0, 1, 5), (0, 2, 1), (1, 0, 3), (2, 0, 1),
+        (1, 3, 2), (3, 4, 7),
+    ]
+    nodes = list(range(5)) + [9]
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long, w long"),
+            spark.createDataFrame([(v,) for v in nodes], "node long"),
+            n_iter=3,
+        ).collect()
+    }
+    want = _pagerank_reference(edges, nodes)
+    assert got == want
+    # sanity on the semantics, not just the arithmetic: the hub
+    # outranks the chain tail's feeder, the isolated node sits at the
+    # teleport floor
+    tp3 = want[9]
+    assert got[9] == 25000  # 150000 // 6
+    assert got[0] > got[2] > tp3
+
+
+def test_pagerank_rounds_are_deterministic_across_runs(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23, 1 + (i % 5)) for i in range(200)],
+        "src long, dst long, w long",
+    )
+    a = sorted(map(tuple, pagerank(edges, n_iter=4).collect()))
+    b = sorted(map(tuple, pagerank(edges, n_iter=4).collect()))
+    assert a == b and len(a) > 0
