@@ -182,11 +182,33 @@ def connected_components(
     return labels.select("node", "cluster_id")
 
 
+def _local_pagerank(
+    erows: list, nrows: list, n_iter: int, damping: int
+) -> list:
+    """Driver base case: the identical integer recurrence over
+    collected edges — bit-equal to the distributed loop (same trunc
+    division, same dangling-node leakage), pinned by test."""
+    wout: dict = {}
+    for src, dst, w in erows:
+        wout[src] = wout.get(src, 0) + w
+    n = len(nrows)
+    r = {v: 1_000_000 // n for v in nrows}
+    tp = (1000 - damping) * 1000 // n
+    for _ in range(n_iter):
+        nxt = {v: tp for v in nrows}
+        for src, dst, w in erows:
+            nxt[dst] += damping * w * r[src] // (1000 * wout[src])
+        r = nxt
+    return sorted(r.items())
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     n_iter: int = 3,
     damping_permille: int = 850,
+    local_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Weighted PageRank in EXACT integer arithmetic — the second
     iterative graph operator next to :func:`connected_components`
@@ -231,12 +253,40 @@ def pagerank(
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
         )
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
         return nodes.select("node", F.lit(0).cast("long").alias("rank_micro"))
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n + n_edges <= local_threshold:
+        # bounded driver finish, the connected_components pattern: a
+        # model-sized graph (the 10-source fixture matrix, a few
+        # hundred k rows) would pay ~1 s of scheduling per distributed
+        # round for relations we would happily broadcast; the integer
+        # recurrence is engine-independent, so the local result is
+        # bit-equal to the distributed loop (pinned by test).  A
+        # billion-domain web graph takes the distributed branch
+        # unconditionally.
+        erows = [(r[0], r[1], r[2]) for r in edges.select("src", "dst", "w").collect()]
+        nrows = [r[0] for r in nodes.select("node").collect()]
+        node_t = nodes.schema["node"].dataType.simpleString()
+        edges.unpersist()
+        nodes.unpersist()
+        if stats is not None:
+            stats["mode"] = "local"
+        return spark.createDataFrame(
+            _local_pagerank(erows, nrows, n_iter, damping_permille),
+            f"node {node_t}, rank_micro long",
+        )
+    if stats is not None:
+        stats["mode"] = "distributed"
     teleport = (1000 - damping_permille) * 1000 // n
+    # edges was persisted above (it feeds the size count, the
+    # out-degree agg AND the join below — an expensive upstream plan
+    # like q_domain_rank's inverted-index source_overlap runs once)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     e = (
         edges.join(outw, "src")
@@ -271,5 +321,6 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     e.unpersist()
+    edges.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_micro"))

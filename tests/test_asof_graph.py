@@ -253,3 +253,19 @@ def test_pagerank_rounds_are_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(edges, n_iter=4).collect()))
     b = sorted(map(tuple, pagerank(edges, n_iter=4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pagerank_local_and_distributed_paths_agree(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 11) % 37, 1 + (i % 7)) for i in range(300)],
+        "src long, dst long, w long",
+    )
+    stats_l, stats_d = {}, {}
+    local = sorted(map(tuple, pagerank(edges, n_iter=3, stats=stats_l).collect()))
+    dist = sorted(
+        map(tuple, pagerank(edges, n_iter=3, local_threshold=0, stats=stats_d).collect())
+    )
+    assert stats_l["mode"] == "local" and stats_d["mode"] == "distributed"
+    assert local == dist and len(local) > 0
