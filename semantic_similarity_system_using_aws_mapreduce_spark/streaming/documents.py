@@ -159,6 +159,7 @@ def compact_index(
     index_path: str,
     keep_batch: int,
     rows_per_file: int = 2_000_000,
+    dedup_keys: tuple[str, ...] = ("doc_id",),
 ) -> None:
     """Fold every index partition EXCEPT ``keep_batch``'s into a
     bounded-file-count ``ingest_batch=-1`` base partition, atomically.
@@ -182,9 +183,10 @@ def compact_index(
         index.filter(F.col("ingest_batch") != keep_batch)
         .dropDuplicates(
             # a replayed batch rewrites its partition while its rows
-            # may already sit in the base — the fold dedupes by doc_id
-            # so such residue can never accumulate
-            ["doc_id"]
+            # may already sit in the base — the fold dedupes by the
+            # table's logical key so such residue can never accumulate
+            # (signature index: doc_id; postings: (doc_id, term))
+            list(dedup_keys)
         )
         # the sizing count and the rewrite both consume the fold —
         # persist so the scan + dedup shuffle runs once, not twice
@@ -551,6 +553,12 @@ def run_streaming_curation(
                         covered_batch=batch_id,
                     )
                 compact_index(spark, index_path, keep_batch=batch_id)
+                if postings:
+                    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
+                        compact_retrieval,
+                    )
+
+                    compact_retrieval(spark, corpus_path, keep_batch=batch_id)
         finally:
             if kept is not None:
                 kept.unpersist()

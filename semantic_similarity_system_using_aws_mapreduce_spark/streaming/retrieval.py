@@ -121,3 +121,39 @@ def bm25_search_postings(
             F.round(F.col("s_micro") / 1_000_000.0, 6).alias("bm25"),
         )
     )
+
+
+def compact_retrieval(
+    spark: SparkSession,
+    corpus_path: str,
+    keep_batch: int,
+    rows_per_file: int = 2_000_000,
+) -> None:
+    """Fold the retrieval tables' accumulated per-batch partitions
+    into the bounded base partition, like the signature index's
+    :func:`~semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents.compact_index` — without it the
+    postings table accrues one parquet file per micro-batch and every
+    query pays a footer per batch ever ingested.  Same replay
+    contract: ``keep_batch`` (the one batch a checkpoint crash can
+    re-deliver) keeps its own partition so a replay overwrites it
+    in place; older batches are checkpoint-committed and never
+    replayed, and the fold's key-dedup absorbs residue even if that
+    assumption is ever violated.  Postings dedupe on (doc_id, term) —
+    a doc's tf for a term is single-valued, so keeping one row is the
+    correct merge, unlike a sketch that would need cell-wise sums."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import compact_index
+
+    compact_index(
+        spark,
+        corpus_path + POSTINGS_SUFFIX,
+        keep_batch=keep_batch,
+        rows_per_file=rows_per_file,
+        dedup_keys=("doc_id", "term"),
+    )
+    compact_index(
+        spark,
+        corpus_path + DOCLENS_SUFFIX,
+        keep_batch=keep_batch,
+        rows_per_file=rows_per_file,
+        dedup_keys=("doc_id",),
+    )

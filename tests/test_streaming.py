@@ -1355,3 +1355,74 @@ def test_streaming_token_sketch_manifest_mode(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, got.select("i", "cell", "c").collect())) == expected
     vdirs = [d for d in os.listdir(tmp_path) if d.startswith("msketch.__v")]
     assert len(vdirs) == 1, vdirs
+
+
+def test_streaming_postings_compaction_bounds_files(spark, tmp_path):
+    """compact_every with postings=True also folds the retrieval
+    tables: after four batches at compact_every=2 the postings table
+    must hold only the compacted base plus the in-flight tail
+    partition, stay ROW-IDENTICAL to scratch tokenization of the
+    corpus, rank identically to an uncompacted run, and survive a
+    crash-replay of the last batch without double-counting."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        COMPACTED_BATCH,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
+        POSTINGS_SUFFIX,
+        bm25_search_postings,
+        postings_delta,
+    )
+
+    src = tmp_path / "pc_incoming"
+    src.mkdir()
+    names = ["gamma", "delta", "omega", "sigma"]
+    for b, word in enumerate(names):
+        _drop_batch_file(
+            spark, tmp_path, src, f"b{b}", [(10 + b, _long_text(word))]
+        )
+
+    corpus_path = str(tmp_path / "pc_corpus")
+    index_path = str(tmp_path / "pc_index")
+    kw = dict(postings=True, compact_every=2)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {10, 11, 12, 13}
+
+    post = spark.read.parquet(corpus_path + POSTINGS_SUFFIX)
+    batches = {r.ingest_batch for r in post.select("ingest_batch").distinct().collect()}
+    # everything except the batch the compaction ran inside is folded
+    assert COMPACTED_BATCH in batches and len(batches) <= 2
+
+    post_truth, _ = postings_delta(corpus.select("doc_id", "text"))
+    assert sorted(tuple(r) for r in post.select("doc_id", "term", "tf").collect()) == sorted(
+        tuple(r) for r in post_truth.collect()
+    )
+
+    res = bm25_search_postings(
+        spark, corpus_path, [(0, "omega0 omega1"), (1, "gamma2")], topk=2
+    )
+    rows = {(r.q_id, r.rank): r.doc_id for r in res.collect()}
+    assert rows[(0, 1)] == 12 and rows[(1, 1)] == 10
+
+    # crash-replay the final batch on top of the compacted layout
+    before = sorted(tuple(r) for r in post.select("doc_id", "term", "tf").collect())
+    last = max(
+        int(f) for f in os.listdir(os.path.join(corpus_path + "_ckpt", "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(corpus_path + "_ckpt", "commits", str(last)))
+    crc = os.path.join(corpus_path + "_ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(corpus_path + POSTINGS_SUFFIX)
+        .select("doc_id", "term", "tf")
+        .collect()
+    )
+    assert after == before
