@@ -198,6 +198,32 @@ def chunk_documents(
     )
 
 
+def html_to_text(col: Column) -> Column:
+    """Crude-but-deterministic HTML -> text extraction, entirely
+    JVM-side (a regexp_replace chain inside codegen — no Python, no
+    external parser): drop script/style/comment blocks, strip tags,
+    decode the common named entities plus decimal numerics are left
+    as-is (rare in body text; a full entity table belongs to a real
+    extractor), collapse whitespace.  This is the "good enough to
+    feed the quality gate" tier — the gate and lang-ID downstream are
+    what actually reject the residue of malformed markup, mirroring
+    how crawl pipelines layer cheap extraction under statistical
+    filters."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def cms_sketch(
     toks: DataFrame, d: int = 3, w: int = 512, token_col: str = "token"
 ) -> DataFrame:

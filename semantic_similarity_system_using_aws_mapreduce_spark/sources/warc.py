@@ -255,3 +255,37 @@ def response_bodies(records: DataFrame) -> DataFrame:
         body.alias("body"),
         F.length(body).cast("long").alias("n_chars"),
     )
+
+
+def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """RAW-crawl path: project ``response`` records onto the documents
+    shape by splitting off the HTTP headers and running the JVM-side
+    HTML extractor (operators/text_analysis.html_to_text) over the
+    body — the WET-less equivalent of :func:`wet_documents` for
+    archives that ship full responses.  Returns ``(docs, rejects)``;
+    non-2xx responses and empty extractions land in rejects (they are
+    redirects/errors, not content).  Everything after the mapInPandas
+    record parse is pure column expressions — extraction adds no
+    second Python stage."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import html_to_text
+
+    bodies = response_bodies(records)
+    host = F.parse_url(F.col("target_uri"), F.lit("HOST"))
+    text = html_to_text(F.col("body"))
+    shaped = bodies.select(
+        F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.coalesce(host, F.lit("unknown")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+        "http_status",
+    )
+    ok = (
+        (F.col("http_status").isNull() | (F.floor(F.col("http_status") / 100) == 2))
+        & (F.col("n_chars") > 0)
+    )
+    docs = shaped.filter(ok).drop("http_status")
+    rejects = shaped.filter(~ok)
+    return docs, rejects

@@ -171,3 +171,61 @@ def test_curation_cli_reads_wet(spark, tmp_path):
         "site1.com",
         "site2.com",
     }
+
+
+def test_html_to_text_extraction(spark):
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import html_to_text
+    from pyspark.sql import functions as F
+
+    cases = [
+        (
+            "<html><head><title>T</title><style>p{color:red}</style>"
+            "<script>var x='<p>not text</p>';</script></head>"
+            "<body><h1>Head</h1><p>one&nbsp;two &amp; three</p>"
+            "<!-- hidden -->&lt;tag&gt; &#39;q&#39;</body></html>",
+            "T Head one two & three <tag> 'q'",
+        ),
+        ("no markup at all", "no markup at all"),
+        ("<p>a</p><p>b</p>", "a b"),
+        ("&amp;lt;", "&lt;"),  # double-encoded stays one level encoded
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+    # plan stays JVM-side
+    plan = (
+        df.select(html_to_text(F.col("html")).alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_warc_text_documents_raw_crawl(spark, tmp_path):
+    """Raw response archives (no WET sidecar): header split + HTML
+    extraction + 2xx/non-empty gating, ending in the documents shape
+    the curation funnel accepts."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    html = b"<html><body><p>real content here</p><script>x</script></body></html>"
+    redirect = (
+        b"HTTP/1.1 301 Moved\r\nLocation: http://example.com/\r\n\r\nmoved"
+    )
+    arch = (
+        _record("w1", "response", _http_payload(html), "http://a.com/x",
+                ctype="application/http; msgtype=response")
+        + _record("w2", "response", redirect, "http://b.com/y",
+                  ctype="application/http; msgtype=response")
+        + _record("w3", "response", _http_payload(b"<div></div>"), "http://c.com/z",
+                  ctype="application/http; msgtype=response")  # empty after strip
+    )
+    (tmp_path / "crawl.warc").write_bytes(arch)
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc
+
+    docs, rejects = warc_text_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0].text == "real content here"
+    assert rows[0].source == "a.com"
+    assert rows[0].n_chars == len("real content here")
+    rej = {r.source: r.http_status for r in rejects.collect()}
+    assert rej == {"b.com": 301, "c.com": 200}
