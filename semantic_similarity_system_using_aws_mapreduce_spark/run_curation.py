@@ -7,7 +7,7 @@ operators into the standard funnel:
     train/val/test split -> token-budget shard materialization
 
     python -m semantic_similarity_system_using_aws_mapreduce_spark.run_curation DOCS OUTDIR
-        [--format parquet|orc|jsonl|csv|wet] [--eval-docs PATH]
+        [--format parquet|orc|jsonl|csv|wet|warc] [--eval-docs PATH]
         [--min-tokens 24] [--min-ttr 0.35] [--contam-overlap 5]
         [--shard-budget 2048] [--no-shards]
 
@@ -69,6 +69,10 @@ def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, wet_documents
 
         return wet_documents(read_warc(spark, path))[0]
+    if fmt == "warc":
+        from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, warc_text_documents
+
+        return warc_text_documents(read_warc(spark, path))[0]
     raise ValueError(f"unknown --format {fmt!r}")
 
 
@@ -184,7 +188,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("docs")
     ap.add_argument("outdir")
-    ap.add_argument("--format", default="parquet", choices=["parquet", "orc", "jsonl", "csv", "wet"])
+    ap.add_argument("--format", default="parquet", choices=["parquet", "orc", "jsonl", "csv", "wet", "warc"])
     ap.add_argument("--eval-docs", default=None)
     ap.add_argument("--min-tokens", type=int, default=24)
     ap.add_argument("--min-ttr", type=float, default=0.35)

@@ -229,3 +229,42 @@ def test_warc_text_documents_raw_crawl(spark, tmp_path):
     assert rows[0].n_chars == len("real content here")
     rej = {r.source: r.http_status for r in rejects.collect()}
     assert rej == {"b.com": 301, "c.com": 200}
+
+
+def test_parser_survives_random_corruption():
+    """Fuzz the record parser: random archives with random byte-level
+    damage (torn headers, garbage between records, truncation) must
+    never raise, and every record BEFORE the first damage point must
+    come back intact."""
+    import io
+    import random
+
+    for trial in range(25):
+        rng = random.Random(trial)
+        recs = [
+            _record(f"t{trial}r{i}", "conversion", bytes(rng.randbytes(rng.randint(0, 80))))
+            for i in range(rng.randint(1, 6))
+        ]
+        arch = b"".join(recs)
+        damage_at = rng.randint(0, len(arch))
+        kind = rng.choice(["truncate", "garbage", "flip"])
+        if kind == "truncate":
+            damaged = arch[:damage_at]
+        elif kind == "garbage":
+            damaged = arch[:damage_at] + rng.randbytes(rng.randint(1, 40)) + arch[damage_at:]
+        else:
+            damaged = bytearray(arch)
+            if damaged:
+                pos = min(damage_at, len(damaged) - 1)
+                damaged[pos] ^= 0xFF
+            damaged = bytes(damaged)
+
+        out = list(parse_warc_records(io.BytesIO(damaged), "fuzz"))  # must not raise
+        # records wholly before the damage point parse clean
+        offset = 0
+        for i, r in enumerate(recs):
+            if offset + len(r) <= damage_at:
+                assert any(
+                    (not t[8]) and t[1] == f"<urn:uuid:t{trial}r{i}>" for t in out
+                ), f"trial {trial}: clean record {i} lost"
+            offset += len(r)
