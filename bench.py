@@ -156,6 +156,7 @@ EXTRA = [
     "q_kmeans_assign",
     "q_paragraph_dedup",
     "q_domain_rank",
+    "q_pq_codes",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -159,3 +159,83 @@ def kmeans_lloyd(
             assigned.agg(F.sum("dist2").alias("j")).collect()[0]["j"]
         )
     return assigned, [cents[r] for r in sorted(cents)], inertia
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): split each
+    d-dim vector into ``m`` subvectors and store only the id of the
+    nearest of ``k`` codebook entries per subspace — m*log2(k) bits
+    per vector (here 4 x 4 bits vs 64 float32s: 128x smaller), THE
+    memory-bounded ANN representation at 100 TB, where raw vectors
+    cannot live in RAM but codes + codebooks can.
+
+    Codebooks here are the engine's deterministic md5-rank seed
+    vectors sliced per subspace (one shared rank order, so the whole
+    model derives from :func:`seed_centroids`'s portable top-k); a
+    production index would refine each subspace codebook with
+    :func:`kmeans_lloyd` — the encode/ADC machinery is identical, the
+    seeds-only variant is what a cross-engine oracle can replay.
+
+    Returns (vec_id, c0..c{m-1}, e0..e{m-1}, recon_err): per-subspace
+    code + 6-dp-rounded squared quantization error, plus their sum in
+    fixed left-to-right order (deterministic FP both engines).
+
+    Plan shape: the k x d codebook rides as ONE broadcast row of
+    (rank, cvec) structs; each subspace's argmin is an array fold over
+    k entries on the row's slice — fully map-side, ZERO shuffles, the
+    same no-blowup contract as :func:`assign_clusters`.  Encoding a
+    100 TB corpus is a single scan."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        cols = [F.col(id_col).alias("vec_id")]
+        for j in range(m):
+            cols += [
+                F.lit(None).cast("int").alias(f"c{j}"),
+                F.lit(None).cast("double").alias(f"e{j}"),
+            ]
+        return emb.select(*cols, F.lit(None).cast("double").alias("recon_err"))
+    d = first["d"]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sub = d // m
+    cents = seed_centroids(emb, k, id_col, vec_col).agg(
+        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
+    )
+    vec = F.col(vec_col)
+    out_cols = [F.col(id_col).alias("vec_id")]
+    errs = []
+
+    def _best(j: int):
+        # factory closure, NOT a default-arg lambda: a 2-parameter
+        # lambda passed to F.transform is interpreted as
+        # (element, index) and the second arg becomes the array index
+        # column, silently shadowing the captured j
+        subv = F.slice(vec, j * sub + 1, sub)
+        return F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.round(
+                        _d2(subv, F.slice(c["cvec"], j * sub + 1, sub)), 6
+                    ).alias("d2"),
+                    c["rank"].alias("code"),
+                ),
+            )
+        )
+
+    for j in range(m):
+        best = _best(j)
+        out_cols.append(best["code"].cast("int").alias(f"c{j}"))
+        out_cols.append(best["d2"].alias(f"e{j}"))
+        errs.append(f"e{j}")
+    enc = emb.crossJoin(F.broadcast(cents)).select(*out_cols)
+    total = F.col(errs[0])
+    for e in errs[1:]:
+        total = total + F.col(e)
+    return enc.withColumn("recon_err", total)

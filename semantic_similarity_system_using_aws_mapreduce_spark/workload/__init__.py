@@ -174,6 +174,7 @@ _PRIORITY = [
     "q_source_overlap",
     "q_kmeans_assign",
     "q_domain_rank",
+    "q_pq_codes",
 ]
 
 # Exported last: with 78 exported queries and a 50-row driver cap,
@@ -260,6 +261,14 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_part_brand_revenue  - (green r5) demoted when the new
+    #                           q_pq_codes took a window slot; the
+    #                           grouped-agg-over-join shape is the
+    #                           most-covered in the registry (q03 and
+    #                           the rotated-in q05/q_acctbal_share/
+    #                           q_having_big_customers all hold
+    #                           window slots)
+    "q_part_brand_revenue",
     #   q_embedding_quantization - (green r5) demoted when the new
     #                           q_domain_rank took a window slot; the
     #                           map-side quantization arithmetic is

@@ -418,7 +418,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(e, seed_centroids(e, KMEANS_K))
 
 
+PQ_M = 4  # subspaces (64-dim fixture vectors -> 16-dim subvectors)
+PQ_K = 16  # codes per subspace -> 4 bits; 4x4 bits vs 64 float32s
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: every vector reduced to
+    {PQ_M} x log2({PQ_K}) bits of per-subspace nearest-codebook codes
+    plus the 6-dp quantization errors — the memory-bounded ANN
+    representation (codes + a k x d codebook replace the raw matrix
+    at 100 TB).  Codebooks are the md5-rank seed vectors sliced per
+    subspace, so the full model is cross-engine replayable and the
+    codes hash-verify (operators/clustering.pq_encode; a production
+    index refines codebooks with kmeans_lloyd offline, same encode)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir), m=PQ_M, k=PQ_K)
+
+
 QUERIES = {
+    "q_pq_codes": q_pq_codes,
     "q_kmeans_assign": q_kmeans_assign,
     "q_semantic_dedup": q_semantic_dedup,
     "q_blocked_cosine_pairs": q_blocked_cosine_pairs,
@@ -441,6 +460,45 @@ _UNNEST = """
 """
 
 ORACLES = {
+    # PQ: same seed selection as q_kmeans_assign (md5-rank top-k),
+    # distances per 16-dim subspace (j = i // 16), 6-dp round BEFORE
+    # the per-subspace argmin with rank tie-break; recon_err sums the
+    # already-rounded errors in fixed left-to-right order.
+    "q_pq_codes": f"""
+        WITH {_UNNEST},
+        seeds AS (
+            SELECT vec_id AS cent_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT,
+                                vec_id) - 1 AS rank
+            FROM embeddings
+            ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT, vec_id
+            LIMIT 16),
+        cent AS (SELECT s.rank, u.i, u.v FROM seeds s JOIN u ON u.vec_id = s.cent_id),
+        dists AS (
+            SELECT a.vec_id, c.rank, a.i // 16 AS j,
+                   round(sum((a.v - c.v) * (a.v - c.v)), 6) AS d2
+            FROM u a JOIN cent c ON a.i = c.i
+            GROUP BY 1, 2, 3),
+        pick AS (
+            SELECT vec_id, j, rank, d2,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, rank) AS rn
+            FROM dists),
+        pivoted AS (
+            SELECT vec_id,
+               max(CASE WHEN j = 0 THEN CAST(rank AS INT) END) AS c0,
+               max(CASE WHEN j = 1 THEN CAST(rank AS INT) END) AS c1,
+               max(CASE WHEN j = 2 THEN CAST(rank AS INT) END) AS c2,
+               max(CASE WHEN j = 3 THEN CAST(rank AS INT) END) AS c3,
+               max(CASE WHEN j = 0 THEN d2 END) AS e0,
+               max(CASE WHEN j = 1 THEN d2 END) AS e1,
+               max(CASE WHEN j = 2 THEN d2 END) AS e2,
+               max(CASE WHEN j = 3 THEN d2 END) AS e3,
+            FROM pick WHERE rn = 1 GROUP BY vec_id)
+        SELECT vec_id, c0, e0, c1, e1, c2, e2, c3, e3,
+               e0 + e1 + e2 + e3 AS recon_err
+        FROM pivoted
+    """,
     # Same md5-derived SRP bucket math as q_ann_lsh_topk's oracle (the
     # shared hash family), then pairs >= tau and a recursive-CTE
     # transitive closure mirroring the Spark component loop.

@@ -89,3 +89,50 @@ def test_assignment_plan_is_exchange_free(spark):
     plan = assign_clusters(emb, seed_centroids(emb, K))._jdf.queryExecution().executedPlan().toString()
     head = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Exchange" not in head, head
+
+
+def test_pq_encode_matches_numpy_and_stays_mapside(spark):
+    """pq_encode vs an independent numpy re-derivation (codes and
+    6-dp errors per subspace), plus the plan contract: encoding is a
+    broadcast cross join with ZERO exchanges of the vector relation."""
+    import hashlib
+
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import pq_encode
+
+    rng = np.random.default_rng(7)
+    n, d, m, k = 60, 24, 4, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in pq_encode(emb, m=m, k=k).collect()}
+
+    # independent model: seeds = k smallest md5('kmeans:'||id) ids
+    def h(i):
+        return int(hashlib.md5(f"kmeans:{i}".encode()).hexdigest()[:15], 16)
+
+    seed_ids = sorted(range(n), key=lambda i: (h(i), i))[:k]
+    sub = d // m
+    for i in range(n):
+        v64 = vecs[i].astype(np.float64)
+        recon = 0.0
+        for j in range(m):
+            sv = v64[j * sub : (j + 1) * sub]
+            cands = []
+            for rank, sid in enumerate(seed_ids):
+                cv = vecs[sid].astype(np.float64)[j * sub : (j + 1) * sub]
+                cands.append((round(float(((sv - cv) ** 2).sum()), 6), rank))
+            d2, code = min(cands)
+            r = got[i]
+            assert getattr(r, f"c{j}") == code, (i, j)
+            assert abs(getattr(r, f"e{j}") - d2) < 1e-9
+            recon += d2
+        assert abs(got[i].recon_err - recon) < 1e-9
+
+    plan = pq_encode(emb, m=m, k=k)._jdf.queryExecution().executedPlan().toString()
+    # seeds build aggregates k rows; the encode side of the join must
+    # broadcast, never shuffle the vectors
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
