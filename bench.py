@@ -157,6 +157,7 @@ EXTRA = [
     "q_paragraph_dedup",
     "q_domain_rank",
     "q_pq_codes",
+    "q_pq_adc_search",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -239,3 +239,80 @@ def pq_encode(
     for e in errs[1:]:
         total = total + F.col(e)
     return enc.withColumn("recon_err", total)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 10,
+    salt_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: the query
+    stays a full vector, every corpus vector is its m codebook codes,
+    and the estimated squared distance is a sum of m table lookups —
+    the search half of :func:`pq_encode` (Jegou et al. 2011).  At
+    100 TB this scans CODES (m small ints per vector), never the
+    vector matrix.
+
+    ``queries``: (q_id, qvec).  Returns (q_id, rank, vec_id, adc_d2),
+    rank 1..topk by (adc_d2, vec_id) — the 6-dp-rounded per-subspace
+    table entries are summed in fixed left-to-right order, so scores
+    are bit-identical cross-engine and the ranking hash-verifies.
+
+    Plan shape: the per-query lookup table (Q x m x k doubles) is
+    computed IN the plan from the broadcast codebook row (no
+    driver-side FP whose summation order an oracle couldn't mirror)
+    and broadcast-cross-joined onto the code relation — map-side
+    scoring, zero shuffles of the corpus.  The per-query top-k runs
+    TWO-PHASE: rank within (q_id, salt) partitions first (corpus-wide
+    shuffle over Q*salt_buckets keys), then rank the surviving
+    Q*salt_buckets*topk rows within q_id — a window over only Q hot
+    keys never sees the corpus, so Q tiny queries cannot skew a
+    corpus-sized sort."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding relation")
+    d = first["d"]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sub = d // m
+
+    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    cents = seed_centroids(emb, k, id_col, vec_col).agg(
+        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
+    )
+
+    def _qtab(j: int):
+        # k-long array of 6-dp distances query-subvector -> codebook
+        # entry, in rank order (cents is sorted by rank)
+        qsub = F.slice(F.col("qvec"), j * sub + 1, sub)
+        return F.transform(
+            "cents",
+            lambda c: F.round(_d2(qsub, F.slice(c["cvec"], j * sub + 1, sub)), 6),
+        )
+
+    tabs = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id", *[_qtab(j).alias(f"t{j}") for j in range(m)]
+    )
+    score = F.element_at(F.col("t0"), F.col("c0") + 1)
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1)
+    scored = codes.crossJoin(F.broadcast(tabs)).select(
+        "q_id", "vec_id", F.round(score, 6).alias("adc_d2")
+    )
+    w_local = Window.partitionBy(
+        "q_id", F.crc32(F.col("vec_id").cast("string")) % salt_buckets
+    ).orderBy("adc_d2", "vec_id")
+    survivors = scored.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= topk
+    )
+    w_global = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "rank", "vec_id", "adc_d2")
+    )

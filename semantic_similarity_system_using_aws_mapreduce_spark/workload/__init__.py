@@ -175,6 +175,7 @@ _PRIORITY = [
     "q_kmeans_assign",
     "q_domain_rank",
     "q_pq_codes",
+    "q_pq_adc_search",
 ]
 
 # Exported last: with 78 exported queries and a 50-row driver cap,
@@ -261,6 +262,14 @@ _PRIORITY = [
 # demote the then-green round-6 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 _LAST = [
+    #   q_repetition_signals  - (green r5) demoted when the new
+    #                           q_pq_adc_search took a window slot;
+    #                           the map-side quality-signal expression
+    #                           chain keeps window slots via
+    #                           q_lm_quality and q_pii_redaction, and
+    #                           the doc-quality family's other members
+    #                           are r5-green in the tail
+    "q_repetition_signals",
     #   q_part_brand_revenue  - (green r5) demoted when the new
     #                           q_pq_codes took a window slot; the
     #                           grouped-agg-over-join shape is the

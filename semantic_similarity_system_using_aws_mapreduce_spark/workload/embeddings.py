@@ -436,8 +436,34 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(_emb(spark, sf_dir), m=PQ_M, k=PQ_K)
 
 
+PQ_QUERIES = 3  # deterministic query vectors (md5 rank, salt pqq:)
+
+
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 similarity search over PQ codes — the search half of
+    q_pq_codes: {PQ_QUERIES} deterministic query vectors score every
+    corpus vector as a sum of m per-subspace table lookups (codes
+    scanned, never the vector matrix), ranked by (adc_d2, vec_id).
+    Every number is a fixed-order sum of 6-dp-rounded doubles, so the
+    full ranking hash-verifies (operators/clustering.pq_adc_topk for
+    the two-phase top-k and the 100 TB shape)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import pq_adc_topk
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int
+
+    e = _emb(spark, sf_dir)
+    h = md5_int(F.concat(F.lit("pqq:"), F.col("vec_id")))
+    picked = e.select("vec_id", "embedding", h.alias("_h")).orderBy(
+        "_h", "vec_id"
+    ).limit(PQ_QUERIES)
+    queries = picked.withColumn(
+        "q_id", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+    ).select("q_id", F.col("embedding").alias("qvec"))
+    return pq_adc_topk(e, queries, m=PQ_M, k=PQ_K, topk=10)
+
+
 QUERIES = {
     "q_pq_codes": q_pq_codes,
+    "q_pq_adc_search": q_pq_adc_search,
     "q_kmeans_assign": q_kmeans_assign,
     "q_semantic_dedup": q_semantic_dedup,
     "q_blocked_cosine_pairs": q_blocked_cosine_pairs,
@@ -460,6 +486,68 @@ _UNNEST = """
 """
 
 ORACLES = {
+    # ADC: q_pq_codes' code derivation + per-query lookup tables from
+    # the same seed codebook; the score chains the m rounded terms in
+    # the same left-to-right order as the Spark fold, so the doubles
+    # are bit-identical and the ranking hashes equal.
+    "q_pq_adc_search": f"""
+        WITH {_UNNEST},
+        seeds AS (
+            SELECT vec_id AS cent_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT,
+                                vec_id) - 1 AS rank
+            FROM embeddings
+            ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 15))::BIGINT, vec_id
+            LIMIT 16),
+        cent AS (SELECT s.rank, u.i, u.v FROM seeds s JOIN u ON u.vec_id = s.cent_id),
+        dists AS (
+            SELECT a.vec_id, c.rank, a.i // 16 AS j,
+                   round(sum((a.v - c.v) * (a.v - c.v)), 6) AS d2
+            FROM u a JOIN cent c ON a.i = c.i
+            GROUP BY 1, 2, 3),
+        pick AS (
+            SELECT vec_id, j, rank, d2,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, rank) AS rn
+            FROM dists),
+        codes AS (
+            SELECT vec_id,
+               max(CASE WHEN j = 0 THEN rank END) AS c0,
+               max(CASE WHEN j = 1 THEN rank END) AS c1,
+               max(CASE WHEN j = 2 THEN rank END) AS c2,
+               max(CASE WHEN j = 3 THEN rank END) AS c3,
+            FROM pick WHERE rn = 1 GROUP BY vec_id),
+        qsel AS (
+            SELECT vec_id AS q_vec_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || substr(md5('pqq:' || vec_id), 1, 15))::BIGINT,
+                                vec_id) - 1 AS q_id
+            FROM embeddings
+            ORDER BY ('0x' || substr(md5('pqq:' || vec_id), 1, 15))::BIGINT, vec_id
+            LIMIT 3),
+        qd AS (
+            SELECT q.q_id, c.rank, a.i // 16 AS j,
+                   round(sum((a.v - c.v) * (a.v - c.v)), 6) AS d2
+            FROM qsel q
+            JOIN u a ON a.vec_id = q.q_vec_id
+            JOIN cent c ON c.i = a.i
+            GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT q.q_id, cd.vec_id,
+                   round(t0.d2 + t1.d2 + t2.d2 + t3.d2, 6) AS adc_d2
+            FROM codes cd
+            CROSS JOIN (SELECT DISTINCT q_id FROM qsel) q
+          JOIN qd t0 ON t0.q_id = q.q_id AND t0.j = 0 AND t0.rank = cd.c0
+          JOIN qd t1 ON t1.q_id = q.q_id AND t1.j = 1 AND t1.rank = cd.c1
+          JOIN qd t2 ON t2.q_id = q.q_id AND t2.j = 2 AND t2.rank = cd.c2
+          JOIN qd t3 ON t3.q_id = q.q_id AND t3.j = 3 AND t3.rank = cd.c3),
+        ranked AS (
+            SELECT q_id, vec_id, adc_d2,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+            FROM scored)
+        SELECT CAST(q_id AS INT) AS q_id, CAST(rank AS INT) AS rank, vec_id, adc_d2
+        FROM ranked WHERE rank <= 10
+    """,
     # PQ: same seed selection as q_kmeans_assign (md5-rank top-k),
     # distances per 16-dim subspace (j = i // 16), 6-dp round BEFORE
     # the per-subspace argmin with rank tie-break; recon_err sums the

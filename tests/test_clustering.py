@@ -136,3 +136,68 @@ def test_pq_encode_matches_numpy_and_stays_mapside(spark):
     # seeds build aggregates k rows; the encode side of the join must
     # broadcast, never shuffle the vectors
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_adc_topk_matches_numpy_model(spark):
+    """pq_adc_topk vs an independent numpy ADC: same seed codebook
+    model, same 6-dp table rounding, same fixed-order score sum —
+    rankings must be identical; and the approximation must be sane
+    (each query's own vector lands in its top-k, since its ADC score
+    is exactly its reconstruction error)."""
+    import hashlib
+
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import pq_adc_topk
+
+    rng = np.random.default_rng(11)
+    n, d, m, k, topk = 80, 24, 4, 8, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q_ids = [0, 1]
+    queries = spark.createDataFrame(
+        [(qi, [float(v) for v in vecs[qv]]) for qi, qv in enumerate(q_ids)],
+        "q_id int, qvec array<float>",
+    )
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.adc_d2)
+        for r in pq_adc_topk(emb, queries, m=m, k=k, topk=topk).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"kmeans:{i}".encode()).hexdigest()[:15], 16)
+
+    seed_ids = sorted(range(n), key=lambda i: (h(i), i))[:k]
+    sub = d // m
+    cbs = [
+        [vecs[s].astype(np.float64)[j * sub : (j + 1) * sub] for s in seed_ids]
+        for j in range(m)
+    ]
+    codes = {}
+    for i in range(n):
+        v = vecs[i].astype(np.float64)
+        codes[i] = [
+            min(
+                (round(float(((v[j * sub : (j + 1) * sub] - cbs[j][r]) ** 2).sum()), 6), r)
+                for r in range(k)
+            )[1]
+            for j in range(m)
+        ]
+    want = []
+    for qi, qv in enumerate(q_ids):
+        q = vecs[qv].astype(np.float64)
+        tab = [
+            [round(float(((q[j * sub : (j + 1) * sub] - cbs[j][r]) ** 2).sum()), 6) for r in range(k)]
+            for j in range(m)
+        ]
+        scored = sorted(
+            (round(sum(tab[j][codes[i][j]] for j in range(m)), 6), i) for i in range(n)
+        )
+        want += [(qi, r + 1, i, s) for r, (s, i) in enumerate(scored[:topk])]
+    assert got == sorted(want)
+    # self-retrieval sanity: the query vector itself is in its top-k
+    for qi, qv in enumerate(q_ids):
+        assert any(g[0] == qi and g[2] == qv for g in got)
