@@ -260,7 +260,15 @@ _PRIORITY = [
 # All remain verified by the local mirror test either way.
 # ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-6 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
+# every-export-green-within-two-rounds invariant keeps holding.  The
+# tail grew to 34 during round 6: four mid-round demotions
+# (q_stratified_sample, q_embedding_quantization,
+# q_part_brand_revenue, q_repetition_signals — each r5-green, each
+# making window room for a new never-verified export:
+# q_paragraph_dedup, q_domain_rank, q_pq_codes, q_pq_adc_search)
+# join the 30 planned entries, so round 7's swap must bring all 34
+# back within its window or stage the overflow for round 8 (the
+# invariant tolerates exactly one skipped round per entry).
 _LAST = [
     #   q_repetition_signals  - (green r5) demoted when the new
     #                           q_pq_adc_search took a window slot;
