@@ -547,3 +547,63 @@ def test_paragraph_dedup_matches_bruteforce(spark):
     assert got[7].n_dup == 2
     assert got[8].kept_text == "rep rep rep"
     assert got[6].n_kept == got[6].n_segments
+
+
+def test_paragraph_dedup_random_corpora_differential(spark):
+    """Randomized differential: three corpora with overlapping random
+    segments (deterministic seeds) vs the pure-Python re-derivation —
+    the keep-first/boiler semantics must hold for arbitrary overlap
+    structure, not just the crafted fixture."""
+    import random
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        W, K = rng.choice([(3, 3), (4, 2), (5, 4)])
+        # build docs by stitching from a small shared segment pool so
+        # repeats happen across and within docs
+        pool = [
+            " ".join(rng.choice("abcdefgh") + str(rng.randint(0, 9)) for _ in range(W))
+            for _ in range(12)
+        ]
+        rows = []
+        for did in range(20):
+            segs = [rng.choice(pool) for _ in range(rng.randint(1, 6))]
+            tail = " ".join(
+                rng.choice("xyz") + str(rng.randint(0, 99))
+                for _ in range(rng.randint(0, W - 1))  # ragged tail
+            )
+            text = " ".join(segs) + (" " + tail if tail else "")
+            rows.append((did, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in paragraph_dedup(docs, W, K).collect()}
+
+        segs_by_doc, first, ndocs = {}, {}, {}
+        for did, text in rows:
+            w = [t for t in text.split(" ") if t]
+            segs_by_doc[did] = [" ".join(w[i : i + W]) for i in range(0, len(w), W)]
+        for did, _ in rows:
+            for idx, sg in enumerate(segs_by_doc[did]):
+                first.setdefault(sg, (did, idx))
+                ndocs.setdefault(sg, set()).add(did)
+        for did, _ in rows:
+            kept, dup, boiler = [], 0, 0
+            for idx, sg in enumerate(segs_by_doc[did]):
+                if len(ndocs[sg]) >= K:
+                    boiler += 1
+                elif first[sg] != (did, idx):
+                    dup += 1
+                else:
+                    kept.append(sg)
+            r = got[did]
+            assert (
+                r.n_segments,
+                r.n_kept,
+                r.n_dup,
+                r.n_boiler,
+                r.kept_text,
+            ) == (len(segs_by_doc[did]), len(kept), dup, boiler, " ".join(kept)), (
+                trial,
+                did,
+            )
