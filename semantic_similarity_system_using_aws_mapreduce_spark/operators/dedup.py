@@ -543,12 +543,19 @@ def paragraph_dedup(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
     n_seg = F.ceil(F.size("toks") / F.lit(seg_words)).cast("long")
+    # empty-token docs must yield ZERO segments (and drop out of the
+    # result, like the oracle's range(0)): a bare sequence(0, n_seg-1)
+    # with n_seg == 0 is sequence(0, -1), which Spark auto-steps
+    # BACKWARD into [0, -1] — two phantom segments
+    idxs = F.when(
+        n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)
+    ).otherwise(F.array().cast("array<long>"))
     segs = (
         step.select(
             "doc_id",
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0).cast("long"), n_seg - 1),
+                    idxs,
                     lambda i: F.array_join(
                         F.slice("toks", (i * seg_words + 1).cast("int"), seg_words),
                         " ",

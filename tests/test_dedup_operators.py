@@ -607,3 +607,16 @@ def test_paragraph_dedup_random_corpora_differential(spark):
                 trial,
                 did,
             )
+
+
+def test_paragraph_dedup_empty_and_whitespace_docs(spark):
+    """Zero-token docs produce ZERO segments and drop out (the oracle's
+    range(0) semantics) — a bare sequence(0, -1) would fabricate two
+    phantom segments per empty doc."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    rows = [(1, ""), (2, "   "), (3, "real words in this one here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(docs, 3, 4).collect()}
+    assert set(got) == {3}
+    assert got[3].n_segments == 2 and got[3].n_kept == 2
