@@ -486,6 +486,47 @@ def scrub_spans(
     )
 
 
+def segment_hashes(
+    df: DataFrame,
+    seg_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seg_idx, seg_text, seg_hash): the deterministic
+    non-overlapping ``seg_words``-token segmentation with the portable
+    60-bit hash — the map-side fan-out :func:`paragraph_dedup` and the
+    streaming incremental variant share (zero exchanges; stride ==
+    width, so the fan-out is 1x token volume)."""
+    step = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(seg_words)).cast("long")
+    # empty-token docs must yield ZERO segments (and drop out of the
+    # result, like an oracle's range(0)): a bare sequence(0, n_seg-1)
+    # with n_seg == 0 is sequence(0, -1), which Spark auto-steps
+    # BACKWARD into [0, -1] — two phantom segments
+    idxs = F.when(
+        n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return step.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.array_join(
+                    F.slice("toks", (i * seg_words + 1).cast("int"), seg_words),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg_text"),
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "seg_text",
+        md5_int(F.col("seg_text")).alias("seg_hash"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     seg_words: int = 5,
@@ -539,38 +580,9 @@ def paragraph_dedup(
     from pyspark import StorageLevel
 
     key = F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")
-    step = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    )
-    n_seg = F.ceil(F.size("toks") / F.lit(seg_words)).cast("long")
-    # empty-token docs must yield ZERO segments (and drop out of the
-    # result, like the oracle's range(0)): a bare sequence(0, n_seg-1)
-    # with n_seg == 0 is sequence(0, -1), which Spark auto-steps
-    # BACKWARD into [0, -1] — two phantom segments
-    idxs = F.when(
-        n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)
-    ).otherwise(F.array().cast("array<long>"))
-    segs = (
-        step.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    idxs,
-                    lambda i: F.array_join(
-                        F.slice("toks", (i * seg_words + 1).cast("int"), seg_words),
-                        " ",
-                    ),
-                )
-            ).alias("seg_idx", "seg_text"),
-        )
-        .select(
-            "doc_id",
-            F.col("seg_idx").cast("long").alias("seg_idx"),
-            "seg_text",
-            md5_int(F.col("seg_text")).alias("seg_hash"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned cache: operators/__init__ contract
-    )
+    segs = segment_hashes(df, seg_words, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # caller-owned cache: operators/__init__ contract
     stats = segs.groupBy("seg_hash").agg(
         F.min(key).alias("_winner"),
         F.countDistinct("doc_id").alias("_n_docs"),

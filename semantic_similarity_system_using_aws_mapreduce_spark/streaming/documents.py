@@ -376,6 +376,7 @@ def run_streaming_curation(
     n_index_buckets: int = 32,
     stats: bool = False,
     postings: bool = False,
+    paragraphs: bool = False,
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -410,6 +411,15 @@ def run_streaming_curation(
     tokenized ONCE into per-batch partitions, idempotent under replay
     like the corpus itself, and ``bm25_search_postings`` answers
     ranked queries without ever re-tokenizing the corpus.
+
+    ``paragraphs=True`` additionally maintains incremental
+    paragraph-level dedup (streaming/paragraphs.py): each admitted
+    document's segments are cut against the persisted
+    ``<corpus_path>_segindex`` keep-first (cross-batch quotes and
+    boilerplate drop the moment they recur) and the scrubbed face
+    lands in ``<corpus_path>_clean`` — the raw corpus row is
+    untouched.  Both tables follow the same replay/compaction/RTBF
+    discipline as the signature index.
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
@@ -523,6 +533,37 @@ def run_streaming_curation(
                 _write_batch_partition(
                     dlen, corpus_path + DOCLENS_SUFFIX, batch_id
                 )
+            if paragraphs:
+                from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+                    CLEAN_SUFFIX,
+                    SEGINDEX_SUFFIX,
+                    paragraph_delta,
+                )
+
+                seg_index = read_parquet_recovering(
+                    spark, corpus_path + SEGINDEX_SUFFIX
+                )
+                if seg_index is not None:
+                    # replay safety, same shape as the signature
+                    # index: a re-delivered batch's own winners are
+                    # already indexed — exclude by doc attribution so
+                    # the recomputation (and a compaction-folded row)
+                    # cannot shadow itself into all-dup
+                    seg_index = seg_index.join(
+                        F.broadcast(kept_ids), "doc_id", "left_anti"
+                    )
+                clean, seg_delta, seg_cache = paragraph_delta(
+                    admitted, seg_index
+                )
+                try:
+                    _write_batch_partition(
+                        clean, corpus_path + CLEAN_SUFFIX, batch_id
+                    )
+                    _write_batch_partition(
+                        seg_delta, corpus_path + SEGINDEX_SUFFIX, batch_id
+                    )
+                finally:
+                    seg_cache.unpersist()
             if stats:
                 # per-batch ingest funnel (arrived -> gate -> dedup),
                 # the streaming face of the curation CLI's funnel
@@ -559,6 +600,22 @@ def run_streaming_curation(
                     )
 
                     compact_retrieval(spark, corpus_path, keep_batch=batch_id)
+                if paragraphs:
+                    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+                        SEGINDEX_SUFFIX,
+                    )
+
+                    # fold the segment index like the signature index
+                    # (rows unique per seg_hash; the key-dedup is the
+                    # replay-residue guard).  The _clean table is
+                    # corpus-like — never compacted, its batch axis
+                    # stays truthful for as-of reads.
+                    compact_index(
+                        spark,
+                        corpus_path + SEGINDEX_SUFFIX,
+                        keep_batch=batch_id,
+                        dedup_keys=("seg_hash",),
+                    )
         finally:
             if kept is not None:
                 kept.unpersist()
@@ -697,7 +754,7 @@ def forget_documents(
     # docs too — rewrite them whenever they exist
     derived = [
         corpus_path + sfx
-        for sfx in ("_postings", "_doclens")
+        for sfx in ("_postings", "_doclens", "_segindex", "_clean")
         if _os_paths.path.isdir(corpus_path + sfx)
         or _os_paths.path.isfile(corpus_path + sfx + ".__manifest__")
     ]

@@ -1426,3 +1426,148 @@ def test_streaming_postings_compaction_bounds_files(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_streaming_paragraph_dedup_incremental(spark, tmp_path):
+    """paragraphs=True: cross-batch keep-first — a later batch quoting
+    an earlier batch's passage has it cut from its clean face; the
+    accumulated clean table must equal the BATCH paragraph operator
+    (boilerplate off) over the final corpus when doc ids increase with
+    arrival; replay must not change anything; RTBF erases the
+    forgotten doc's segment attributions and re-admits resubmitted
+    content."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+        CLEAN_SUFFIX,
+        SEGINDEX_SUFFIX,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))  # 2 segments at W=5
+    src = tmp_path / "par_incoming"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("one") + " " + quote)])
+    _drop_batch_file(
+        spark, tmp_path, src, "b1",
+        [(11, _long_text("two") + " " + quote)],  # quotes batch 0's doc
+    )
+    _drop_batch_file(spark, tmp_path, src, "b2", [(21, _long_text("three"))])
+
+    corpus_path = str(tmp_path / "par_corpus")
+    index_path = str(tmp_path / "par_index")
+    kw = dict(paragraphs=True)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+
+    def clean_rows():
+        return {
+            r.doc_id: r
+            for r in spark.read.parquet(corpus_path + CLEAN_SUFFIX).collect()
+        }
+
+    got = clean_rows()
+    assert set(got) == {1, 11, 21}
+    assert got[1].n_dup == 0  # first occurrence keeps the quote
+    assert got[11].n_dup == 2  # both quoted segments cut
+    assert quote not in got[11].kept_text and "two0" in got[11].kept_text
+    assert got[21].n_dup == 0
+
+    # streamed ≡ batch operator over the final corpus (doc ids
+    # increase with arrival, so arrival order == (doc_id, seg_idx))
+    corpus = spark.read.parquet(corpus_path)
+    batch = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            corpus.select("doc_id", "text"), 5, 10**9
+        ).collect()
+    }
+    for did, r in got.items():
+        b = batch[did]
+        assert (r.n_segments, r.n_kept, r.n_dup, r.kept_text) == (
+            b.n_segments, b.n_kept, b.n_dup, b.kept_text
+        ), did
+
+    # crash-replay the last batch: everything identical after
+    before_idx = sorted(
+        tuple(r)
+        for r in spark.read.parquet(corpus_path + SEGINDEX_SUFFIX)
+        .select("seg_hash", "doc_id")
+        .collect()
+    )
+    last = max(
+        int(f)
+        for f in os.listdir(os.path.join(corpus_path + "_ckpt", "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(corpus_path + "_ckpt", "commits", str(last)))
+    crc = os.path.join(corpus_path + "_ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    assert clean_rows()[11].n_dup == 2
+    after_idx = sorted(
+        tuple(r)
+        for r in spark.read.parquet(corpus_path + SEGINDEX_SUFFIX)
+        .select("seg_hash", "doc_id")
+        .collect()
+    )
+    assert after_idx == before_idx
+
+    # RTBF: forgetting doc 1 erases its segment attributions and its
+    # clean row; resubmitting its content re-admits it (keep-first
+    # belongs to the new copy now)
+    forget_documents(spark, corpus_path, index_path, [1])
+    assert 1 not in clean_rows()
+    assert not [
+        r
+        for r in spark.read.parquet(corpus_path + SEGINDEX_SUFFIX).collect()
+        if r.doc_id == 1
+    ]
+    _drop_batch_file(
+        spark, tmp_path, src, "b3", [(31, _long_text("one") + " " + quote)]
+    )
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    got = clean_rows()
+    assert 31 in got
+    # the quote's hashes were attributed to doc 1 and erased; doc 11's
+    # copy was cut at ingest, so the resubmission is the new winner
+    assert quote in got[31].kept_text
+
+
+def test_streaming_paragraph_segindex_compaction(spark, tmp_path):
+    """compact_every with paragraphs=True folds the segment index into
+    the base partition; cross-batch cuts keep working against the
+    compacted layout."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        COMPACTED_BATCH,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+        CLEAN_SUFFIX,
+        SEGINDEX_SUFFIX,
+    )
+
+    quote = " ".join(f"z{i}" for i in range(10))
+    src = tmp_path / "parc_incoming"
+    src.mkdir()
+    names = ["aaa", "bbb", "ccc", "ddd"]
+    for b, w in enumerate(names):
+        text = _long_text(w) + (" " + quote if b in (0, 3) else "")
+        _drop_batch_file(spark, tmp_path, src, f"b{b}", [(10 + b, text)])
+
+    corpus_path = str(tmp_path / "parc_corpus")
+    run_streaming_curation(
+        spark, str(src), corpus_path, str(tmp_path / "parc_index"),
+        paragraphs=True, compact_every=2,
+    )
+    seg = spark.read.parquet(corpus_path + SEGINDEX_SUFFIX)
+    batches = {r.ingest_batch for r in seg.select("ingest_batch").distinct().collect()}
+    assert COMPACTED_BATCH in batches and len(batches) <= 2
+    got = {r.doc_id: r for r in spark.read.parquet(corpus_path + CLEAN_SUFFIX).collect()}
+    # batch 3 quotes batch 0 ACROSS the compaction fold: still cut
+    assert got[13].n_dup == 2 and quote not in got[13].kept_text
+    assert got[10].n_dup == 0 and quote in got[10].kept_text
