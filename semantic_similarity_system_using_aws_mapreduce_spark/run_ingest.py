@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--bucket-table", default=None)
     p_ing.add_argument("--stats", action="store_true")
     p_ing.add_argument(
+        "--paragraphs",
+        action="store_true",
+        help="maintain incremental paragraph-level dedup: scrubbed "
+        "docs in corpus_clean, kept-segment hashes in corpus_segindex",
+    )
+    p_ing.add_argument(
         "--postings",
         action="store_true",
         help="maintain the incremental BM25 retrieval tables "
@@ -141,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             n_index_buckets=32,
             stats=args.stats,
             postings=args.postings,
+            paragraphs=args.paragraphs,
         )
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
         return 0
