@@ -24,6 +24,10 @@ CACHING_QUERIES = [
     # made tf single-consumption, so the persist (and its cache
     # block) no longer exists
     "q_containment_dups",         # prefix_containment_join
+    "q_paragraph_dedup",          # paragraph_dedup (r6)
+    # q_domain_rank is deliberately absent: pagerank's adaptive LOCAL
+    # branch (taken at fixture scale) unpersists its own blocks before
+    # returning, so a bench-style pass sees an already-clean cache
 ]
 
 
