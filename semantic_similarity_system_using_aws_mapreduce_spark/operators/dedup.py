@@ -560,10 +560,12 @@ def paragraph_dedup(
     doc is dropped).
 
     Global keep-first needs a total order both engines agree on; the
-    packed key doc_id * 2^20 + seg_idx gives min() that order without
-    a struct comparison (documented precondition: seg_idx < 2^20,
-    which holds for any document under ~5M tokens at seg_words=5 —
-    far beyond any single training document).
+    winner is min() over the (doc_id, seg_idx) STRUCT — lexicographic
+    on both engines, partial-aggregated like any min.  (An earlier
+    packed int64 key doc_id * 2^20 + seg_idx silently wrapped for
+    doc_id >= 2^43 — the md5-derived 60-bit ids the WARC ingest mints
+    — picking an arbitrary-but-wrong "first"; the struct form has no
+    range precondition.)
 
     Plan shape: segmentation is map-side (sequence -> slice ->
     array_join -> posexplode, zero exchanges — the q_doc_chunks
@@ -579,7 +581,7 @@ def paragraph_dedup(
     segment fan-out is 1x the corpus token volume, not window x."""
     from pyspark import StorageLevel
 
-    key = F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")
+    key = F.struct(F.col("doc_id"), F.col("seg_idx"))
     segs = segment_hashes(df, seg_words, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )  # caller-owned cache: operators/__init__ contract
@@ -588,7 +590,11 @@ def paragraph_dedup(
         F.countDistinct("doc_id").alias("_n_docs"),
     )
     boiler = F.col("_n_docs") >= boiler_min_docs
-    keep = ~boiler & (key == F.col("_winner"))
+    keep = (
+        ~boiler
+        & (F.col("doc_id") == F.col("_winner.doc_id"))
+        & (F.col("seg_idx") == F.col("_winner.seg_idx"))
+    )
     kept_struct = F.when(keep, F.struct("seg_idx", "seg_text"))
     return (
         segs.join(stats, "seg_hash")

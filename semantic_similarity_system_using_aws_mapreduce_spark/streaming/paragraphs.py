@@ -70,7 +70,10 @@ def paragraph_delta(
     segs = segment_hashes(admitted, seg_words).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    key = F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")
+    # lexicographic (doc_id, seg_idx) struct min — the packed-int64
+    # form wrapped for the WARC path's 60-bit doc_ids (see
+    # operators/dedup.paragraph_dedup)
+    key = F.struct(F.col("doc_id"), F.col("seg_idx"))
     winners = segs.groupBy("seg_hash").agg(F.min(key).alias("_winner"))
     seen = (
         seg_index.select("seg_hash").distinct().withColumn("_seen", F.lit(True))
@@ -83,7 +86,11 @@ def paragraph_delta(
         fresh = F.col("_seen").isNull()
     else:
         fresh = F.lit(True)
-    keep = fresh & (key == F.col("_winner"))
+    keep = (
+        fresh
+        & (F.col("doc_id") == F.col("_winner.doc_id"))
+        & (F.col("seg_idx") == F.col("_winner.seg_idx"))
+    )
     kept_struct = F.when(keep, F.struct("seg_idx", "seg_text"))
     clean = decided.groupBy("doc_id").agg(
         F.count("*").alias("n_segments"),

@@ -465,14 +465,16 @@ ORACLES = {
             FROM segs),
         stats AS (
             SELECT seg_hash,
-                   min(doc_id * 1048576 + seg_idx) AS winner,
+                   min(struct_pack(doc_id := doc_id, seg_idx := seg_idx))
+                       AS winner,
                    count(DISTINCT doc_id) AS n_docs
             FROM hashed GROUP BY seg_hash),
         decided AS (
             SELECT h.doc_id, h.seg_idx, h.seg_text,
                    s.n_docs >= {BOILER_MIN_DOCS} AS boiler,
                    s.n_docs < {BOILER_MIN_DOCS}
-                       AND h.doc_id * 1048576 + h.seg_idx = s.winner AS keep
+                       AND h.doc_id = (s.winner).doc_id
+                       AND h.seg_idx = (s.winner).seg_idx AS keep
             FROM hashed h JOIN stats s USING (seg_hash))
         SELECT doc_id,
                count(*) AS n_segments,

@@ -620,3 +620,24 @@ def test_paragraph_dedup_empty_and_whitespace_docs(spark):
     got = {r.doc_id: r for r in paragraph_dedup(docs, 3, 4).collect()}
     assert set(got) == {3}
     assert got[3].n_segments == 2 and got[3].n_kept == 2
+
+
+def test_paragraph_dedup_keep_first_survives_60bit_doc_ids(spark):
+    """Keep-first must order by (doc_id, seg_idx) even for the WARC
+    ingest's md5-derived 60-bit ids.  The retired packed int64 key
+    doc_id * 2^20 + seg_idx wrapped at doc_id = 2^43: 2^43 * 2^20 =
+    2^63 overflows to the MOST NEGATIVE long, so the huge-id doc would
+    have (wrongly) won keep-first over doc_id 1."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    shared = "alpha beta gamma"
+    rows = [
+        (1, f"{shared} unique low words"),
+        (1 << 43, f"{shared} unique high words"),
+        (1 << 59, "another body entirely distinct"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(docs, 3, 4).collect()}
+    assert got[1].n_kept == 2 and got[1].n_dup == 0
+    assert got[1 << 43].n_dup == 1 and got[1 << 43].n_kept == 1
+    assert shared in got[1].kept_text and shared not in got[1 << 43].kept_text
