@@ -408,9 +408,18 @@ def ivfpq_topk(
     scored = codes.join(F.broadcast(tabs), "list_id").select(
         "q_id", "vec_id", F.round(score, 6).alias("adc_d2")
     )
+    # same two-phase salted top-k as pq_adc_topk: the probed subset is
+    # still corpus-scale (nprobe/n_lists of it), so a bare per-q_id
+    # window would funnel it through Q hot partitions
+    w_local = Window.partitionBy(
+        "q_id", F.crc32(F.col("vec_id").cast("string")) % 8
+    ).orderBy("adc_d2", "vec_id")
+    survivors = scored.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= topk
+    )
     w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("q_id", "rank", "vec_id", "adc_d2")
     )

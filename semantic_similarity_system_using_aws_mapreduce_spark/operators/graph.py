@@ -258,6 +258,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
+        edges.unpersist()
         return nodes.select("node", F.lit(0).cast("long").alias("rank_micro"))
     spark = edges.sparkSession
     n_edges = edges.count()
