@@ -98,6 +98,51 @@ def sample_per_group(
     )
 
 
+def domain_quota(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    order_col: str = "n_chars",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Frequency capping: keep at most ``k`` rows per ``group_col``,
+    preferring the largest ``order_col`` (ties by ``key_col``) — the
+    per-domain quota every crawl-scale pipeline applies so one
+    over-represented site cannot dominate the training mixture
+    (C4/RefinedWeb-style source capping).  Unlike
+    :func:`sample_per_group` (uniform by hash) the quota is
+    QUALITY-ORDERED: capping keeps each domain's best rows.
+
+    Returns the kept rows with ``quota_rank`` (1..k within the group,
+    in the quota order).
+
+    Scale shape: a bare per-group window funnels a mega-domain (at
+    100 TB a single host can contribute billions of pages) through one
+    task; this runs the top-k TWO-PHASE — rank within
+    (group, hash-salt) partitions and keep k, then rank the surviving
+    ``<= salt_buckets * k`` rows per group.  Phase 1 bounds any
+    partition at 1/salt_buckets of the hottest domain; phase 2's
+    window never sees more than salt_buckets*k rows per group.  Every
+    true top-k row survives phase 1 (it is within the top k of its own
+    salt bucket), so the two-phase result is identical to the naive
+    window's."""
+    order = [F.desc(order_col), F.col(key_col)]
+    w_local = Window.partitionBy(
+        group_col, hash_bucket(F.col(key_col), "quota", salt_buckets)
+    ).orderBy(*order)
+    survivors = (
+        df.withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= k)
+    )
+
+
 def global_shuffle_order(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -105,7 +105,15 @@ for _m in _MODULES:
 # q_table_stats likewise promote (VERDICT r5 #5) so the
 # release-report and ANALYZE families gain driver-witnessed rows —
 # both are one-pass/one-GROUPING-SETS plans, cheap at sf0.01.
+#   q_domain_quota   - per-source quality-ordered capping (new r6,
+#                      kept mirror-only so the frozen round-6 driver
+#                      window is undisturbed; promote in a later
+#                      rotation): the rank-and-filter window shape
+#                      holds driver slots via q_window_functions and
+#                      q_sample_per_group; the two-phase salted top-k
+#                      plan is pinned by test_sampling
 LOCAL_ONLY = [
+    "q_domain_quota",
     "q_hash_embeddings",
     "q_cohort_retention",
     "q_conversion_funnel",

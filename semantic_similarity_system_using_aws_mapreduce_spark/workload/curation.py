@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+    domain_quota,
     dsir_select,
     global_shuffle_order,
     hash_bucket,
@@ -28,6 +29,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling imp
 # languages at higher rates (per-mille of each stratum).
 MIX_RATES = {"en": 400, "de": 800, "es": 800, "fr": 800, "zh": 800}
 SAMPLE_K = 20
+QUOTA_K = 10
 SHARD_BUDGET = 2048
 MIN_TOKENS = 24
 MIN_TTR = 0.35
@@ -56,6 +58,16 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number inside each stratum)."""
     out = sample_per_group(_docs(spark, sf_dir), SAMPLE_K, "lang", "doc_id")
     return out.select("doc_id", "lang", "sample_rank")
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (operators/sampling.domain_quota):
+    keep each source's {QUOTA_K} largest documents — quality-ordered
+    capping so one over-represented crawl host cannot dominate the
+    mixture.  Two-phase salted top-k; identical rows to the naive
+    per-source window."""
+    out = domain_quota(_docs(spark, sf_dir), QUOTA_K, "source", "doc_id", "n_chars")
+    return out.select("doc_id", "source", "n_chars", "quota_rank")
 
 
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,6 +299,7 @@ QUERIES = {
     "q_quality_gate": q_quality_gate,
     "q_stratified_sample": q_stratified_sample,
     "q_sample_per_group": q_sample_per_group,
+    "q_domain_quota": q_domain_quota,
     "q_token_shards": q_token_shards,
     "q_curation_funnel": q_curation_funnel,
     "q_source_mixture": q_source_mixture,
@@ -438,6 +451,16 @@ ORACLES = {
             FROM documents)
         SELECT doc_id, lang, sample_rank FROM ranked
         WHERE sample_rank <= {SAMPLE_K}
+    """,
+    "q_domain_quota": f"""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS quota_rank
+            FROM documents)
+        SELECT doc_id, source, n_chars, quota_rank FROM ranked
+        WHERE quota_rank <= {QUOTA_K}
     """,
     "q_token_shards": f"""
         WITH d AS (SELECT doc_id, lang AS stratum,

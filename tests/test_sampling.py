@@ -334,3 +334,40 @@ def test_dsir_select_empty_target_still_computes_real_ratios(spark):
     # smoothed target prior vs real raw counts: weights must be real
     # negatives (target assigns every bucket the uniform floor), not 0
     assert all(r.log_weight < 0 for r in out)
+
+
+def test_domain_quota_two_phase_equals_naive_window(spark):
+    """domain_quota's salted two-phase top-k must return EXACTLY the
+    naive per-group window's rows — on a skewed frame where one group
+    holds 90% of rows (the mega-domain the two-phase exists for) and
+    ties in the order column force the doc_id tie-break."""
+    from pyspark.sql import Window
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import domain_quota
+
+    rows = [(i, "hot", (i * 7) % 13) for i in range(180)] + [
+        (1000 + i, f"cold{i % 4}", i % 5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = sorted(
+        map(tuple, domain_quota(df, 6, "source", "doc_id", "n_chars").select(
+            "doc_id", "source", "n_chars", "quota_rank"
+        ).collect())
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    want = sorted(
+        map(tuple, df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= 6)
+        .select("doc_id", "source", "n_chars", "quota_rank")
+        .collect())
+    )
+    assert got == want
+    # the quota keeps each group's LARGEST rows: every kept hot row's
+    # n_chars must be >= every dropped hot row's
+    kept_hot = [t for t in got if t[1] == "hot"]
+    assert len(kept_hot) == 6
+    dropped_max = max(
+        t[2] for t in map(tuple, df.collect())
+        if t[1] == "hot" and t[0] not in {k[0] for k in kept_hot}
+    )
+    assert min(t[2] for t in kept_hot) >= dropped_max - 0  # ties allowed
