@@ -45,7 +45,7 @@ import io
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -206,6 +206,79 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL — the key URL-level dedup runs on
+    BEFORE any content pass (two fetches of one page under cosmetic
+    URL variants are the cheapest duplicates to kill, and crawls are
+    full of them).  Pure column expressions, map-side:
+
+      * scheme and host lowercased; a leading ``www.`` and the
+        default ports ``:80``/``:443`` dropped;
+      * the fragment dropped (never reaches the server);
+      * tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+        ``msclkid``, ``ref``) removed, remaining query params SORTED
+        (param order is transport noise);
+      * a trailing ``/`` on a non-root path dropped.
+
+    Non-URLs (parse_url can't find a scheme/host) pass through
+    trimmed — garbage in the target-URI field must not throw, same
+    drop-and-count discipline as the record parser."""
+    u = F.trim(url)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    # AUTHORITY, not HOST: HOST silently drops ANY port, which would
+    # conflate :8080 with the default — strip only userinfo and the
+    # default :80/:443
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.try_parse_url(u, F.lit("AUTHORITY"))), r"^[^@/]*@", ""
+            ),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path_fixed = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"),
+            )
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path_fixed,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    # parse_url returns NULL for unparseable/relative inputs — pass
+    # those through trimmed rather than nulling the row
+    return F.when(scheme.isNotNull() & host.isNotNull(), rebuilt).otherwise(u)
+
+
+def url_dedup(docs: DataFrame, url_col: str = "target_uri", id_col: str = "doc_id") -> DataFrame:
+    """(canon_url, keep_doc_id, n_copies): URL-level exact dedup —
+    survivor = min id per canonical URL (the exact_dedup shape keyed
+    by :func:`canonical_url` instead of a content digest).  One
+    combiner-friendly groupBy; at 100 TB this is the first, cheapest
+    dedup pass, upstream of every content-based one."""
+    return (
+        docs.groupBy(canonical_url(F.col(url_col)).alias("canon_url"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
 def wet_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Project WET ``conversion`` records onto the engine's documents
     shape: (doc_id, text, lang, source, n_chars) with doc_id the
@@ -218,7 +291,7 @@ def wet_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         "record_id"
     ).isNotNull()
     text = F.decode(F.col("payload"), "UTF-8")
-    host = F.parse_url(F.col("target_uri"), F.lit("HOST"))
+    host = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
     docs = records.filter(ok).select(
         F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
         .cast("long")
@@ -270,7 +343,7 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import html_to_text
 
     bodies = response_bodies(records)
-    host = F.parse_url(F.col("target_uri"), F.lit("HOST"))
+    host = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
     text = html_to_text(F.col("body"))
     shaped = bodies.select(
         F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)

@@ -8,6 +8,7 @@ import gzip
 import hashlib
 
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import (
+    WARC_SCHEMA,
     parse_warc_records,
     read_warc,
     response_bodies,
@@ -268,3 +269,72 @@ def test_parser_survives_random_corruption():
                     (not t[8]) and t[1] == f"<urn:uuid:t{trial}r{i}>" for t in out
                 ), f"trial {trial}: clean record {i} lost"
             offset += len(r)
+
+
+def test_canonical_url_normalization(spark):
+    """Cosmetic URL variants collapse; meaningful differences don't."""
+    import pyspark.sql.functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("http://www.Example.COM/a/", "http://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://user:pw@example.com/a", "http://example.com/a"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+        (
+            "http://example.com/a?utm_source=x&q=1&fbclid=z&gclid=7&ref=hn",
+            "http://example.com/a?q=1",
+        ),
+        ("http://example.com/a?utm_source=x", "http://example.com/a"),
+        ("http://example.com/", "http://example.com/"),  # root slash kept
+        ("  http://example.com/a  ", "http://example.com/a"),
+        ("not a url at all", "not a url at all"),  # passthrough
+        ("http://example.com/a?refresh=1", "http://example.com/a?refresh=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    for (u, want), c in zip(cases, got):
+        assert c == want, (u, c, want)
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import url_dedup
+
+    rows = [
+        (1, "http://www.a.com/x/"),
+        (2, "http://a.com/x"),
+        (3, "http://a.com/x?utm_campaign=spring"),
+        (4, "http://a.com/y"),
+        (5, "HTTP is not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    got = {r.canon_url: (r.keep_doc_id, r.n_copies) for r in url_dedup(df).collect()}
+    assert got["http://a.com/x"] == (1, 3)
+    assert got["http://a.com/y"] == (4, 1)
+    assert got["HTTP is not a url"] == (5, 1)
+    assert len(got) == 3
+
+
+def test_wet_documents_tolerates_garbage_target_uri(spark):
+    """Regression: parse_url (Spark 4) THROWS on an invalid URL, so one
+    garbage WARC-Target-URI killed the whole projection — try_parse_url
+    nulls it and the host falls back to 'unknown'."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import wet_documents
+
+    rows = [
+        ("f", "<urn:uuid:1>", "conversion", "http://ok.com/a", None, None,
+         b"hello world", 11, False),
+        ("f", "<urn:uuid:2>", "conversion", "::not a uri::", None, None,
+         b"second doc", 10, False),
+    ]
+    records = spark.createDataFrame(rows, WARC_SCHEMA)
+    docs, rejects = wet_documents(records)
+    got = {r.text: r.source for r in docs.collect()}
+    assert got == {"hello world": "ok.com", "second doc": "unknown"}
