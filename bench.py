@@ -214,6 +214,40 @@ def _pipeline_only() -> None:
             "min": min(runs),
             "median": round(statistics.median(runs), 3),
         }
+    # The end-to-end curation funnel gets the same fresh-JVM treatment:
+    # measured in-session it ran LAST, after ~50 queries, and read the
+    # session's age, not the funnel (8.2 s there vs ~6 s from a quiet
+    # JVM on identical code — the exact r5 pipeline-config artifact).
+    try:
+        import shutil
+        import tempfile
+
+        from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.count()  # footer cache + scan codegen outside the window
+        # unmeasured warmup at reduced size: the funnel's first run in a
+        # cold JVM pays committer init + Arrow worker spawn + codegen
+        # for ~15 distinct stages — none of which is the funnel
+        d = tempfile.mkdtemp(prefix="bench_curation_warm_")
+        curate(spark, docs.limit(5_000), d, shards=True)
+        shutil.rmtree(d, ignore_errors=True)
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            d = tempfile.mkdtemp(prefix="bench_curation_")
+            t0 = time.perf_counter()
+            curate(spark, docs, d, shards=True)
+            runs.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(d, ignore_errors=True)
+        out["curation_funnel_docs"] = {
+            "min": min(runs),
+            "median": round(statistics.median(runs), 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        out["curation_funnel_docs"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
     print(json.dumps(out))
 
 
@@ -349,32 +383,24 @@ def main() -> None:
         pipeline_median[key] = r["median"]
         print(f"  {key}: {r['min']:.3f}s (median {r['median']:.3f}s)", file=sys.stderr)
 
+    # End-to-end curation funnel (run_curation CLI semantics: gate ->
+    # exact + near dedup -> leakage-safe split -> shard write) —
+    # measured in the SAME fresh subprocess as the pipeline configs
+    # (in-session it ran last and read the session's age).  Reported in
+    # `pipeline`, not `value`.
+    r = results.get("curation_funnel_docs")
+    if r and "error" not in r:
+        extra["curation_funnel_docs"] = r["min"]
+        pipeline_median["curation_funnel_docs"] = r["median"]
+        print(
+            f"  curation_funnel_docs: {r['min']:.3f}s (median {r['median']:.3f}s)",
+            file=sys.stderr,
+        )
+    elif r:
+        errors["curation_funnel_docs"] = r["error"]
+        print(f"  curation_funnel_docs: ERROR {r['error']}", file=sys.stderr)
+
     _run_queries([(n, extra_queries) for n in EXTRA])
-
-    # End-to-end curation funnel (run_curation CLI semantics) over the
-    # sf documents table: gate -> exact + near dedup -> leakage-safe
-    # split -> shard write.  Reported in `pipeline` (not `value`) so
-    # the headline stays round-over-round comparable.
-    try:
-        import shutil
-        import tempfile
-
-        from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        runs = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            d = tempfile.mkdtemp(prefix="bench_curation_")
-            t0 = time.perf_counter()
-            curate(spark, docs, d, shards=True)
-            runs.append(round(time.perf_counter() - t0, 3))
-            shutil.rmtree(d, ignore_errors=True)
-        extra["curation_funnel_docs"] = min(runs)
-        print(f"  curation_funnel_docs: {min(runs):.3f}s", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001
-        errors["curation_funnel_docs"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     out = {
