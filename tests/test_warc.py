@@ -338,3 +338,29 @@ def test_wet_documents_tolerates_garbage_target_uri(spark):
     docs, rejects = wet_documents(records)
     got = {r.text: r.source for r in docs.collect()}
     assert got == {"hello world": "ok.com", "second doc": "unknown"}
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): re-canonicalizing an
+    already-canonical URL must be a no-op (stored canonical keys can be
+    re-fed through the pipeline without drifting)."""
+    import pyspark.sql.functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import canonical_url
+
+    urls = [
+        "http://www.Example.COM/a/b/?z=1&utm_source=x&a=2#f",
+        "https://User:pw@Site.org:443/Path/",
+        "http://example.com:8080/a?b=2&a=1",
+        "ftp://Files.example.com/pub/",
+        "not a url at all",
+        "http://example.com/?utm_source=o",
+        "http://example.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, (r.c1, r.c2)
