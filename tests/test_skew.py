@@ -116,3 +116,37 @@ def test_j1_join_skew_aqe_vs_salted_agree_and_both_hold(spark):
     # both must complete in sane wall-clock on local[32]; no relative
     # assert (shared-host noise) — the printed note is the record
     assert plain_s < 120 and salted_s < 120
+
+
+def test_paragraph_dedup_hot_template_key(spark):
+    """paragraph_dedup's docstring claims a boilerplate segment shared
+    by EVERY document is safe: its stats side is a single row, so the
+    join back is AQE-splittable and the groupBy collapses map-side.
+    Drill it: 200k docs all opening with one 5-token template header
+    (one seg_hash carrying 50% of all segment occurrences) plus one
+    unique segment each."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    n = 200_000
+    header = "terms of service apply here"  # 5 tokens -> exactly 1 segment
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{k}x"), F.col("id").cast("string")) for k in range(5)]
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(header + " "), uniq).alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = paragraph_dedup(docs, 5, 4)
+    agg = out.agg(
+        F.sum("n_boiler").alias("b"),
+        F.sum("n_kept").alias("k"),
+        F.sum("n_dup").alias("d"),
+        F.count("*").alias("n"),
+    ).first()
+    dt = time.perf_counter() - t0
+    spark.catalog.clearCache()  # release the operator's caller-owned persist
+    # the template segment is boiler in EVERY doc (including the first
+    # occurrence); each doc keeps exactly its unique segment
+    assert (agg.b, agg.k, agg.d, agg.n) == (n, n, 0, n)
+    print(f"paragraph_dedup hot-template {n} docs: {dt:.2f}s")
