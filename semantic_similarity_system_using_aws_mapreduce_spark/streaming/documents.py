@@ -250,25 +250,61 @@ def build_bucketed_sig_index(
     Returns None (instead of raising) when the index is missing or
     empty-so-far — a compact_every=1 stream whose first batches were
     all rejected must skip the rebuild, not wedge on an exception."""
-    import os
-    import shutil
-
-    from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
-
     sigs = read_parquet_recovering(spark, index_path)
     if sigs is None:
         # nothing ingested yet (or everything forgotten): nothing to
         # index — callers skip; raising here would wedge a stream
         # whose first batches were all rejected
         return None
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    buckets = signature_buckets(sigs, n_bands, rows_per_band)
+    return _versioned_bucket_rebuild(
+        spark,
+        index_path + "_bucketmeta",
+        table,
+        buckets,
+        key_cols,
+        n_buckets,
+        covered_batch,
+        # n_buckets AND the banding ride the meta so a FRESH SESSION
+        # (empty in-memory catalog) can re-register the surviving
+        # warehouse directory with the right bucket spec and key
+        # columns — see _reregister_bucket_table (ADVICE r5: a
+        # hardcoded 4x2 DDL would silently mis-register a deployment
+        # built with a different rows_per_band)
+        meta_extra=(("n_bands", n_bands), ("rows_per_band", rows_per_band)),
+    )
+
+
+def _versioned_bucket_rebuild(
+    spark: SparkSession,
+    meta_path: str,
+    table: str,
+    rows: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+    covered_batch: int | None,
+    meta_extra: tuple = (),
+) -> DataFrame:
+    """The shared manifest-pointer rebuild protocol behind every
+    bucketed probe table (signature buckets, segment index): write the
+    rows as a FRESH versioned bucketed table, atomically swap the
+    one-row meta at ``meta_path`` to name it, GC superseded versions.
+    ``meta_extra`` appends (name, int) columns to the meta row for
+    table-specific re-registration parameters (the sig table's
+    banding).  ``covered_batch=None`` is the plain unversioned write
+    (test/one-shot mode)."""
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.bucketing import write_bucketed
+
     # Spark stores catalog/warehouse names lowercased — fold here so
     # attempt enumeration and GC below can never miss a mixed-case
     # caller's own tables
     table = table.lower()
-    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
-    buckets = signature_buckets(sigs, n_bands, rows_per_band)
     if covered_batch is None:
-        write_bucketed(buckets, table, key_cols, n_buckets=n_buckets)
+        write_bucketed(rows, table, key_cols, n_buckets=n_buckets)
         return spark.table(table)
     # The version name is unique PER REBUILD ATTEMPT, not just per
     # batch: a crash-replay of the compacting batch re-enters here
@@ -295,20 +331,16 @@ def build_bucketed_sig_index(
         int(d[len(prefix):]) for d in _attempt_dirs() if d[len(prefix):].isdigit()
     ]
     version = f"{prefix}{max(prior) + 1 if prior else 0}"
-    write_bucketed(buckets, version, key_cols, n_buckets=n_buckets)
+    write_bucketed(rows, version, key_cols, n_buckets=n_buckets)
+    names = "covered_batch long, table_version string, n_buckets long" + "".join(
+        f", {n} long" for n, _ in meta_extra
+    )
     atomic_replace(
         spark.createDataFrame(
-            # n_buckets AND the banding ride the meta so a FRESH
-            # SESSION (empty in-memory catalog) can re-register the
-            # surviving warehouse directory with the right bucket spec
-            # and key columns — see _reregister_bucket_table (ADVICE
-            # r5: a hardcoded 4x2 DDL would silently mis-register a
-            # deployment built with a different rows_per_band)
-            [(covered_batch, version, n_buckets, n_bands, rows_per_band)],
-            "covered_batch long, table_version string, n_buckets long, "
-            "n_bands long, rows_per_band long",
+            [(covered_batch, version, n_buckets, *[v for _, v in meta_extra])],
+            names,
         ),
-        index_path + "_bucketmeta",
+        meta_path,
     )
     # GC superseded versions: catalog entries AND their (durable)
     # warehouse directories — including orphans from attempts that
@@ -344,6 +376,23 @@ def _reregister_bucket_table(
     deployment built with a different rows_per_band — the meta now
     carries n_bands/rows_per_band, and this derives the key columns
     from it)."""
+    key_ddl = ", ".join(f"k{r} BIGINT" for r in range(rows_per_band))
+    return _reregister_external_bucket_table(
+        spark,
+        version,
+        n_buckets,
+        f"doc_id BIGINT, band INT, {key_ddl}",
+        ["band"] + [f"k{r}" for r in range(rows_per_band)],
+    )
+
+
+def _reregister_external_bucket_table(
+    spark: SparkSession,
+    version: str,
+    n_buckets: int,
+    cols_ddl: str,
+    key_cols: list[str],
+) -> bool:
     import os
 
     if spark.catalog.tableExists(version):
@@ -352,12 +401,10 @@ def _reregister_bucket_table(
     loc = os.path.join(warehouse, version)
     if not os.path.isdir(loc):
         return False
-    key_cols = ", ".join(["band"] + [f"k{r}" for r in range(rows_per_band)])
-    key_ddl = ", ".join(f"k{r} BIGINT" for r in range(rows_per_band))
     spark.sql(
         f"CREATE TABLE {version} "
-        f"(doc_id BIGINT, band INT, {key_ddl}) "
-        f"USING parquet CLUSTERED BY ({key_cols}) INTO {n_buckets} BUCKETS "
+        f"({cols_ddl}) "
+        f"USING parquet CLUSTERED BY ({', '.join(key_cols)}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{loc}'"
     )
     return True
