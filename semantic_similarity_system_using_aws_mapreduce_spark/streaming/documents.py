@@ -595,10 +595,40 @@ def run_streaming_curation(
                     # index: a re-delivered batch's own winners are
                     # already indexed — exclude by doc attribution so
                     # the recomputation (and a compaction-folded row)
-                    # cannot shadow itself into all-dup
-                    seg_index = seg_index.join(
-                        F.broadcast(kept_ids), "doc_id", "left_anti"
-                    )
+                    # cannot shadow itself into all-dup.  The
+                    # broadcast anti-join is map-side, so applying it
+                    # to the bucketed table below preserves the
+                    # bucketing the exchange-free probe rests on.
+                    own = F.broadcast(kept_ids)
+                    seg_index = seg_index.join(own, "doc_id", "left_anti")
+                    if bucket_index_table:
+                        from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+                            reregister_seg_bucket_table,
+                        )
+
+                        smeta = read_parquet_recovering(
+                            spark,
+                            corpus_path + SEGINDEX_SUFFIX + "_bucketmeta",
+                        )
+                        if smeta is not None and "table_version" in smeta.columns:
+                            srow = smeta.first()
+                            if reregister_seg_bucket_table(
+                                spark,
+                                srow["table_version"],
+                                int(srow["n_buckets"]),
+                            ):
+                                # bucketed base + since-rebuild parquet
+                                # tail, the sig probe's split: a
+                                # pre-union would discard the table's
+                                # bucketing
+                                base = spark.table(
+                                    srow["table_version"]
+                                ).join(own, "doc_id", "left_anti")
+                                tail = seg_index.filter(
+                                    F.col("ingest_batch")
+                                    > srow["covered_batch"]
+                                )
+                                seg_index = [base, tail]
                 clean, seg_delta, seg_cache = paragraph_delta(
                     admitted, seg_index
                 )
@@ -649,9 +679,22 @@ def run_streaming_curation(
                     compact_retrieval(spark, corpus_path, keep_batch=batch_id)
                 if paragraphs:
                     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+                        SEG_TABLE_SUFFIX,
                         SEGINDEX_SUFFIX,
+                        build_bucketed_seg_index,
                     )
 
+                    if bucket_index_table:
+                        # rebuild BEFORE the fold, same crash
+                        # reasoning as the sig table: a crash between
+                        # the two leaves the meta stale-but-safe
+                        build_bucketed_seg_index(
+                            spark,
+                            corpus_path + SEGINDEX_SUFFIX,
+                            bucket_index_table + SEG_TABLE_SUFFIX,
+                            n_buckets=n_index_buckets,
+                            covered_batch=batch_id,
+                        )
                     # fold the segment index like the signature index
                     # (rows unique per seg_hash; the key-dedup is the
                     # replay-residue guard).  The _clean table is
@@ -823,24 +866,42 @@ def forget_documents(
             "n_after": 0 if after is None else after.count(),
         }
     if bucket_index_table:
-        import os as _os
-        import shutil as _shutil
-
-        base = bucket_index_table.lower()  # catalog names are lowercased
-        spark.sql(f"DROP TABLE IF EXISTS {base}")
-        for t in spark.catalog.listTables():
-            if t.name.startswith(f"{base}__v"):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        # orphan warehouse dirs from attempts that never reached the
-        # (non-durable) catalog still name the forgotten docs — sweep
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-            "file:"
-        )
-        if _os.path.isdir(warehouse):
-            for d in _os.listdir(warehouse):
-                if d == base or d.startswith(f"{base}__v"):
-                    _shutil.rmtree(
-                        _os.path.join(warehouse, d), ignore_errors=True
-                    )
-        _shutil.rmtree(index_path + "_bucketmeta", ignore_errors=True)
+        _sweep_bucket_table(spark, bucket_index_table, index_path + "_bucketmeta")
+    # the derived SEGMENT bucket table (incremental paragraph dedup)
+    # attributes content-derived hashes to doc_ids too — same RTBF
+    # obligation, swept via its own meta (its name derives from the
+    # sig table's, but a meta-named version is authoritative even if
+    # the caller's flag disagrees with the deployment that wrote it)
+    seg_meta_path = corpus_path + "_segindex_bucketmeta"
+    seg_meta = read_parquet_recovering(spark, seg_meta_path)
+    if seg_meta is not None and "table_version" in seg_meta.columns:
+        srow = seg_meta.first()
+        if srow is not None and srow["table_version"]:
+            _sweep_bucket_table(
+                spark, srow["table_version"].split("__v")[0], seg_meta_path
+            )
+    elif bucket_index_table:
+        _sweep_bucket_table(spark, bucket_index_table + "_seg", seg_meta_path)
     return out
+
+
+def _sweep_bucket_table(spark: SparkSession, base: str, meta_path: str) -> None:
+    """DROP a derived bucket table — live name, every version, orphan
+    warehouse attempt directories — and its manifest meta.  Shared by
+    forget_documents for the signature and segment probe tables."""
+    import os as _os
+    import shutil as _shutil
+
+    base = base.lower()  # catalog names are lowercased
+    spark.sql(f"DROP TABLE IF EXISTS {base}")
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"{base}__v"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # orphan warehouse dirs from attempts that never reached the
+    # (non-durable) catalog still name the forgotten docs — sweep
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if _os.path.isdir(warehouse):
+        for d in _os.listdir(warehouse):
+            if d == base or d.startswith(f"{base}__v"):
+                _shutil.rmtree(_os.path.join(warehouse, d), ignore_errors=True)
+    _shutil.rmtree(meta_path, ignore_errors=True)

@@ -1571,3 +1571,149 @@ def test_streaming_paragraph_segindex_compaction(spark, tmp_path):
     # batch 3 quotes batch 0 ACROSS the compaction fold: still cut
     assert got[13].n_dup == 2 and quote not in got[13].kept_text
     assert got[10].n_dup == 0 and quote in got[10].kept_text
+
+
+def test_paragraph_delta_bucketed_probe_has_fewer_exchanges(spark, tmp_path):
+    """The seg bucket table is the 100 TB probe shape: paragraph_delta
+    probing [bucketed table] must return the identical clean/delta
+    rows as the plain parquet probe, with the index side's probe-join
+    Exchange elided (Bucketed: true scan, fewer hashpartitioning
+    exchanges)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+        build_bucketed_seg_index,
+        paragraph_delta,
+    )
+
+    quote = " ".join(f"z{i}" for i in range(10))
+    seeded = spark.createDataFrame(
+        [(i, _long_text(f"s{i}") + " " + quote) for i in range(10)], DOC_SCHEMA
+    )
+    # first batch builds the index rows the second batch probes
+    _, delta0, cache0 = paragraph_delta(seeded, None)
+    segindex_path = str(tmp_path / "seg_index_pq")
+    delta0.write.parquet(segindex_path)
+    cache0.unpersist()
+    # bucket count == shuffle partitions: the seen-join's OTHER side
+    # arrives already hash-partitioned at shuffle.partitions (from the
+    # winners join), so the table's exchange elides only when the
+    # counts co-partition — size buckets to the cluster's shuffle
+    # parallelism (at 100 TB both are chosen together anyway)
+    build_bucketed_seg_index(spark, segindex_path, "segbkt_t", n_buckets=8)
+
+    batch = spark.createDataFrame(
+        [(100, _long_text("new") + " " + quote)], DOC_SCHEMA
+    )
+    plain_rel = spark.read.parquet(segindex_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clean_b, delta_b, cache_b = paragraph_delta(
+            batch, [spark.table("segbkt_t")]
+        )
+        clean_p, delta_p, cache_p = paragraph_delta(batch, plain_rel)
+        try:
+            rows_b = sorted(map(tuple, clean_b.collect()))
+            rows_p = sorted(map(tuple, clean_p.collect()))
+            assert rows_b == rows_p
+            assert rows_b[0][3] == 2  # both quoted segments cut (n_dup)
+            assert sorted(map(tuple, delta_b.collect())) == sorted(
+                map(tuple, delta_p.collect())
+            )
+            plan_b = clean_b._jdf.queryExecution().executedPlan().toString()
+            plan_p = clean_p._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan_b, plan_b
+            assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
+                "Exchange hashpartitioning"
+            ), plan_b
+        finally:
+            cache_b.unpersist()
+            cache_p.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS segbkt_t")
+
+
+def test_streaming_paragraphs_bucketed_probe_matches_plain(spark, tmp_path):
+    """paragraphs=True + bucket_index_table: the seg bucket table is a
+    pure physical cache — the streamed clean faces must equal the
+    plain run's, with cross-batch cuts landing via BOTH probe halves
+    (the bucketed base for a compaction-covered hash, the parquet tail
+    for a post-rebuild one); RTBF sweeps the seg table and its meta,
+    and a resubmission after the sweep is re-admitted."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
+        CLEAN_SUFFIX,
+        SEGINDEX_SUFFIX,
+    )
+
+    quote = " ".join(f"p{i}" for i in range(10))  # 2 segs, planted batch 0
+    tailq = "c0 c1 c2 c3 c4"  # doc 21's seg 0 — enters the index AFTER the rebuild
+    batches = [
+        ("b0", [(1, _long_text("a") + " " + quote)]),
+        ("b1", [(11, _long_text("b") + " " + quote)]),  # parquet-probe cut
+        # compact_every=2 -> rebuild after b1: seg table covers <= 1
+        ("b2", [(21, _long_text("c"))]),
+        ("b3", [(31, _long_text("d") + " " + quote + " " + tailq)]),
+    ]
+    paths = {}
+    for which, bkt in (("bkt", "pbkt_t"), ("plain", None)):
+        src = tmp_path / f"{which}_par_in"
+        src.mkdir()
+        for name, rows in batches:
+            _drop_batch_file(spark, tmp_path, src, name, rows)
+        corpus = str(tmp_path / f"{which}_par_corpus")
+        index = str(tmp_path / f"{which}_par_index")
+        run_streaming_curation(
+            spark, str(src), corpus, index,
+            compact_every=2, paragraphs=True,
+            **({"bucket_index_table": bkt, "n_index_buckets": 4} if bkt else {}),
+        )
+        paths[which] = (src, corpus, index)
+
+    def clean_rows(corpus):
+        return {
+            r.doc_id: tuple(r)
+            for r in spark.read.parquet(corpus + CLEAN_SUFFIX).collect()
+        }
+
+    got_b = clean_rows(paths["bkt"][1])
+    got_p = clean_rows(paths["plain"][1])
+    assert got_b == got_p
+    # doc 31: quote (2 segs, bucketed base) + tailq (1 seg, parquet
+    # tail) all cut
+    row31 = {r.doc_id: r for r in spark.read.parquet(paths["bkt"][1] + CLEAN_SUFFIX).collect()}[31]
+    assert row31.n_dup == 3 and quote not in row31.kept_text
+    # the seg meta names a live version covering the final compaction
+    smeta = spark.read.parquet(paths["bkt"][1] + SEGINDEX_SUFFIX + "_bucketmeta").collect()
+    assert [r.covered_batch for r in smeta] == [3]
+    assert smeta[0].table_version.startswith("pbkt_t_seg__v3_a")
+    assert spark.catalog.tableExists(smeta[0].table_version)
+
+    # RTBF sweeps the seg bucket table + meta; resubmission re-admits
+    src_b, corpus_b, index_b = paths["bkt"]
+    forget_documents(spark, corpus_b, index_b, [1], bucket_index_table="pbkt_t")
+    assert not any(
+        t.name.startswith("pbkt_t_seg") for t in spark.catalog.listTables()
+    )
+    assert not os.path.isdir(corpus_b + SEGINDEX_SUFFIX + "_bucketmeta")
+    _drop_batch_file(
+        spark, tmp_path, src_b, "b4", [(41, _long_text("a") + " " + quote)]
+    )
+    run_streaming_curation(
+        spark, str(src_b), corpus_b, index_b,
+        compact_every=2, paragraphs=True,
+        bucket_index_table="pbkt_t", n_index_buckets=4,
+    )
+    try:
+        got = clean_rows(corpus_b)
+        assert 41 in got
+        row41 = {r.doc_id: r for r in spark.read.parquet(corpus_b + CLEAN_SUFFIX).collect()}[41]
+        assert quote in row41.kept_text  # erased attribution -> new winner
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("pbkt_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
