@@ -1605,6 +1605,12 @@ def test_paragraph_delta_bucketed_probe_has_fewer_exchanges(spark, tmp_path):
     )
     plain_rel = spark.read.parquet(segindex_path)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # pin the runtime partitioning the elision claim is about: AQE's
+    # coalescing re-sizes the winners-join output by observed bytes
+    # (suite-order dependent via cache pressure), and a coalesced left
+    # side no longer co-partitions with the 8-bucket table
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         clean_b, delta_b, cache_b = paragraph_delta(
             batch, [spark.table("segbkt_t")]
@@ -1629,6 +1635,8 @@ def test_paragraph_delta_bucketed_probe_has_fewer_exchanges(spark, tmp_path):
             cache_p.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS segbkt_t")
 
 
