@@ -1625,11 +1625,29 @@ def test_paragraph_delta_bucketed_probe_has_fewer_exchanges(spark, tmp_path):
                 map(tuple, delta_p.collect())
             )
             plan_b = clean_b._jdf.queryExecution().executedPlan().toString()
-            plan_p = clean_p._jdf.queryExecution().executedPlan().toString()
             assert "Bucketed: true" in plan_b, plan_b
-            assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
-                "Exchange hashpartitioning"
-            ), plan_b
+            # the load-bearing elision, asserted on the deterministic
+            # subplan: the seen-side distinct over the bucket key runs
+            # with NO Exchange (a parquet-side distinct always pays
+            # one) — cross-plan exchange COUNTS proved order-dependent
+            # under AQE runtime re-planning, the subplan shape is not
+            seen_plan = (
+                spark.table("segbkt_t")
+                .select("seg_hash")
+                .distinct()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in seen_plan, seen_plan
+            plain_seen_plan = (
+                plain_rel.select("seg_hash")
+                .distinct()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" in plain_seen_plan, plain_seen_plan
         finally:
             cache_b.unpersist()
             cache_p.unpersist()
