@@ -565,7 +565,10 @@ def paragraph_dedup(
     packed int64 key doc_id * 2^20 + seg_idx silently wrapped for
     doc_id >= 2^43 — the md5-derived 60-bit ids the WARC ingest mints
     — picking an arbitrary-but-wrong "first"; the struct form has no
-    range precondition.)
+    range precondition.  Cost of the fix: struct isn't a mutable
+    hash-buffer type, so the min plans as a SortAggregate — a map-side
+    per-partition sort the packed key avoided; correctness over a
+    constant factor, and the shuffle volume is unchanged.)
 
     Plan shape: segmentation is map-side (sequence -> slice ->
     array_join -> posexplode, zero exchanges — the q_doc_chunks
