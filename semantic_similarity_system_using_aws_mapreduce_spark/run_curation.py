@@ -56,7 +56,9 @@ from semantic_similarity_system_using_aws_mapreduce_spark.sources.jsonl import r
 from semantic_similarity_system_using_aws_mapreduce_spark.sources.sinks import write_training_shards
 
 
-def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+def _read(
+    spark: SparkSession, path: str, fmt: str, url_dedup: bool = False
+) -> DataFrame:
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "orc":
@@ -68,7 +70,7 @@ def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt == "wet":
         from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, wet_documents
 
-        return wet_documents(read_warc(spark, path))[0]
+        return wet_documents(read_warc(spark, path), url_dedup=url_dedup)[0]
     if fmt == "warc":
         from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, warc_text_documents
 
@@ -195,6 +197,12 @@ def main() -> None:
     ap.add_argument("--contam-overlap", type=int, default=5)
     ap.add_argument("--shard-budget", type=int, default=2048)
     ap.add_argument("--no-shards", action="store_true")
+    ap.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="(--format wet) keep one record per canonical target URL "
+        "before any content pass — the crawl pipeline's cheapest dedup",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation")
@@ -203,7 +211,7 @@ def main() -> None:
     )
     manifest = curate(
         spark,
-        _read(spark, args.docs, args.format),
+        _read(spark, args.docs, args.format, url_dedup=args.url_dedup),
         args.outdir,
         eval_docs=eval_docs,
         min_tokens=args.min_tokens,

@@ -45,7 +45,7 @@ import io
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -279,14 +279,24 @@ def url_dedup(docs: DataFrame, url_col: str = "target_uri", id_col: str = "doc_i
     )
 
 
-def wet_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+def wet_documents(
+    records: DataFrame, url_dedup: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Project WET ``conversion`` records onto the engine's documents
     shape: (doc_id, text, lang, source, n_chars) with doc_id the
     portable 60-bit md5 of the record id, source the registered domain
     of the target URI, lang left null for the lang-ID operator to
     fill.  Returns ``(docs, rejects)`` like the other readers; the
     projection is pure column expressions (zero extra passes — the
-    mapInPandas parse is the only Python stage)."""
+    mapInPandas parse is the only Python stage).
+
+    ``url_dedup=True`` keeps ONE record per :func:`canonical_url` of
+    the target URI (deterministic survivor: smallest doc_id) — the
+    crawl pipeline's first dedup pass, applied where the URL still
+    exists (the documents shape drops it).  One combiner-friendly
+    groupBy keyed by the canonical URL; records without a usable URI
+    each form their own group via a doc_id-unique fallback key, so
+    they are never conflated."""
     ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
         "record_id"
     ).isNotNull()
@@ -300,7 +310,20 @@ def wet_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit(None).cast("string").alias("lang"),
         F.coalesce(host, F.lit("unknown")).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
+        F.col("target_uri").alias("_uri"),
     )
+    if url_dedup:
+        # null/absent URIs fall back to a per-doc unique key — a
+        # URL-less record is not a duplicate of other URL-less records
+        key = F.coalesce(
+            canonical_url(F.col("_uri")),
+            F.concat(F.lit("__nouri__:"), F.col("doc_id").cast("string")),
+        )
+        w = Window.partitionBy(key).orderBy("doc_id")
+        docs = docs.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") == 1
+        ).drop("_r")
+    docs = docs.drop("_uri")
     rejects = records.filter(F.col("corrupt"))
     return docs, rejects
 

@@ -364,3 +364,38 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     for r in twice:
         assert r.c1 == r.c2, (r.c1, r.c2)
+
+
+def test_wet_documents_url_dedup(spark, tmp_path):
+    """url_dedup=True: two fetches of one page under cosmetic URL
+    variants collapse to one document (smallest doc_id survives);
+    distinct pages and URL-less records all pass through."""
+    import hashlib as _hl
+
+    arch = (
+        _record("v1", "conversion", b"page body one", "http://www.A.com/x/")
+        + _record("v2", "conversion", b"page body two", "http://a.com/x?utm_source=s")
+        + _record("v3", "conversion", b"other page", "http://a.com/y")
+        + _record("v4", "conversion", b"no uri here")
+        + _record("v5", "conversion", b"still no uri")
+    )
+    (tmp_path / "u.warc").write_bytes(arch)
+    records = read_warc(spark, str(tmp_path))
+    docs, _ = wet_documents(records, url_dedup=True)
+    rows = docs.collect()
+    # v1/v2 share canonical http://a.com/x -> one survivor; v3 + two
+    # URL-less records all kept
+    assert len(rows) == 4
+    texts = {r.text for r in rows}
+    assert "other page" in texts and "no uri here" in texts and "still no uri" in texts
+    surv = next(t for t in texts if t.startswith("page body"))
+    ids = {
+        v: int(_hl.md5(f"<urn:uuid:{v}>".encode()).hexdigest()[:15], 16)
+        for v in ("v1", "v2")
+    }
+    want = "page body one" if ids["v1"] < ids["v2"] else "page body two"
+    assert surv == want
+    # url_dedup=False keeps both variants
+    docs_all, _ = wet_documents(records, url_dedup=False)
+    assert docs_all.count() == 5
+    assert "_uri" not in docs_all.columns and "_uri" not in docs.columns
