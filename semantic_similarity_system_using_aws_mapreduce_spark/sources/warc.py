@@ -45,7 +45,7 @@ import io
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -293,10 +293,13 @@ def wet_documents(
     ``url_dedup=True`` keeps ONE record per :func:`canonical_url` of
     the target URI (deterministic survivor: smallest doc_id) — the
     crawl pipeline's first dedup pass, applied where the URL still
-    exists (the documents shape drops it).  One combiner-friendly
-    groupBy keyed by the canonical URL; records without a usable URI
-    each form their own group via a doc_id-unique fallback key, so
-    they are never conflated."""
+    exists (the documents shape drops it).  One groupBy with a
+    min_by(whole-row, doc_id) aggregate: partial aggregation collapses
+    a crawler-trap URL's millions of copies MAP-SIDE to one row per
+    task (a window row_number would sort the hot key's entire copy
+    set in one partition).  Records without a usable URI each form
+    their own group via a doc_id-unique fallback key, so they are
+    never conflated."""
     ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
         "record_id"
     ).isNotNull()
@@ -319,11 +322,14 @@ def wet_documents(
             canonical_url(F.col("_uri")),
             F.concat(F.lit("__nouri__:"), F.col("doc_id").cast("string")),
         )
-        w = Window.partitionBy(key).orderBy("doc_id")
-        docs = docs.withColumn("_r", F.row_number().over(w)).filter(
-            F.col("_r") == 1
-        ).drop("_r")
-    docs = docs.drop("_uri")
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        docs = (
+            docs.groupBy(key.alias("_k"))
+            .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("_s"))
+            .select("_s.*")
+        )
+    else:
+        docs = docs.drop("_uri")
     rejects = records.filter(F.col("corrupt"))
     return docs, rejects
 
