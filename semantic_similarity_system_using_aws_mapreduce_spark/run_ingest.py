@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     p_aso.add_argument("--batch", type=int, required=True)
     p_aso.add_argument("--out", required=True)
 
+    p_vac = sub.add_parser(
+        "vacuum",
+        help="heal interrupted swaps and GC orphan bucket-table versions",
+    )
+    p_vac.add_argument("outdir")
+    p_vac.add_argument("--bucket-table", default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "ingest" and args.bucket_table and not args.compact_every:
         ap.error("--bucket-table requires --compact-every (its rebuild cadence)")
@@ -185,6 +192,20 @@ def main(argv: list[str] | None = None) -> int:
             bucket_index_table=args.bucket_table,
         )
         print(json.dumps(report))
+        return 0
+    if args.cmd == "vacuum":
+        from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import vacuum_tables
+
+        print(
+            json.dumps(
+                vacuum_tables(
+                    spark,
+                    corpus_path,
+                    index_path,
+                    bucket_index_table=args.bucket_table,
+                )
+            )
+        )
         return 0
     if args.cmd == "asof":
         from pyspark.sql import Observation

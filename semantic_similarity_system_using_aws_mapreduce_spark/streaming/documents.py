@@ -905,3 +905,79 @@ def _sweep_bucket_table(spark: SparkSession, base: str, meta_path: str) -> None:
             if d == base or d.startswith(f"{base}__v"):
                 _shutil.rmtree(_os.path.join(warehouse, d), ignore_errors=True)
     _shutil.rmtree(meta_path, ignore_errors=True)
+
+
+def vacuum_tables(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    bucket_index_table: str | None = None,
+) -> dict:
+    """Housekeeping for an ingest deployment: heal any interrupted
+    atomic swap on every engine-managed table under the prefix
+    (sources/atomic.recover — roll forward/back, idempotent) and GC
+    bucket-table versions and warehouse attempt directories the
+    manifests no longer name.  The streaming loop performs the same GC
+    inline at each rebuild; vacuum covers the windows BETWEEN rebuilds
+    (a crash right after a version write but before its GC, an
+    operator who stopped ingesting).  Live versions are never touched:
+    a version is collectable only if the meta exists and names a
+    DIFFERENT version — with no readable meta nothing is dropped,
+    because the next rebuild's own GC owns that state."""
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import recover
+
+    tables = [
+        corpus_path,
+        index_path,
+        index_path + "_bucketmeta",
+        *(
+            corpus_path + sfx
+            for sfx in (
+                "_postings",
+                "_doclens",
+                "_segindex",
+                "_clean",
+                "_stats",
+                "_segindex_bucketmeta",
+            )
+        ),
+    ]
+    healed = []
+    for path in tables:
+        recover(path)
+        healed.append(path)
+
+    dropped: list[str] = []
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    metas = [
+        (index_path + "_bucketmeta", bucket_index_table),
+        (
+            corpus_path + "_segindex_bucketmeta",
+            (bucket_index_table + "_seg") if bucket_index_table else None,
+        ),
+    ]
+    for meta_path, flag_base in metas:
+        meta = read_parquet_recovering(spark, meta_path)
+        live = None
+        base = flag_base
+        if meta is not None and "table_version" in meta.columns:
+            row = meta.first()
+            if row is not None and row["table_version"]:
+                live = row["table_version"]
+                base = live.split("__v")[0]
+        if not base or live is None:
+            continue  # no named live version -> nothing is provably orphaned
+        base = base.lower()
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"{base}__v") and t.name != live:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                dropped.append(t.name)
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                if d.startswith(f"{base}__v") and d != live:
+                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+                    dropped.append(d)
+    return {"healed": healed, "dropped": sorted(set(dropped))}

@@ -1743,3 +1743,52 @@ def test_streaming_paragraphs_bucketed_probe_matches_plain(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("pbkt_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_vacuum_heals_swaps_and_gcs_orphan_versions(spark, tmp_path):
+    """vacuum_tables: a stale .__tmp__ from an interrupted swap is
+    healed, orphan bucket-table versions (catalog entries AND
+    warehouse dirs) the meta does not name are dropped, and the live
+    version survives untouched."""
+    import os
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        run_streaming_curation,
+        vacuum_tables,
+    )
+
+    src = tmp_path / "vac_in"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+    _drop_batch_file(spark, tmp_path, src, "b1", [(2, _long_text("b"))])
+    corpus = str(tmp_path / "vac_corpus")
+    index = str(tmp_path / "vac_index")
+    try:
+        run_streaming_curation(
+            spark, str(src), corpus, index,
+            compact_every=2, bucket_index_table="vac_t", n_index_buckets=4,
+        )
+        live = spark.read.parquet(index + "_bucketmeta").first().table_version
+        assert spark.catalog.tableExists(live)
+        # plant an orphan version (a rebuild attempt whose GC never
+        # ran) and a stale interrupted-swap temp
+        orphan = "vac_t__v1_a99"
+        spark.range(3).selectExpr("id AS doc_id").write.saveAsTable(orphan)
+        os.makedirs(index + ".__tmp__", exist_ok=True)
+
+        rep = vacuum_tables(spark, corpus, index, bucket_index_table="vac_t")
+        assert orphan in rep["dropped"]
+        assert not spark.catalog.tableExists(orphan)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        assert not os.path.isdir(os.path.join(warehouse, orphan))
+        assert not os.path.isdir(index + ".__tmp__")
+        # the live version and the data tables are untouched
+        assert spark.catalog.tableExists(live)
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+        # idempotent
+        rep2 = vacuum_tables(spark, corpus, index, bucket_index_table="vac_t")
+        assert rep2["dropped"] == []
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("vac_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
