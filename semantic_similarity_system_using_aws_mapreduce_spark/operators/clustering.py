@@ -167,6 +167,7 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jegou et al. 2011): split each
     d-dim vector into ``m`` subvectors and store only the id of the
@@ -204,9 +205,13 @@ def pq_encode(
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
     sub = d // m
-    cents = seed_centroids(emb, k, id_col, vec_col).agg(
-        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
-    )
+    if cents is None:
+        # callers that also need the codebook (the ADC search's query
+        # tables) pass the one-row cents relation in so the seed top-k
+        # subplan runs once, not once per consumer
+        cents = seed_centroids(emb, k, id_col, vec_col).agg(
+            F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
+        )
     vec = F.col(vec_col)
     out_cols = [F.col(id_col).alias("vec_id")]
     errs = []
@@ -281,10 +286,13 @@ def pq_adc_topk(
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
     sub = d // m
 
-    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    # ONE cents relation feeds both the code side (via pq_encode) and
+    # the query tables: byte-identical broadcast subplans, so Catalyst's
+    # ReuseExchange materializes the seed top-k once per query
     cents = seed_centroids(emb, k, id_col, vec_col).agg(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
+    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=cents)
 
     def _qtab(j: int):
         # k-long array of 6-dp distances query-subvector -> codebook
@@ -355,9 +363,12 @@ def ivfpq_topk(
     lists = assign_clusters(emb, coarse, id_col, vec_col).select(
         "vec_id", F.col("cluster").alias("list_id")
     )
-    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col).join(
-        lists, "vec_id"
+    pcents = seed_centroids(emb, k, id_col, vec_col).agg(
+        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
+    codes = pq_encode(
+        emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=pcents
+    ).join(lists, "vec_id")
 
     # per-query probed lists: nprobe nearest coarse centroids,
     # map-side over the broadcast centroid row (same argmin fold,
@@ -386,10 +397,6 @@ def ivfpq_topk(
             ).alias("probes"),
         )
         .select("q_id", "qvec", F.explode("probes.list_id").alias("list_id"))
-    )
-
-    pcents = seed_centroids(emb, k, id_col, vec_col).agg(
-        F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
 
     def _qtab(j: int):
