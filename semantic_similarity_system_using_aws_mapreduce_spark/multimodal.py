@@ -3,15 +3,16 @@ typed metadata, processed via Arrow-batched pandas operators.
 
 The Spark-side plumbing (schemas, batch iterator shape, partition
 behavior) is real and tested.  The real-decode path is GENUINE for the
-uncompressed formats a stdlib+numpy environment can parse — 24-bit BMP
-images (struct header + pixel-array math), PCM WAV audio (stdlib
-``wave``), and YUV4MPEG2 (y4m) video (header parse + frame walk) —
-and library-gated for compressed formats: PNG/JPEG need PIL, FLAC/OGG
-need soundfile, MP4 needs av, none of which ship in this container, so
-those rows raise NotImplementedError loudly (the probe + skip-marked
-test light the seam up the moment the libraries appear).  Swapping in
-PIL/ffmpeg changes only the inner per-format branch, not the Spark
-plan.
+formats a stdlib+numpy environment can parse — 24-bit BMP images
+(struct header + pixel-array math), 8-bit PNG images (REAL compressed
+decode: chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
+unfilters), PCM WAV audio (stdlib ``wave``), and YUV4MPEG2 (y4m) video
+(header parse + frame walk) — and library-gated for the remaining
+compressed formats: JPEG needs PIL, FLAC/OGG need soundfile, MP4 needs
+av, none of which ship in this container, so those rows raise
+NotImplementedError loudly (the probe + skip-marked test light the
+seam up the moment the libraries appear).  Swapping in PIL/ffmpeg
+changes only the inner per-format branch, not the Spark plan.
 
 Design for 100 TB: binary payloads ride the DataFrame as parquet binary
 columns (or references to object-store keys for >100 MB blobs);
@@ -69,7 +70,9 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
                 i,
                 kind,
                 data,
-                {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+                # jpeg/mp4 are library-gated (fake bytes must route to
+                # the loud NotImplementedError, not a stdlib decoder)
+                {"image": "jpeg", "audio": "wav", "video": "mp4"}[kind],
                 64 if kind != "audio" else None,
                 48 if kind != "audio" else None,
                 1000 if kind != "image" else None,
@@ -80,7 +83,7 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 
 # Formats the real decoder parses with stdlib + numpy alone — no
 # external codec library involved.
-STDLIB_FORMATS = {"bmp", "wav", "y4m"}
+STDLIB_FORMATS = {"bmp", "png", "wav", "y4m"}
 
 
 def make_bmp(width: int, height: int, rgb_fn) -> bytes:
@@ -104,6 +107,63 @@ def make_bmp(width: int, height: int, rgb_fn) -> bytes:
         row += b"\x00" * (row_size - 3 * width)
         rows.append(bytes(row))
     return header + dib + b"".join(rows)
+
+
+def make_png(width: int, height: int, rgb_fn, row_filters=None) -> bytes:
+    """A GENUINE 8-bit RGB PNG via stdlib ``zlib`` — real DEFLATE
+    stream, real CRCs.  ``row_filters`` picks the PNG scanline filter
+    per row (default cycles 0..4), so a decoder must implement every
+    unfilter path, not just the trivial one."""
+    import struct
+    import zlib
+
+    ch = 3
+    stride = width * ch
+    filters = row_filters or [0, 1, 2, 3, 4]
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        cur = bytearray()
+        for x in range(width):
+            r, g, b = rgb_fn(x, y)
+            cur += bytes((r & 255, g & 255, b & 255))
+        f = filters[y % len(filters)]
+        enc = bytearray(stride)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 255
+        raw += bytes([f]) + bytes(enc)
+        prev = bytes(cur)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(samples, rate: int = 8000, channels: int = 1) -> bytes:
@@ -161,6 +221,87 @@ def _decode_bmp(data: bytes) -> tuple[int, int]:
     return int(luma.sum()), int(width * hh)
 
 
+def _decode_png(data: bytes) -> tuple[int, int]:
+    """(luma checksum, pixel count) of an 8-bit non-interlaced
+    grey/grey+alpha/RGB/RGBA PNG — a REAL compressed-image decode with
+    nothing but stdlib zlib + numpy: chunk walk, DEFLATE inflate, and
+    all five scanline unfilters (None/Sub/Up/Average/Paeth).  Same
+    integer ITU-R 601 luma as :func:`_decode_bmp`, so one image
+    encoded both ways checksums identically (tested).  Palette,
+    16-bit, and interlaced PNGs raise NotImplementedError (rare in
+    crawl data; PIL takes over when present)."""
+    import struct
+    import zlib
+
+    data = bytes(data)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ct, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ct not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced grey/RGB(A) PNG "
+            f"(depth={depth}, color={ct}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = line.copy()
+        elif f == 2:
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):
+            # left-dependent filters are inherently sequential within
+            # the scanline; rows stay numpy, the walk is per-byte
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:  # Paeth
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                    )
+                cur[x] = (int(line[x]) + pred) & 255
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ct in (0, 4):
+        luma = px[:, :, 0]
+    else:
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return int(luma.sum()), int(w * h)
+
+
 def _decode_wav(data: bytes) -> tuple[int, int]:
     """(sum of |samples|, sample count) of a PCM16 WAV."""
     import io
@@ -208,8 +349,13 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            data = make_bmp(16, 10, lambda x, y, i=i: (x * 7 + i, y * 11, (x + y) * 3))
-            rows.append((i, kind, data, "bmp", 16, 10, None))
+            fn = lambda x, y, i=i: (x * 7 + i, y * 11, (x + y) * 3)  # noqa: E731
+            # alternate the uncompressed and the compressed image
+            # format so one table exercises both real decoders
+            if (i // 3) % 2 == 0:
+                rows.append((i, kind, make_bmp(16, 10, fn), "bmp", 16, 10, None))
+            else:
+                rows.append((i, kind, make_png(16, 10, fn), "png", 16, 10, None))
         elif kind == "audio":
             samples = [((j * 37 + i * 101) % 2048) - 1024 for j in range(400)]
             rows.append((i, kind, make_wav(samples), "wav", None, None, 50))
@@ -245,6 +391,8 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
         fmt = (fmt or "").lower()
         if fmt == "bmp":
             checksum, count = _decode_bmp(data)
+        elif fmt == "png":
+            checksum, count = _decode_png(data)
         elif fmt == "wav":
             checksum, count = _decode_wav(data)
         elif fmt == "y4m":

@@ -41,9 +41,9 @@ def test_decode_real_raises_on_undecodable_format(spark, media):
     """A format neither the stdlib decoders nor any importable library
     can handle fails loudly (NotImplementedError from the executor),
     never silently."""
-    png_only = media.filter("format = 'png'")
+    jpeg_only = media.filter("format = 'jpeg'")
     with pytest.raises(Exception, match="no codec available"):
-        decode_media(png_only, decoder="real").collect()
+        decode_media(jpeg_only, decoder="real").collect()
 
 
 def test_decode_real_stdlib_formats(spark):
@@ -145,3 +145,76 @@ def test_frame_sampling_fanout(spark, media):
     for f in frames:
         by_media.setdefault(f.media_id, []).append(f.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+
+
+def test_png_decode_is_real_and_filter_invariant(spark):
+    """The stdlib PNG decoder REALLY decompresses and unfilters: the
+    same pixels encoded with all five scanline filters and with
+    filter-0-only must decode to identical checksums, equal to the
+    same image's BMP decode (shared ITU-601 integer luma)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    fn = lambda x, y: ((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 29) % 256)  # noqa: E731
+    w, h = 13, 9  # odd sizes: exercises non-aligned strides
+    all_filters = make_png(w, h, fn)  # cycles 0..4
+    plain = make_png(w, h, fn, row_filters=[0])
+    paeth_only = make_png(w, h, fn, row_filters=[4])
+    assert all_filters != plain  # genuinely different byte streams
+    want = _decode_bmp(make_bmp(w, h, fn))
+    assert _decode_png(all_filters) == want
+    assert _decode_png(plain) == want
+    assert _decode_png(paeth_only) == want
+    # compression is real: a constant image DEFLATEs far below raw size
+    flat = make_png(64, 64, lambda x, y: (7, 7, 7))
+    assert len(flat) < 64 * 64 * 3 // 10
+    assert _decode_png(flat)[0] == 64 * 64 * 7  # luma(7,7,7) = 7
+
+    # end-to-end through the mapInPandas plan
+    rows = [(0, "image", all_filters, "png", w, h, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(media, decoder="real").collect()[0]
+    assert (got.checksum, got.pixels_or_samples) == want
+
+
+def test_png_decode_grey_and_unsupported(spark):
+    """Greyscale (color type 0) decodes — luma IS the grey value; a
+    16-bit IHDR is rejected loudly, not mis-parsed."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_png
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", zlib.crc32(typ + body)
+        )
+
+    # hand-built 3x2 grey PNG, filter 0 rows: values 1..6
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00\x01\x02\x03" + b"\x00\x04\x05\x06"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(png) == (21, 6)
+    # 16-bit depth: rejected
+    ihdr16 = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(png16)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"BM not a png")
