@@ -88,6 +88,7 @@ def curate(
     contam_overlap: int = 5,
     shard_budget: int = 2048,
     shards: bool = True,
+    domain_quota_k: int | None = None,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
 
@@ -132,6 +133,34 @@ def curate(
     else:
         staged = staged.withColumn("_contaminated", F.lit(False))
 
+    # optional per-domain frequency capping, applied LAST (to the
+    # otherwise-kept set): each source keeps its domain_quota_k
+    # largest surviving documents (operators/sampling.domain_quota's
+    # two-phase salted top-k), ordered by the token count stage 1
+    # already computed — schema-independent, no reliance on n_chars
+    if domain_quota_k:
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import domain_quota
+
+        if "source" not in docs.columns:
+            raise ValueError("--domain-quota needs a 'source' column")
+        pre_kept = (
+            quality_ok
+            & (F.col("_exact_rank") == 1)
+            & near_ok
+            & ~F.col("_contaminated")
+        )
+        winners = domain_quota(
+            staged.filter(pre_kept).select("doc_id", "source", "_n_toks"),
+            domain_quota_k,
+            "source",
+            "doc_id",
+            "_n_toks",
+        ).select("doc_id", F.lit(True).alias("_in_quota"))
+        staged = staged.join(winners, "doc_id", "left")
+        over_quota = pre_kept & F.col("_in_quota").isNull()
+    else:
+        over_quota = F.lit(False)
+
     # leakage-safe split: the ONE shared rule (operators/sampling.
     # cluster_split) applied to the dedup-cluster representative —
     # byte-identical to q_leakage_safe_split's assignment
@@ -142,6 +171,7 @@ def curate(
             .when(F.col("_exact_rank") != 1, "exact_dup")
             .when(~near_ok, "near_dup")
             .when(F.col("_contaminated"), "contaminated")
+            .when(over_quota, "over_quota")
             .otherwise("kept"),
         )
         .withColumn("split", cluster_split(F.col("_group")))
@@ -198,6 +228,13 @@ def main() -> None:
     ap.add_argument("--shard-budget", type=int, default=2048)
     ap.add_argument("--no-shards", action="store_true")
     ap.add_argument(
+        "--domain-quota",
+        type=int,
+        default=None,
+        help="keep at most K surviving docs per source (quality-ordered "
+        "frequency capping; the over-quota rows land in rejects)",
+    )
+    ap.add_argument(
         "--url-dedup",
         action="store_true",
         help="(--format wet) keep one record per canonical target URL "
@@ -219,6 +256,7 @@ def main() -> None:
         contam_overlap=args.contam_overlap,
         shard_budget=args.shard_budget,
         shards=not args.no_shards,
+        domain_quota_k=args.domain_quota,
     )
     print(json.dumps(manifest, default=str))
 

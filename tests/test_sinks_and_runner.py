@@ -347,3 +347,40 @@ def test_run_ingest_cli_search(spark, tmp_path, capsys):
     assert main(["search", outdir2, "--query", "x0"]) == 1
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in err
+
+
+def test_curation_domain_quota_stage(spark, tmp_path):
+    """--domain-quota: the otherwise-kept set is capped per source,
+    keeping each source's LONGEST documents; over-quota rows land in
+    rejects with their own funnel stage, and every input row is still
+    accounted for exactly once."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    def text(seed, n):
+        return " ".join(f"{seed}{i}" for i in range(n))
+
+    rows = (
+        # hot source: 6 unique docs of increasing length (30..55 toks)
+        [(i, text(f"h{i}_", 30 + 5 * i), "hot.com") for i in range(6)]
+        + [(100, text("c_", 30), "cold.com")]
+        + [(200, "too short", "hot.com")]  # quality drop, not quota's
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = str(tmp_path / "quota_out")
+    manifest = curate(
+        spark, docs, out, shards=False, domain_quota_k=2,
+    )
+    funnel = manifest["funnel"]
+    assert manifest["n_input"] == len(rows) == sum(funnel.values())
+    assert funnel["quality"] == 1
+    assert funnel["over_quota"] == 4  # hot.com: 6 survivors -> keep 2
+    assert funnel["kept"] == 3  # hot x2 + cold x1
+    kept = spark.read.parquet(f"{out}/curated.parquet")
+    by_src = {r.source: sorted(x.doc_id for x in kept.filter(kept.source == r.source).collect())
+              for r in kept.select("source").distinct().collect()}
+    # quality-ordered: the two LONGEST hot docs (ids 4, 5) survive
+    assert by_src["hot.com"] == [4, 5]
+    assert by_src["cold.com"] == [100]
+    rej = spark.read.parquet(f"{out}/rejects.parquet")
+    stages = {r.drop_stage for r in rej.collect()}
+    assert "over_quota" in stages
