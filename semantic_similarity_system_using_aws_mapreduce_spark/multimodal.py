@@ -83,7 +83,7 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 
 # Formats the real decoder parses with stdlib + numpy alone — no
 # external codec library involved.
-STDLIB_FORMATS = {"bmp", "png", "wav", "y4m"}
+STDLIB_FORMATS = {"bmp", "png", "gif", "wav", "y4m"}
 
 
 def make_bmp(width: int, height: int, rgb_fn) -> bytes:
@@ -163,6 +163,95 @@ def make_png(width: int, height: int, rgb_fn, row_filters=None) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
+    )
+
+
+def _lzw_encode(indices, min_code: int) -> bytes:
+    """GIF-flavor LZW (variable code width, LSB-first packing, clear
+    at table overflow) — the encode half that makes :func:`_decode_gif`
+    differentially testable without any codec library."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, cs = reset()
+    codes = [(clear, cs)]
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], cs))
+        table[cand] = next_code
+        next_code += 1
+        # the DECODER's table lags one entry (no add on the first code
+        # after clear), so it reaches 2^cs — its growth point — one
+        # emission later than this table does: grow at 2^cs + 1
+        if next_code == (1 << cs) + 1 and cs < 12:
+            cs += 1
+        elif next_code == 4096:
+            codes.append((clear, cs))
+            table, next_code, cs = reset()
+        buf = (int(sym),)
+    if buf:
+        codes.append((table[buf], cs))
+    codes.append((end, cs))
+    bitbuf = nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 255)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bitbuf & 255)
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, rgb_fn) -> bytes:
+    """A GENUINE GIF89a (global color table + real LZW-compressed
+    pixel indices) — stdlib-only.  ``rgb_fn`` may use at most 256
+    distinct colors (GIF is palettized)."""
+    import struct
+
+    palette: dict[tuple, int] = {}
+    indices = []
+    for y in range(height):
+        for x in range(width):
+            r, g, b = rgb_fn(x, y)
+            c = (r & 255, g & 255, b & 255)
+            if c not in palette:
+                if len(palette) == 256:
+                    raise ValueError("GIF needs <= 256 distinct colors")
+                palette[c] = len(palette)
+            indices.append(palette[c])
+    n = 1
+    while (1 << n) < max(len(palette), 2):
+        n += 1
+    min_code = max(2, n)
+    gct = bytearray()
+    for c in palette:
+        gct += bytes(c)
+    gct += b"\x00" * (3 * (1 << n) - len(gct))
+    lzw = _lzw_encode(indices, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | (n - 1), 0, 0)
+        + bytes(gct)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
     )
 
 
@@ -302,6 +391,119 @@ def _decode_png(data: bytes) -> tuple[int, int]:
     return int(luma.sum()), int(w * h)
 
 
+def _lzw_decode(stream: bytes, min_code: int) -> list[int]:
+    """GIF LZW decode: variable code width (min+1 .. 12 bits,
+    LSB-first), clear/end control codes, the KwKwK next-code case."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    cs = min_code + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    bitpos, total = 0, len(stream) * 8
+    while True:
+        if bitpos + cs > total:
+            break
+        byte, shift = divmod(bitpos, 8)
+        code = (
+            int.from_bytes(stream[byte : byte + 3], "little") >> shift
+        ) & ((1 << cs) - 1)
+        bitpos += cs
+        if code == end:
+            break
+        if code == clear:
+            cs = min_code + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if next_code == (1 << cs) and cs < 12:
+            cs += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _decode_gif(data: bytes) -> tuple[int, int]:
+    """(luma checksum, pixel count) of a non-interlaced GIF87a/89a —
+    a second REAL compressed-image decode with stdlib + numpy only:
+    block walk, full LZW decompression (variable code width, clear
+    codes, KwKwK), palette lookup.  Same integer ITU-R 601 luma as
+    the BMP/PNG decoders, so one image encoded all three ways
+    checksums identically (tested).  Multi-image GIFs sum over every
+    frame; interlaced images raise NotImplementedError."""
+    import struct
+
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    luma_sum = 0
+    pixels = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+        iw, ih = struct.unpack_from("<HH", data, pos + 5)
+        ipacked = data[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 7) + 1)
+            table = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(stream), min_code)
+        if len(indices) < iw * ih:
+            raise ValueError("truncated GIF image data")
+        idx = np.asarray(indices[: iw * ih], dtype=np.int64)
+        pal = np.frombuffer(table, np.uint8).reshape(-1, 3).astype(np.int64)
+        px = pal[idx]
+        luma_sum += int(
+            ((299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000).sum()
+        )
+        pixels += iw * ih
+    return luma_sum, pixels
+
+
 def _decode_wav(data: bytes) -> tuple[int, int]:
     """(sum of |samples|, sample count) of a PCM16 WAV."""
     import io
@@ -393,6 +595,8 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
             checksum, count = _decode_bmp(data)
         elif fmt == "png":
             checksum, count = _decode_png(data)
+        elif fmt == "gif":
+            checksum, count = _decode_gif(data)
         elif fmt == "wav":
             checksum, count = _decode_wav(data)
         elif fmt == "y4m":

@@ -220,3 +220,40 @@ def test_png_decode_grey_and_unsupported(spark):
         _decode_png(png16)
     with _pytest.raises(ValueError, match="not a PNG"):
         _decode_png(b"BM not a png")
+
+
+def test_gif_decode_matches_bmp_and_survives_dictionary_overflow(spark):
+    """The stdlib GIF decoder really LZW-decompresses: cross-format
+    checksum equality with BMP on structured images, on run-length
+    images (the KwKwK next-code case), and on a high-entropy 60k-pixel
+    image whose dictionary overflows 4096 entries (mid-stream clear
+    codes); garbage and interlaced payloads fail loudly."""
+    import pytest as _pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        make_bmp,
+        make_gif,
+    )
+
+    fn = lambda x, y: ((x * 13 + y * 7) % 8 * 30, (x * 5) % 6 * 40, (y * 3) % 5 * 50)  # noqa: E731
+    runs = lambda x, y: ((x // 7) % 2 * 255, 0, 0)  # noqa: E731  KwKwK stress
+    pal = [((i * 37) % 256, (i * 91) % 256, (i * 53) % 256) for i in range(241)]
+    noisy = lambda x, y: pal[(x * x + 3 * y + x * y) % 241]  # noqa: E731
+    for w, h, f in ((13, 9, fn), (1, 1, fn), (50, 20, runs), (300, 200, noisy)):
+        assert _decode_gif(make_gif(w, h, f)) == _decode_bmp(make_bmp(w, h, f))
+    with _pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"BM nope")
+    inter = bytearray(make_gif(4, 4, fn))
+    # image descriptor packed byte: set the interlace flag
+    idx = inter.index(0x2C)
+    inter[idx + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_gif(bytes(inter))
+    # end-to-end through the mapInPandas plan
+    rows = [(0, "image", make_gif(13, 9, fn), "gif", 13, 9, None)]
+    got = decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), decoder="real"
+    ).collect()[0]
+    assert (got.checksum, got.pixels_or_samples) == _decode_bmp(make_bmp(13, 9, fn))
