@@ -504,12 +504,154 @@ def _decode_gif(data: bytes) -> tuple[int, int]:
     return luma_sum, pixels
 
 
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM state transition (shared by encode and decode, so
+    the encoder's predictor tracks the decoder's exactly)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return predictor, index
+
+
+def make_adpcm_wav(samples, rate: int = 8000) -> bytes:
+    """A GENUINE mono IMA-ADPCM WAV (format tag 0x0011, one data
+    block): 4 bits per sample vs PCM16's 16 — real compressed audio
+    with no codec library.  Block layout per the IMA spec: a 4-byte
+    header (first sample verbatim + step index) then nibble pairs for
+    the remaining samples."""
+    import struct
+
+    s = [int(x) for x in samples]
+    if not s:
+        raise ValueError("need at least one sample")
+    predictor, index = s[0], 0
+    nibbles = []
+    for x in s[1:]:
+        step = _IMA_STEPS[index]
+        delta = x - predictor
+        n = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        predictor, index = _ima_step(predictor, index, n)
+        nibbles.append(n)
+    payload = bytearray(struct.pack("<hBB", s[0], 0, 0))
+    for i in range(0, len(nibbles), 2):
+        lo = nibbles[i]
+        hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+        payload.append(lo | (hi << 4))
+    block_align = len(payload)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011,  # WAVE_FORMAT_IMA_ADPCM
+        1,  # mono
+        rate,
+        rate * block_align // max(len(s), 1),
+        block_align,
+        4,  # bits per sample
+        2,  # cbSize
+        len(s),  # samples per block
+    )
+    data = bytes(payload)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(s))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _decode_adpcm_wav(data: bytes) -> tuple[int, int]:
+    """(sum of |samples|, sample count) of a mono IMA-ADPCM WAV — a
+    REAL compressed-audio decode with stdlib struct only: RIFF chunk
+    walk, per-block header, 4-bit nibble expansion through the shared
+    IMA state machine."""
+    import struct
+
+    data = bytes(data)
+    pos, end = 12, len(data)
+    fmt = None
+    frames = None
+    blocks = b""
+    while pos + 8 <= end:
+        cid, ln = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if len(body) >= 20:
+                frames = struct.unpack_from("<H", body, 18)[0]
+        elif cid == b"data":
+            blocks = body
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    tag, channels, _rate, _bps, block_align, bits = fmt
+    if tag != 0x0011 or channels != 1 or bits != 4:
+        raise NotImplementedError(
+            f"only mono 4-bit IMA-ADPCM (tag=0x{tag:04x}, ch={channels})"
+        )
+    out = []
+    for b0 in range(0, len(blocks), block_align):
+        block = blocks[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        predictor, index = struct.unpack_from("<hB", block, 0)[0], block[2]
+        index = max(0, min(88, index))
+        vals = [predictor]
+        for byte in block[4:]:
+            for nib in (byte & 15, byte >> 4):
+                predictor, index = _ima_step(predictor, index, nib)
+                vals.append(predictor)
+        if frames:
+            vals = vals[:frames]
+        out.extend(vals)
+    s = np.asarray(out, dtype=np.int64)
+    return int(np.abs(s).sum()), int(s.size)
+
+
 def _decode_wav(data: bytes) -> tuple[int, int]:
-    """(sum of |samples|, sample count) of a PCM16 WAV."""
+    """(sum of |samples|, sample count) of a WAV: PCM16 via the stdlib
+    ``wave`` reader; IMA-ADPCM (format tag 0x0011, which ``wave``
+    rejects) via the engine's own block decoder."""
     import io
+    import struct
     import wave
 
-    with wave.open(io.BytesIO(bytes(data))) as w:
+    raw_bytes = bytes(data)
+    # sniff the fmt tag — wave.open throws an opaque error on non-PCM
+    if raw_bytes[:4] == b"RIFF" and b"fmt " in raw_bytes[:64]:
+        at = raw_bytes.index(b"fmt ") + 8
+        tag = struct.unpack_from("<H", raw_bytes, at)[0]
+        if tag == 0x0011:
+            return _decode_adpcm_wav(raw_bytes)
+    with wave.open(io.BytesIO(raw_bytes)) as w:
         if w.getsampwidth() != 2:
             raise NotImplementedError("only PCM16 WAV")
         raw = w.readframes(w.getnframes())
@@ -560,7 +702,11 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
                 rows.append((i, kind, make_png(16, 10, fn), "png", 16, 10, None))
         elif kind == "audio":
             samples = [((j * 37 + i * 101) % 2048) - 1024 for j in range(400)]
-            rows.append((i, kind, make_wav(samples), "wav", None, None, 50))
+            # alternate PCM16 and IMA-ADPCM payloads (both labeled
+            # "wav"; the decoder sniffs the fmt tag) so one table
+            # exercises the uncompressed AND the compressed audio path
+            enc = make_wav if (i // 3) % 2 == 0 else make_adpcm_wav
+            rows.append((i, kind, enc(samples), "wav", None, None, 50))
         else:
             data = make_y4m(8, 6, 3 + i % 4, lambda f, j, i=i: f * 31 + j + i)
             rows.append((i, kind, data, "y4m", 8, 6, 1000))
