@@ -158,6 +158,7 @@ EXTRA = [
     "q_domain_rank",
     "q_pq_codes",
     "q_pq_adc_search",
+    "q_domain_quota",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

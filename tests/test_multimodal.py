@@ -292,3 +292,47 @@ def test_adpcm_wav_decode_is_real(spark):
     got = {r.media_id: r for r in decode_media(media, decoder="real").collect()}
     assert got[0].pixels_or_samples == got[1].pixels_or_samples == 1001
     assert got[1].checksum == orig
+
+
+def test_image_decoders_cross_format_property():
+    """Hypothesis fuzz: ANY small image (random dims, random color
+    seed) must checksum identically through the BMP, PNG (all-filter),
+    and GIF (LZW) decoders — 3 independent codepaths, 1 answer."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _decode_png,
+        make_bmp,
+        make_gif,
+        make_png,
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        a=st.integers(0, 255),
+        b=st.integers(0, 255),
+        c=st.integers(1, 7),
+    )
+    def check(w, h, a, b, c):
+        fn = lambda x, y: (  # noqa: E731
+            (a + x * c) % 256,
+            (b + y * c) % 256,
+            (a ^ b ^ (x * y)) % 256,
+        )
+        want = _decode_bmp(make_bmp(w, h, fn))
+        assert _decode_png(make_png(w, h, fn)) == want
+        # GIF needs <= 256 distinct colors: quantize to 4 levels per
+        # channel (<= 64 combinations, safe for any dims/seed)
+        qfn = lambda x, y: tuple(v & 0xC0 for v in fn(x, y))  # noqa: E731
+        assert _decode_gif(make_gif(w, h, qfn)) == _decode_bmp(make_bmp(w, h, qfn))
+
+    check()
