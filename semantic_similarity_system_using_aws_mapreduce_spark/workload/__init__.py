@@ -105,15 +105,9 @@ for _m in _MODULES:
 # q_table_stats likewise promote (VERDICT r5 #5) so the
 # release-report and ANALYZE families gain driver-witnessed rows —
 # both are one-pass/one-GROUPING-SETS plans, cheap at sf0.01.
-#   q_domain_quota   - per-source quality-ordered capping (new r6,
-#                      kept mirror-only so the frozen round-6 driver
-#                      window is undisturbed; promote in a later
-#                      rotation): the rank-and-filter window shape
-#                      holds driver slots via q_window_functions and
-#                      q_sample_per_group; the two-phase salted top-k
-#                      plan is pinned by test_sampling
+# ROTATION (round 7): q_domain_quota promotes to _PRIORITY (VERDICT
+# r6 #3) — it was the only round-6 operator without a driver row.
 LOCAL_ONLY = [
-    "q_domain_quota",
     "q_hash_embeddings",
     "q_cohort_retention",
     "q_conversion_funnel",
@@ -137,188 +131,27 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 6),
-# executing the round-5 registry's own note and VERDICT r5 #1/#5: the
-# 21-query tail the r5 cap evicted (each fully green in
-# CORRECTNESS_r04, mirror-verified since) rotates back to the front,
-# plus the two LOCAL_ONLY promotions (q_data_card, q_table_stats —
-# never driver-verified).  The 21 round-5 _PRIORITY entries (all fully
-# green in CORRECTNESS_r05) demote to the new _LAST tail together
-# with two coverage-subsumed middle entries (q_cube_qty,
-# q_sketch_accuracy — both green r5), keeping the
-# every-export-green-within-two-rounds invariant.
+# order-sensitive cap can't starve them again.  ROTATION (round 7),
+# executing the round-6 registry's ROUND-7 NOTE and VERDICT r6 #1/#3:
+# the full 34-entry round-6 _LAST tail (every entry fully green in
+# CORRECTNESS_r05, mirror-verified since) rotates back into the
+# window — no round-8 staging needed, because 35 priority + 15 middle
+# = exactly the 50-row window — plus the q_domain_quota promotion
+# from LOCAL_ONLY (never driver-verified, so it leads).  The 33
+# round-6 _PRIORITY entries (all fully green in CORRECTNESS_r06)
+# demote to the new _LAST tail together with two coverage-subsumed
+# middle entries (q_tagged_union, q_json_props — both green r6),
+# keeping the every-export-green-within-two-rounds invariant:
+# r7-window ∪ r6-green covers all 85 exports.
 _PRIORITY = [
-    # evicted by the cap in r5 — rotate back in front (green r4):
-    "q_unpivot",
-    "q_user_event_pivot",
-    "q_array_agg",
-    "q_acctbal_share",
-    "q_distinct_counts",
-    "q05_local_supplier",
-    "q_date_buckets",
-    "q_string_funcs",
-    "q_full_outer_align",
-    "q_having_big_customers",
-    "q_range_frame",
-    "q_sequence_packing",
-    "q_semantic_dedup",
-    "q_duplicate_spans",
-    "q_training_order",
-    "q_span_scrub",
-    "q_source_mixture",
-    "q_event_sequences",
-    "q_dsir_select",
-    "q_bloom_dedup",
-    "q_leakage_safe_split",
-    # promoted from LOCAL_ONLY — never driver-verified:
-    "q_data_card",
-    "q_table_stats",
-    # new in round 6 — never driver-verified:
-    "q_blocked_cosine_pairs",
-    "q_hybrid_rrf",
-    "q_containment_dups",
-    "q_event_anomalies",
-    "q_edit_similarity_dups",
-    "q_source_overlap",
-    "q_kmeans_assign",
-    "q_domain_rank",
-    "q_pq_codes",
-    "q_pq_adc_search",
-]
-
-# Exported last: with 78 exported queries and a 50-row driver cap,
-# exactly these 28 fall off this round.  Every one is fully green in
-# CORRECTNESS_r05 (round 5's _PRIORITY plus q_cube_qty,
-# q_sketch_accuracy, q_cosine_pairs, q_embedding_parity_measures,
-# q_ann_ivf_recall, q_hourly_event_stats, and q_sessionization —
-# rows, schema, AND hash/flag), so the rotation keeps
-# every export driver-green within two consecutive rounds, AND each is
-# coverage-subsumed by queries that keep a slot:
-#   q_dedup_clusters      - connected components also the subplan of
-#                           the rotating-in q_leakage_safe_split and
-#                           q_semantic_dedup
-#   q_lang_id             - per-doc expression chain; the lang-ID
-#                           family rides q_doc_quality's sibling
-#                           map-side chains (q_lm_quality,
-#                           q_repetition_signals keep slots)
-#   q_regex_token_stats   - regex token surface rides q_pii_redaction
-#                           (keeps a slot) and rotating-in
-#                           q_string_funcs
-#   q_rolling_fingerprint - span-hash shape carried by the rotating-in
-#                           q_duplicate_spans and q_span_scrub
-#   q_doc_quality         - quality statistics ride q_lm_quality and
-#                           q_quality_gate (keep slots)
-#   q_asof_view_before_purchase - as-of family; temporal-order surface
-#                           rides the rotating-in q_event_sequences
-#                           and q_sessionization (keeps a slot)
-#   q_token_totals        - 1-row-agg broadcast compare carried by the
-#                           rotating-in q_acctbal_share
-#   q_doc_chunks          - chunking family's rotating-in slot is
-#                           q_sequence_packing
-#   q_minhash_signatures  - subplan of q_minhash_lsh_candidates
-#                           (keeps a slot)
-#   q01_pricing_summary   - grouped agg over lineitem; carried by the
-#                           rotating-in q05_local_supplier and
-#                           q03_shipping_priority (keeps a slot)
-#   q_window_functions    - window family rides the rotating-in
-#                           q_range_frame; q_hourly_event_stats keeps
-#   q_token_counts        - A1 sum-by-key also inside
-#                           q_token_source_assoc (keeps a slot)
-#   q_semi_join / q_anti_join - semi/anti shapes also inside
-#                           q_decontaminate (anti) and the rotating-in
-#                           q_bloom_dedup / q_leakage_safe_split
-#   q_pivot_status        - pivot surface carried by the rotating-in
-#                           q_user_event_pivot and q_unpivot
-#   q_exact_dedup         - md5-groupBy also the first stage of
-#                           q_curation_funnel (keeps a slot)
-#   q_label_centroids     - array agg carried by the rotating-in
-#                           q_array_agg
-#   q_above_nation_avg    - broadcast-compare carried by the
-#                           rotating-in q_acctbal_share
-#   q_exact_jaccard_join  - prefix-filter join; near-dup family keeps
-#                           q_minhash_lsh_candidates,
-#                           q_ngram_jaccard_dups, q_simhash_near_dups
-#   q_cms_heavy_hitters   - sketch family; the rotating-in
-#                           q_table_stats carries the sketch-audit
-#                           pattern this round
-#   q_bm25_search         - token-stream scoring; tf/idf shape rides
-#                           q_tfidf_top_terms (keeps a slot); green r5
-#   q_cube_qty            - CUBE grouping sets; the rotating-in
-#                           q_data_card carries GROUPING SETS
-#   q_sketch_accuracy     - the sketch-audit pattern's slot passes to
-#                           the rotating-in q_table_stats; also the
-#                           most expensive middle query at sf0.01
-#   q_cosine_pairs        - its oracle is VERBATIM the new
-#                           q_blocked_cosine_pairs' oracle (same rows,
-#                           scale plan), which takes the driver slot
-#   q_embedding_parity_measures - the D1-D6 measure family's standard
-#                           form holds a slot via q_source_similarity
-#   q_ann_ivf_recall      - the weakest check kind (recall acceptance
-#                           flag) and the most expensive driver row;
-#                           the ANN family keeps q_ann_lsh_topk's
-#                           hash-verified slot
-#   q_hourly_event_stats  - date/hour bucketing carried by the
-#                           rotating-in q_date_buckets; the grouped
-#                           event-agg shape by q_sessionization and
-#                           the new q_event_anomalies
-#   q_sessionization      - session windows also evidenced by the
-#                           rotating-in q_event_sequences and the
-#                           streaming session-window suite; gap-based
-#                           windows keep q_interval_join's slot
-# All remain verified by the local mirror test either way.
-# ROUND-7 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-6 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.  The
-# tail grew to 34 during round 6: four mid-round demotions
-# (q_stratified_sample, q_embedding_quantization,
-# q_part_brand_revenue, q_repetition_signals — each r5-green, each
-# making window room for a new never-verified export:
-# q_paragraph_dedup, q_domain_rank, q_pq_codes, q_pq_adc_search)
-# join the 30 planned entries, so round 7's swap must bring all 34
-# back within its window or stage the overflow for round 8 (the
-# invariant tolerates exactly one skipped round per entry).
-_LAST = [
-    #   q_repetition_signals  - (green r5) demoted when the new
-    #                           q_pq_adc_search took a window slot;
-    #                           the map-side quality-signal expression
-    #                           chain keeps window slots via
-    #                           q_lm_quality and q_pii_redaction, and
-    #                           the doc-quality family's other members
-    #                           are r5-green in the tail
+    # promoted from LOCAL_ONLY — never driver-verified (VERDICT r6 #3):
+    "q_domain_quota",
+    # the round-6 _LAST tail rotating back in (green r5, skipped r6):
     "q_repetition_signals",
-    #   q_part_brand_revenue  - (green r5) demoted when the new
-    #                           q_pq_codes took a window slot; the
-    #                           grouped-agg-over-join shape is the
-    #                           most-covered in the registry (q03 and
-    #                           the rotated-in q05/q_acctbal_share/
-    #                           q_having_big_customers all hold
-    #                           window slots)
     "q_part_brand_revenue",
-    #   q_embedding_quantization - (green r5) demoted when the new
-    #                           q_domain_rank took a window slot; the
-    #                           map-side quantization arithmetic is
-    #                           also differential-tested in test_ann,
-    #                           and the embedding family holds window
-    #                           slots via q_blocked_cosine_pairs,
-    #                           q_hybrid_rrf and q_ann_lsh_topk
     "q_embedding_quantization",
-    #   q_stratified_sample   - (green r5) demoted when the new
-    #                           q_paragraph_dedup took a window slot;
-    #                           hash-bucket sampling rides the
-    #                           rotated-in q_training_order and
-    #                           q_source_mixture (identical md5-bucket
-    #                           arithmetic), and the per-group form
-    #                           stays mirror-verified
     "q_stratified_sample",
-    #   q_token_shards        - (green r5) demoted when q_kmeans_assign
-    #                           took a window slot; the sharding family
-    #                           rides the rotated-in q_sequence_packing
-    #                           and q_training_order
     "q_token_shards",
-    #   q_sample_per_group    - (green r5) demoted when q_source_overlap
-    #                           took a window slot; per-group sampling
-    #                           rides q_stratified_sample (keeps a slot)
-    #                           and the rotated-in q_training_order
     "q_sample_per_group",
     "q_dedup_clusters",
     "q_lang_id",
@@ -348,6 +181,142 @@ _LAST = [
     "q_ann_ivf_recall",
     "q_hourly_event_stats",
     "q_sessionization",
+]
+
+# Exported last: with 85 exported queries and a 50-row driver cap,
+# exactly these 35 fall off this round.  Every one is fully green in
+# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the two demoted
+# middle entries q_tagged_union and q_json_props — rows, schema, AND
+# hash), so the rotation keeps every export driver-green within two
+# consecutive rounds, AND each is coverage-subsumed by queries that
+# keep a slot:
+#   q_unpivot / q_user_event_pivot / q_pivot_status (via rotation) -
+#                           pivot/unpivot family; the rotating-in
+#                           q_pivot_status keeps a slot
+#   q_array_agg           - array agg carried by the rotating-in
+#                           q_label_centroids
+#   q_acctbal_share / q_above_nation_avg (rotating in) - 1-row-agg
+#                           broadcast compares swap slots; the
+#                           rotating-in q_token_totals also carries it
+#   q_distinct_counts     - distinct aggregates also inside the
+#                           rotating-in q_sketch_accuracy (exact
+#                           branch) and q_cube_qty
+#   q05_local_supplier    - grouped agg over the 6-way join; carried
+#                           by q03_shipping_priority (keeps a slot)
+#                           and the rotating-in q01_pricing_summary
+#   q_date_buckets        - date/hour bucketing carried by the
+#                           rotating-in q_hourly_event_stats
+#   q_string_funcs        - string surface rides q_pii_redaction
+#                           (keeps a slot) and the rotating-in
+#                           q_regex_token_stats
+#   q_full_outer_align    - the J4 zero-filled align is also the core
+#                           of q_source_similarity (keeps a slot)
+#   q_having_big_customers - grouped HAVING carried by q03 and the
+#                           rotating-in q01_pricing_summary
+#   q_range_frame         - RANGE frames ride the rotating-in
+#                           q_window_functions
+#   q_sequence_packing    - chunk/pack family slot passes back to the
+#                           rotating-in q_doc_chunks and q_token_shards
+#   q_semantic_dedup      - SRP-bucketed cosine; the embedding-dedup
+#                           family keeps q_ann_lsh_topk (middle) and
+#                           the rotating-in q_cosine_pairs
+#   q_duplicate_spans / q_span_scrub - span-hash shape carried by the
+#                           rotating-in q_rolling_fingerprint
+#   q_training_order / q_source_mixture - md5-bucket sampling rides
+#                           the rotating-in q_stratified_sample and
+#                           q_sample_per_group
+#   q_event_sequences     - temporal-order surface rides the
+#                           rotating-in q_sessionization and
+#                           q_asof_view_before_purchase
+#   q_dsir_select         - importance-resampling ratios; the
+#                           bucket-ratio shape rides the rotating-in
+#                           q_stratified_sample; profiled plan pinned
+#                           by test_sampling
+#   q_bloom_dedup         - broadcast-bitmap membership; semi/anti
+#                           family keeps q_decontaminate (middle) and
+#                           the rotating-in q_semi_join/q_anti_join
+#   q_leakage_safe_split  - cluster-bucket split rides the rotating-in
+#                           q_dedup_clusters (same CC subplan)
+#   q_data_card / q_table_stats - GROUPING SETS / multi-column stats
+#                           carried by the rotating-in q_cube_qty and
+#                           q_sketch_accuracy
+#   q_blocked_cosine_pairs - its oracle is VERBATIM the rotating-in
+#                           q_cosine_pairs' oracle (same rows); the
+#                           block plan stays pinned by test_ann
+#   q_hybrid_rrf          - both arms keep slots: BM25 via the
+#                           rotating-in q_bm25_search, dense via
+#                           q_ann_lsh_topk (middle)
+#   q_containment_dups / q_edit_similarity_dups - prefix-filter join
+#                           family keeps the rotating-in
+#                           q_exact_jaccard_join; candidate-verify
+#                           rides q_ngram_jaccard_dups (middle)
+#   q_event_anomalies     - grouped event aggregates ride the
+#                           rotating-in q_hourly_event_stats and
+#                           q_sessionization
+#   q_source_overlap      - inverted-index set algebra rides the
+#                           rotating-in q_exact_jaccard_join; the KMV
+#                           sketch branch rides q_cms_heavy_hitters
+#                           (rotating in, same mergeable-sketch family)
+#   q_kmeans_assign / q_pq_codes / q_pq_adc_search - clustering/PQ
+#                           numpy differentials + broadcast-only plan
+#                           pins in test_clustering; the embedding
+#                           family keeps q_ann_lsh_topk and the
+#                           rotating-in q_ann_ivf_recall /
+#                           q_embedding_quantization
+#   q_domain_rank         - integer PageRank vs unrolled-CTE oracle
+#                           stays mirror-verified; the graph family
+#                           keeps the rotating-in q_dedup_clusters
+#   q_tagged_union        - (middle demotion) set-op family; UNION ALL
+#                           shape also inside the rotating-in
+#                           q_bm25_search's oracle and mirror-verified
+#                           intersect/except siblings
+#   q_json_props          - (middle demotion) JSON extraction is a
+#                           map-side expression chain; the events
+#                           family keeps q_interval_join and
+#                           q_sessionization (rotating in)
+# All remain verified by the local mirror test either way.
+# ROUND-8 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-7 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r06, so each tolerates
+# exactly the round-7 skip; all 35 must re-enter the round-8 window
+# (35 ≤ 50, so no staging is needed).
+_LAST = [
+    "q_unpivot",
+    "q_user_event_pivot",
+    "q_array_agg",
+    "q_acctbal_share",
+    "q_distinct_counts",
+    "q05_local_supplier",
+    "q_date_buckets",
+    "q_string_funcs",
+    "q_full_outer_align",
+    "q_having_big_customers",
+    "q_range_frame",
+    "q_sequence_packing",
+    "q_semantic_dedup",
+    "q_duplicate_spans",
+    "q_training_order",
+    "q_span_scrub",
+    "q_source_mixture",
+    "q_event_sequences",
+    "q_dsir_select",
+    "q_bloom_dedup",
+    "q_leakage_safe_split",
+    "q_data_card",
+    "q_table_stats",
+    "q_blocked_cosine_pairs",
+    "q_hybrid_rrf",
+    "q_containment_dups",
+    "q_event_anomalies",
+    "q_edit_similarity_dups",
+    "q_source_overlap",
+    "q_kmeans_assign",
+    "q_domain_rank",
+    "q_pq_codes",
+    "q_pq_adc_search",
+    "q_tagged_union",
+    "q_json_props",
 ]
 
 _EXPORTED = (

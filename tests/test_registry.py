@@ -26,40 +26,45 @@ def test_export_ordered_for_the_driver_cap():
     assert len(exported) == 50 + len(_LAST)
     assert exported[50:] == _LAST
     assert exported[: len(_PRIORITY)] == _PRIORITY
-    # round-6 rotation: the 21 queries the cap evicted in r5, plus the
-    # two LOCAL_ONLY promotions (q_data_card, q_table_stats), must sit
-    # inside the driver's 50-row window
+    # round-7 rotation (VERDICT r6 #1/#3): the full 34-entry round-6
+    # _LAST tail (last green in r5) plus the q_domain_quota promotion
+    # must sit inside the driver's 50-row window
     for q in (
-        "q_unpivot",
-        "q_user_event_pivot",
-        "q_array_agg",
-        "q_acctbal_share",
-        "q_distinct_counts",
-        "q05_local_supplier",
-        "q_date_buckets",
-        "q_string_funcs",
-        "q_full_outer_align",
-        "q_having_big_customers",
-        "q_range_frame",
-        "q_sequence_packing",
-        "q_semantic_dedup",
-        "q_duplicate_spans",
-        "q_training_order",
-        "q_span_scrub",
-        "q_source_mixture",
-        "q_event_sequences",
-        "q_dsir_select",
-        "q_bloom_dedup",
-        "q_leakage_safe_split",
-        "q_data_card",
-        "q_table_stats",
-        "q_blocked_cosine_pairs",
-        "q_hybrid_rrf",
-        "q_containment_dups",
-        "q_event_anomalies",
-        "q_edit_similarity_dups",
-        "q_source_overlap",
-        "q_kmeans_assign",
+        "q_domain_quota",
+        "q_repetition_signals",
+        "q_part_brand_revenue",
+        "q_embedding_quantization",
+        "q_stratified_sample",
+        "q_token_shards",
+        "q_sample_per_group",
+        "q_dedup_clusters",
+        "q_lang_id",
+        "q_regex_token_stats",
+        "q_rolling_fingerprint",
+        "q_doc_quality",
+        "q_asof_view_before_purchase",
+        "q_token_totals",
+        "q_doc_chunks",
+        "q_minhash_signatures",
+        "q01_pricing_summary",
+        "q_window_functions",
+        "q_token_counts",
+        "q_semi_join",
+        "q_anti_join",
+        "q_pivot_status",
+        "q_exact_dedup",
+        "q_label_centroids",
+        "q_above_nation_avg",
+        "q_exact_jaccard_join",
+        "q_cms_heavy_hitters",
+        "q_bm25_search",
+        "q_cube_qty",
+        "q_sketch_accuracy",
+        "q_cosine_pairs",
+        "q_embedding_parity_measures",
+        "q_ann_ivf_recall",
+        "q_hourly_event_stats",
+        "q_sessionization",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
