@@ -197,7 +197,12 @@ def _local_pagerank(
     for _ in range(n_iter):
         nxt = {v: tp for v in nrows}
         for src, dst, w in erows:
-            nxt[dst] += damping * w * r[src] // (1000 * wout[src])
+            # an explicitly-passed nodes universe may omit an edge
+            # endpoint; the distributed loop drops those contributions
+            # (inner join on src, left join FROM nodes on dst) while
+            # W(u) still counts every outgoing edge — mirror both
+            if src in r and dst in nxt:
+                nxt[dst] += damping * w * r[src] // (1000 * wout[src])
         r = nxt
     return sorted(r.items())
 

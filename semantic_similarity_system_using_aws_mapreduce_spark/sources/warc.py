@@ -227,17 +227,17 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     # AUTHORITY, not HOST: HOST silently drops ANY port, which would
     # conflate :8080 with the default — strip only userinfo and the
-    # default :80/:443
-    host = F.regexp_replace(
+    # port that is the SCHEME'S default (http://h:80 ≡ http://h, but
+    # https://h:80 is a genuinely non-default port and must survive)
+    bare = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.try_parse_url(u, F.lit("AUTHORITY"))), r"^[^@/]*@", ""
-            ),
-            r"^www\.",
-            "",
+            F.lower(F.try_parse_url(u, F.lit("AUTHORITY"))), r"^[^@/]*@", ""
         ),
-        r":(80|443)$",
+        r"^www\.",
         "",
+    )
+    host = F.when(scheme == "http", F.regexp_replace(bare, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(bare, r":443$", "")).otherwise(bare)
     )
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path_fixed = F.when(

@@ -179,15 +179,26 @@ def compact_index(
     index = read_parquet_recovering(spark, index_path)
     if index is None:
         return
+    # a replayed batch rewrites its partition while its rows may
+    # already sit in the base — the fold dedupes by the table's
+    # logical key so such residue can never accumulate (signature
+    # index: doc_id; postings: (doc_id, term); segments: seg_hash).
+    # The survivor is the MIN-struct over the remaining columns, not
+    # dropDuplicates' arbitrary row: if residue ever carries two doc
+    # attributions for one seg_hash, a nondeterministic winner would
+    # make a later RTBF on the true owner leave the content-derived
+    # hash attributed to another doc (ADVICE r6).  min(struct(...))
+    # is still partial-aggregated map-side, same shuffle as the
+    # dropDuplicates it replaces.
+    keys = list(dedup_keys)
+    rest = [c for c in index.columns if c not in keys]
     folded = (
         index.filter(F.col("ingest_batch") != keep_batch)
-        .dropDuplicates(
-            # a replayed batch rewrites its partition while its rows
-            # may already sit in the base — the fold dedupes by the
-            # table's logical key so such residue can never accumulate
-            # (signature index: doc_id; postings: (doc_id, term))
-            list(dedup_keys)
-        )
+        .groupBy(*keys)
+        .agg(F.min(F.struct(*rest)).alias("_win"))
+        .select(*keys, *[F.col(f"_win.{c}").alias(c) for c in rest])
+        # restore the table's column order for the unionByName below
+        .select(*index.columns)
         # the sizing count and the rewrite both consume the fold —
         # persist so the scan + dedup shuffle runs once, not twice
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -269,3 +269,35 @@ def test_pagerank_local_and_distributed_paths_agree(spark):
     )
     assert stats_l["mode"] == "local" and stats_d["mode"] == "distributed"
     assert local == dist and len(local) > 0
+
+
+def test_pagerank_explicit_universe_omitting_endpoints_agrees(spark):
+    """An explicitly-passed nodes universe that omits edge endpoints
+    must behave identically across the local_threshold boundary: the
+    distributed loop drops those contributions (inner join on src,
+    left join FROM nodes on dst) while W(u) still counts every
+    outgoing edge — the local base case used to KeyError instead
+    (ADVICE r6)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        # endpoints 0..9; edges touching 7/8/9 fall outside the universe
+        [(i % 10, (i * 3 + 1) % 10, 1 + (i % 4)) for i in range(40)],
+        "src long, dst long, w long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    stats_l, stats_d = {}, {}
+    local = sorted(
+        map(tuple, pagerank(edges, nodes=nodes, n_iter=3, stats=stats_l).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            pagerank(
+                edges, nodes=nodes, n_iter=3, local_threshold=0, stats=stats_d
+            ).collect(),
+        )
+    )
+    assert stats_l["mode"] == "local" and stats_d["mode"] == "distributed"
+    assert local == dist
+    assert [n for n, _ in local] == list(range(7))

@@ -686,6 +686,27 @@ def test_curation_compaction_bounds_index_files_and_stays_exactly_once(
     assert {r.doc_id for r in spark.read.parquet(index_path).collect()} == expect
 
 
+def test_compact_index_residue_winner_is_deterministic(spark, tmp_path):
+    """If replay residue ever leaves two doc attributions for one
+    seg_hash, the fold must keep a DETERMINISTIC winner — min over the
+    remaining columns — not dropDuplicates' arbitrary row, or an RTBF
+    on the true owner could leave the content-derived hash attributed
+    to another doc (ADVICE r6).  Both attribution orders converge on
+    the same survivor."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import compact_index
+
+    for name, batches in (("fwd", [(7, 0), (3, 1)]), ("rev", [(3, 0), (7, 1)])):
+        path = str(tmp_path / f"seg_residue_{name}")
+        for doc_id, b in batches:
+            spark.createDataFrame(
+                [(100, doc_id, b)], "seg_hash long, doc_id long, ingest_batch int"
+            ).write.mode("append").partitionBy("ingest_batch").parquet(path)
+        compact_index(spark, path, keep_batch=99, dedup_keys=("seg_hash",))
+        got = spark.read.parquet(path).collect()
+        assert len(got) == 1, got
+        assert (got[0].seg_hash, got[0].doc_id, got[0].ingest_batch) == (100, 3, -1)
+
+
 def test_bucketed_sig_index_probe_has_no_exchange_on_index_side(spark, tmp_path):
     """The 100 TB probe shape: with the signature index's bucket
     relation persisted as a catalog table bucketed by the banded join

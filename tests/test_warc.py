@@ -283,6 +283,11 @@ def test_canonical_url_normalization(spark):
         ("http://example.com:80/a", "http://example.com/a"),
         ("https://example.com:443/a", "https://example.com/a"),
         ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # a port that is DEFAULT FOR THE OTHER scheme is genuinely
+        # non-default here and must survive (ADVICE r6)
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("ftp://example.com:80/a", "ftp://example.com:80/a"),
         ("http://user:pw@example.com/a", "http://example.com/a"),
         ("http://example.com/a#frag", "http://example.com/a"),
         ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
