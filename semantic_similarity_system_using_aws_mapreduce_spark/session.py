@@ -60,5 +60,16 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    # Crawl bytes must never kill a job: `decode` on a malformed
+    # payload THROWS in Spark 4 by default, so one bad byte in a 1 GB
+    # archive would abort the whole scan.  REPLACE (U+FFFD) mirrors
+    # `new String(bytes, charset)` in the reference's Hadoop stack,
+    # and the WARC reader counts the replacement chars into a
+    # quality-gate column (sources/warc.py).  javaCharsets unlocks
+    # the legacy-web charsets (Shift_JIS/GBK/Big5/…) the charset
+    # sniffer decodes.  Runtime SQL confs, set here so a reused
+    # session gets them too.
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -299,7 +299,12 @@ def wet_documents(
     task (a window row_number would sort the hot key's entire copy
     set in one partition).  Records without a usable URI each form
     their own group via a doc_id-unique fallback key, so they are
-    never conflated."""
+    never conflated.
+
+    Charset: WET conversion payloads are UTF-8 BY SPEC, so no sniff
+    runs here (unlike :func:`response_bodies`); under the session's
+    REPLACE coding-error action a stray invalid byte degrades to
+    U+FFFD instead of aborting the archive scan."""
     ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
         "record_id"
     ).isNotNull()
@@ -334,20 +339,142 @@ def wet_documents(
     return docs, rejects
 
 
+# Normalized charset label -> the JVM charset name the decode CASE
+# below uses.  Labels follow the WHATWG encoding spec's alias table
+# where it matters on real crawls: every ISO-8859-1/latin-1 label maps
+# to windows-1252 (browsers do, and 0x80-0x9F are printable there, not
+# C1 controls), ascii collapses into utf-8 (proper subset), cp932 is
+# the JVM's windows-31j.  Everything else falls back to the
+# utf-8-else-1252 heuristic.
+_CHARSET_MAP = {
+    "utf-8": "UTF-8",
+    "utf8": "UTF-8",
+    "ascii": "UTF-8",
+    "us-ascii": "UTF-8",
+    "ansi_x3.4-1968": "UTF-8",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "iso_8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "shift_jis": "Shift_JIS",
+    "shift-jis": "Shift_JIS",
+    "sjis": "Shift_JIS",
+    "x-sjis": "Shift_JIS",
+    "windows-31j": "windows-31j",
+    "cp932": "windows-31j",
+    "ms932": "windows-31j",
+    "euc-jp": "EUC-JP",
+    "x-euc-jp": "EUC-JP",
+    "gbk": "GBK",
+    "gb2312": "GBK",
+    "gb-2312": "GBK",
+    "cp936": "GBK",
+    "gb18030": "GB18030",
+    "big5": "Big5",
+    "big-5": "Big5",
+    "euc-kr": "EUC-KR",
+    "ks_c_5601-1987": "EUC-KR",
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "koi8-r": "KOI8-R",
+    "windows-1250": "windows-1250",
+    "iso-8859-2": "ISO-8859-2",
+    "windows-1254": "windows-1254",
+    "iso-8859-9": "windows-1254",
+    "windows-1256": "windows-1256",
+    "iso-8859-7": "ISO-8859-7",
+    "windows-1253": "windows-1253",
+    "iso-8859-15": "ISO-8859-15",
+    "tis-620": "TIS-620",
+    "windows-874": "x-windows-874",
+}
+
+#: U+FFFD — what a malformed/unmappable byte decodes to under the
+#: session's REPLACE coding-error action (session.py)
+_REPL = "�"
+
+
+def _sniffed_charset(header_probe: Column, body_probe: Column) -> Column:
+    """Declared charset of an HTTP response, normalized through
+    ``_CHARSET_MAP`` (null when undeclared or unrecognized).  The HTTP
+    ``Content-Type`` header wins over the HTML ``<meta>`` tag (RFC
+    9110 §8.3); both probes are ISO-8859-1 views, safe because charset
+    declarations are ASCII and latin-1 decodes every byte sequence."""
+    label = r"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)"""
+    from_header = F.regexp_extract(
+        F.lower(header_probe), r"content-type\s*:[^\r\n]*" + label.lower(), 1
+    )
+    # meta variants: <meta charset="x"> and
+    # <meta http-equiv="Content-Type" content="text/html; charset=x">
+    from_meta = F.regexp_extract(
+        F.lower(F.substring(body_probe, 1, 2048)), r"<meta[^>]{0,400}?" + label, 1
+    )
+    declared = F.when(from_header != "", from_header).otherwise(
+        F.when(from_meta != "", from_meta)
+    )
+    pairs: list[Column] = []
+    for alias, jvm in _CHARSET_MAP.items():
+        pairs += [F.lit(alias), F.lit(jvm)]
+    return F.element_at(F.create_map(*pairs), declared)
+
+
+def _decoded_body(body: Column, jvm_charset: Column) -> tuple[Column, Column]:
+    """(text, charset_used): decode a binary HTTP body with the
+    declared charset, or — undeclared/unrecognized — as UTF-8 when it
+    decodes cleanly, else windows-1252 (the CCNet/ftfy heuristic: real
+    UTF-8 essentially never misparses, and 1252 decodes every byte).
+    A CASE over literal charsets because ``decode``'s charset argument
+    must be foldable; only the matching branch evaluates per row."""
+    as_utf8 = F.decode(body, "UTF-8")
+    utf8_clean = ~as_utf8.contains(_REPL)
+    fallback = F.when(utf8_clean, as_utf8).otherwise(F.decode(body, "windows-1252"))
+    fallback_name = F.when(utf8_clean, F.lit("UTF-8")).otherwise(
+        F.lit("windows-1252")
+    )
+    text, used = fallback, fallback_name
+    for jvm in sorted(set(_CHARSET_MAP.values())):
+        text = F.when(jvm_charset == jvm, F.decode(body, jvm)).otherwise(text)
+        used = F.when(jvm_charset == jvm, F.lit(jvm)).otherwise(used)
+    return text, used
+
+
 def response_bodies(records: DataFrame) -> DataFrame:
     """HTTP bodies of ``response`` records: split each payload at the
-    first blank line (end of HTTP headers) and decode the remainder —
-    a pure column expression over the parsed relation (substring
-    arithmetic on the binary, JVM-side), no second Python pass.
-    Rows whose payload has no header terminator pass through whole
-    (some crawlers store bare bodies)."""
-    s = F.decode(F.col("payload"), "UTF-8")
-    sep = F.instr(s, "\r\n\r\n")
-    body = F.when(sep > 0, F.substring(s, sep + 4, 2_147_483_647)).otherwise(s)
-    status = F.when(
-        F.substring(s, 1, 5) == F.lit("HTTP/"),
-        F.split(F.substring(s, 1, 64), " ").getItem(1).cast("int"),
+    first blank line (end of HTTP headers) IN BINARY, sniff the
+    declared charset off the Content-Type header / HTML meta tag, and
+    decode the body with it — all pure column expressions over the
+    parsed relation (substring arithmetic on the binary, JVM-side), no
+    second Python pass.  Rows whose payload has no header terminator
+    pass through whole (some crawlers store bare bodies).
+
+    Charset discipline (a large share of real crawls is not UTF-8 —
+    Latin-1/Shift-JIS/GBK pages are everywhere; the reference never
+    faces this because its corpus is pre-cleaned text, Step1.java:30):
+    declared charset > clean-UTF-8 > windows-1252, see
+    :func:`_decoded_body`.  The output carries ``charset`` (what
+    actually decoded the row) and ``n_repl`` (U+FFFD replacement
+    count under the session's REPLACE coding-error action) so the
+    quality gate can drop mojibake instead of training on it."""
+    probe = F.decode(F.col("payload"), "ISO-8859-1")  # total: 1 byte = 1 char
+    sep = F.instr(probe, "\r\n\r\n")
+    header_probe = F.when(sep > 0, F.substring(probe, 1, sep - 1)).otherwise(F.lit(""))
+    # byte offsets == latin-1 char offsets, so the probe's separator
+    # position slices the BINARY payload exactly
+    body_bin = F.when(
+        sep > 0, F.substring(F.col("payload"), sep + 4, 2_147_483_647)
+    ).otherwise(F.col("payload"))
+    body_probe = F.when(sep > 0, F.substring(probe, sep + 4, 2048)).otherwise(
+        F.substring(probe, 1, 2048)
     )
+    status = F.when(
+        F.substring(probe, 1, 5) == F.lit("HTTP/"),
+        F.split(F.substring(probe, 1, 64), " ").getItem(1).cast("int"),
+    )
+    body, used = _decoded_body(body_bin, _sniffed_charset(header_probe, body_probe))
+    n_repl = F.length(body) - F.length(F.replace(body, F.lit(_REPL), F.lit("")))
     return records.filter(
         (~F.col("corrupt")) & (F.col("warc_type") == "response")
     ).select(
@@ -356,6 +483,8 @@ def response_bodies(records: DataFrame) -> DataFrame:
         status.alias("http_status"),
         body.alias("body"),
         F.length(body).cast("long").alias("n_chars"),
+        used.alias("charset"),
+        n_repl.cast("long").alias("n_repl"),
     )
 
 
@@ -368,7 +497,14 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     non-2xx responses and empty extractions land in rejects (they are
     redirects/errors, not content).  Everything after the mapInPandas
     record parse is pure column expressions — extraction adds no
-    second Python stage."""
+    second Python stage.
+
+    Docs additionally carry ``charset`` (what decoded the body — see
+    :func:`response_bodies`) and ``n_repl`` (malformed-byte
+    replacement count): a page whose replacement density is high is
+    mojibake, and the downstream quality gate should treat it like any
+    other low-quality text rather than this reader silently shipping
+    it as clean."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import html_to_text
 
     bodies = response_bodies(records)
@@ -382,6 +518,8 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit(None).cast("string").alias("lang"),
         F.coalesce(host, F.lit("unknown")).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
+        "charset",
+        "n_repl",
         "http_status",
     )
     ok = (

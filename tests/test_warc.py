@@ -141,6 +141,86 @@ def test_response_bodies_strip_http_headers(spark, tmp_path):
     assert b.http_status is None and b.body == "bare body no headers"
 
 
+def test_response_charset_declared_in_header(spark, tmp_path):
+    """A Latin-1 page declared via the HTTP Content-Type header decodes
+    correctly (and through the WHATWG alias: iso-8859-1 labels decode
+    as windows-1252, so 0x80 is '€' not a C1 control)."""
+    text = "Garçon — café à 5€"
+    body = text.encode("cp1252")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+        + body
+    )
+    arch = _record("lat1", "response", payload, "http://legacy.example/fr")
+    (tmp_path / "l.warc").write_bytes(arch)
+    row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
+    assert row.body == text
+    assert row.charset == "windows-1252"
+    assert row.n_repl == 0
+
+
+def test_response_charset_declared_in_meta_tag(spark, tmp_path):
+    """A Shift-JIS page declaring its charset only in the HTML meta tag
+    decodes correctly, end-to-end through warc_text_documents."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    jp = "日本語のテキストです。文字化けしません。"
+    html = f'<html><head><meta charset="shift_jis"></head><body><p>{jp}</p></body></html>'
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + html.encode("shift_jis")
+    )
+    arch = _record("sjis", "response", payload, "http://jp.example/p")
+    (tmp_path / "j.warc").write_bytes(arch)
+    records = read_warc(spark, str(tmp_path))
+    row = response_bodies(records).collect()[0]
+    assert row.charset == "Shift_JIS" and row.n_repl == 0
+    assert jp in row.body
+    docs, _ = warc_text_documents(records)
+    d = docs.collect()[0]
+    assert jp in d.text and d.charset == "Shift_JIS" and d.n_repl == 0
+
+
+def test_response_charset_undeclared_fallback(spark, tmp_path):
+    """No declaration anywhere: clean UTF-8 stays UTF-8; bytes that are
+    invalid UTF-8 fall back to windows-1252 (never a thrown decode)."""
+    utf8_text = "naïve café — überraschung"
+    arch = _record(
+        "u8", "response", _http_payload(utf8_text.encode("utf-8")), "http://a/u8"
+    ) + _record(
+        "w12",
+        "response",
+        _http_payload("résumé département".encode("cp1252")),
+        "http://a/w12",
+    )
+    (tmp_path / "f.warc").write_bytes(arch)
+    rows = {
+        r.record_id: r
+        for r in response_bodies(read_warc(spark, str(tmp_path))).collect()
+    }
+    a = rows["<urn:uuid:u8>"]
+    assert a.body == utf8_text and a.charset == "UTF-8" and a.n_repl == 0
+    b = rows["<urn:uuid:w12>"]
+    assert b.body == "résumé département"
+    assert b.charset == "windows-1252" and b.n_repl == 0
+
+
+def test_response_mojibake_is_counted_not_thrown(spark, tmp_path):
+    """A page DECLARED utf-8 whose body carries genuinely undecodable
+    bytes must not kill the scan: the replacements are counted into
+    n_repl so the quality gate can act on mojibake density."""
+    body = b"good text then \xff\xfe\xff broken"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + body
+    )
+    arch = _record("moji", "response", payload, "http://bad.example/x")
+    (tmp_path / "m.warc").write_bytes(arch)
+    row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
+    assert row.charset == "UTF-8"
+    assert row.n_repl >= 1
+    assert "good text then" in row.body
+
+
 def test_curation_cli_reads_wet(spark, tmp_path):
     """--format wet: a raw WET crawl extract flows through the full
     curation funnel — archive -> records -> documents -> gate/dedup —
