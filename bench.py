@@ -197,12 +197,15 @@ def _pipeline_only() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
-        # the headline 200k config gets 5 samples: identical code
+        # the checkpointed configs (200k headline AND the 1M
+        # round-over-round comparison) get 5 samples: identical code
         # measured 5.6-8.3 s min-of-3 across three same-night runs
         # purely from shared-host load, and at ~8 s/run the extra two
         # samples are the cheapest way to tighten the min the
-        # round-over-round comparison rests on
-        n_runs = 5 if (n_lines, checkpointed) == (PIPELINE_LINES, True) else 3
+        # round-over-round comparison rests on (VERDICT r6 #5 extended
+        # the 200k treatment to the 1M config, whose r5->r6 delta was
+        # a ~1.5 s protocol error bar, not a code change)
+        n_runs = 5 if checkpointed else 3
         try:
             runs = [
                 _bench_pipeline(spark, n_lines, checkpointed)
