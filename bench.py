@@ -159,6 +159,8 @@ EXTRA = [
     "q_pq_codes",
     "q_pq_adc_search",
     "q_domain_quota",
+    "q_gopher_rules",
+    "q_bpe_pair_counts",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -287,3 +287,59 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", appendix A1.1) — the de-facto baseline rule set every
+#: web-scale curation pipeline starts from.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality-rule flags per document — the rule-based
+    quality gate (vs. the learned one in ml/quality.py and the
+    statistic signals in q_doc_quality): word-count bounds, mean word
+    length in [3, 10], symbol-to-word ratio < 0.1 (`#`/ellipsis),
+    >= 80% of words containing an alphabetic character, and >= 2
+    distinct stop words present (the "natural English sentence"
+    heuristic).
+
+    Every rule is evaluated in INTEGER arithmetic (ratios compared by
+    cross-multiplication), so the flags hash identically across
+    engines — and the whole relation is one map-side expression chain
+    over the token array: zero shuffles, zero UDFs, scans 100 TB at
+    IO speed.  Reference analog: the reference pipeline has no quality
+    gate at all (its corpus is pre-cleaned biarcs, Step1.java:30);
+    this is north-star surface for the crawl-curation funnel."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size("toks")
+    sum_len = F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
+    n_sym = F.size(
+        F.filter("toks", lambda t: t.contains("#") | t.contains("..."))
+    )
+    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stops = F.size(F.filter(stop_arr, lambda s: F.array_contains("toks", s)))
+    flags = [
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("ok_word_len"),
+        (n_sym * 10 < n).alias("ok_symbols"),
+        (n_alpha * 10 >= 8 * n).alias("ok_alpha"),
+        (n_stops >= 2).alias("ok_stopwords"),
+    ]
+    out = docs.select(
+        "doc_id", toks.alias("toks")
+    ).select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        *[f.cast("int") for f in flags],
+    )
+    keep = (
+        (F.col("ok_word_count") == 1)
+        & (F.col("ok_word_len") == 1)
+        & (F.col("ok_symbols") == 1)
+        & (F.col("ok_alpha") == 1)
+        & (F.col("ok_stopwords") == 1)
+    )
+    return out.withColumn("keep", keep.cast("int"))

@@ -146,6 +146,11 @@ LOCAL_ONLY = [
 _PRIORITY = [
     # promoted from LOCAL_ONLY — never driver-verified (VERDICT r6 #3):
     "q_domain_quota",
+    # new in round 7 — never driver-verified (each makes window room
+    # by an explicit middle demotion below: q_ngram_jaccard_dups and
+    # q_decontaminate move to _LAST):
+    "q_gopher_rules",
+    "q_bpe_pair_counts",
     # the round-6 _LAST tail rotating back in (green r5, skipped r6):
     "q_repetition_signals",
     "q_part_brand_revenue",
@@ -183,13 +188,13 @@ _PRIORITY = [
     "q_sessionization",
 ]
 
-# Exported last: with 85 exported queries and a 50-row driver cap,
-# exactly these 35 fall off this round.  Every one is fully green in
-# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the two demoted
-# middle entries q_tagged_union and q_json_props — rows, schema, AND
-# hash), so the rotation keeps every export driver-green within two
-# consecutive rounds, AND each is coverage-subsumed by queries that
-# keep a slot:
+# Exported last: with 87 exported queries and a 50-row driver cap,
+# exactly these 37 fall off this round.  Every one is fully green in
+# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the four
+# demoted middle entries q_tagged_union, q_json_props,
+# q_ngram_jaccard_dups, q_decontaminate — rows, schema, AND hash), so
+# the rotation keeps every export driver-green within two consecutive
+# rounds, AND each is coverage-subsumed by queries that keep a slot:
 #   q_unpivot / q_user_event_pivot / q_pivot_status (via rotation) -
 #                           pivot/unpivot family; the rotating-in
 #                           q_pivot_status keeps a slot
@@ -274,6 +279,17 @@ _PRIORITY = [
 #                           map-side expression chain; the events
 #                           family keeps q_interval_join and
 #                           q_sessionization (rotating in)
+#   q_ngram_jaccard_dups  - (middle demotion for the new
+#                           q_gopher_rules) candidate-verify shape
+#                           rides the rotating-in q_exact_jaccard_join
+#                           (its verify stage IS the jaccard compute);
+#                           the LSH-candidate source keeps
+#                           q_minhash_lsh_candidates's middle slot
+#   q_decontaminate       - (middle demotion for the new
+#                           q_bpe_pair_counts) broadcast-probe
+#                           anti-join shape rides the rotating-in
+#                           q_anti_join and q_semi_join; the shingle
+#                           arithmetic rides q_minhash_lsh_candidates
 # All remain verified by the local mirror test either way.
 # ROUND-8 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-7 entries here) so the
@@ -317,6 +333,8 @@ _LAST = [
     "q_pq_adc_search",
     "q_tagged_union",
     "q_json_props",
+    "q_ngram_jaccard_dups",
+    "q_decontaminate",
 ]
 
 _EXPORTED = (

@@ -160,6 +160,40 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality flags (operators/text_analysis.
+    gopher_rules): integer-arithmetic rule evaluation, one map-side
+    expression chain, zero shuffles — see the operator docstring."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+#: top-k cut for q_bpe_pair_counts (deterministic tie-break on pair)
+BPE_PAIRS_TOPK = 40
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE pair statistics (operators/bpe.pair_counts):
+    the corpus collapses to the weighted vocabulary in ONE groupBy,
+    and pair counting then runs on vocab rows only — the shape that
+    makes the n_merges training loop affordable (see operators/bpe).
+    Top-{BPE_PAIRS_TOPK} pairs, ties broken lexicographically so the
+    cut is engine-stable."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import (
+        _init_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    pc = pair_counts(_init_symbols(word_counts(_docs(spark, sf_dir))))
+    return (
+        pc.select(F.concat_ws("|", "left", "right").alias("pair"), "weight")
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(BPE_PAIRS_TOPK)
+    )
+
+
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -598,6 +632,8 @@ QUERIES = {
     "q_token_source_assoc": q_token_source_assoc,
     "q_source_similarity": q_source_similarity,
     "q_doc_quality": q_doc_quality,
+    "q_gopher_rules": q_gopher_rules,
+    "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_lang_stats": q_lang_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
@@ -870,5 +906,49 @@ ORACLES = {
                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
         FROM d WHERE len(toks) >= 3
+    """,
+    # Gopher rules in INTEGER arithmetic (cross-multiplied ratios) so
+    # the flags hash identically — mirrors operators/text_analysis.
+    # gopher_rules expression for expression
+    "q_gopher_rules": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+                 len(toks) AS n,
+                 coalesce(list_aggregate(
+                     list_transform(toks, t -> length(t)), 'sum'), 0) AS sum_len,
+                 len(list_filter(toks,
+                     t -> contains(t, '#') OR contains(t, '...'))) AS n_sym,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                 len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     w -> list_contains(toks, w))) AS n_stops
+              FROM d)
+        SELECT doc_id,
+               n::INT AS n_words,
+               (n >= 50 AND n <= 100000)::INT AS ok_word_count,
+               (sum_len >= 3 * n AND sum_len <= 10 * n)::INT AS ok_word_len,
+               (n_sym * 10 < n)::INT AS ok_symbols,
+               (n_alpha * 10 >= 8 * n)::INT AS ok_alpha,
+               (n_stops >= 2)::INT AS ok_stopwords,
+               (n >= 50 AND n <= 100000 AND sum_len >= 3 * n
+                AND sum_len <= 10 * n AND n_sym * 10 < n
+                AND n_alpha * 10 >= 8 * n AND n_stops >= 2)::INT AS keep
+        FROM s
+    """,
+    "q_bpe_pair_counts": f"""
+        WITH words AS (SELECT unnest({_TOKS}) AS word FROM documents),
+        wc AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),
+        syms AS (SELECT list_append(
+                     list_transform(range(1, length(word) + 1),
+                                    i -> substr(word, i, 1)),
+                     '</w>') AS ss, n
+                 FROM wc),
+        pairs AS (SELECT unnest(list_transform(range(1, len(ss)),
+                      i -> ss[i] || '|' || ss[i + 1])) AS pair, n
+                  FROM syms WHERE len(ss) >= 2)
+        SELECT pair, sum(n)::BIGINT AS weight
+        FROM pairs GROUP BY pair
+        ORDER BY weight DESC, pair LIMIT 40
     """,
 }

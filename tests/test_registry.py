@@ -31,6 +31,8 @@ def test_export_ordered_for_the_driver_cap():
     # must sit inside the driver's 50-row window
     for q in (
         "q_domain_quota",
+        "q_gopher_rules",
+        "q_bpe_pair_counts",
         "q_repetition_signals",
         "q_part_brand_revenue",
         "q_embedding_quantization",

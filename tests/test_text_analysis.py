@@ -249,3 +249,42 @@ def test_bm25_matches_pure_python_reference_on_random_corpora(spark, tmp_path):
         want = py_bm25(docs, queries)
         want = {q: v for q, v in want.items() if v}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule fires on a crafted violation and passes on a
+    clean natural-English document; all arithmetic integer-exact."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and that dog must have "
+        "been asleep with all four paws tucked neatly beneath its warm body "
+        "while evening light faded slowly over quiet fields of ripe corn "
+        "and farmers walked home to rest before another long summer day "
+        "with the last birds calling out from tall old trees"
+    )
+    assert len([t for t in clean.split(" ") if t]) >= 50
+    rows = {
+        1: clean,                                  # passes everything
+        2: "short doc only",                       # word count
+        3: " ".join(["a"] * 60),                   # mean word len < 3 (and stops)
+        4: " ".join(["#tag"] * 30 + ["the", "be", "to"] + ["word"] * 30),  # symbols
+        5: " ".join(["12345"] * 60) + " the be",   # alpha ratio
+        6: " ".join(["plain"] * 60),               # no stop words
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].keep == 1 and all(
+        got[1][c] == 1
+        for c in ("ok_word_count", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords")
+    )
+    assert got[2].ok_word_count == 0 and got[2].keep == 0
+    assert got[3].ok_word_len == 0 and got[3].keep == 0
+    assert got[4].ok_symbols == 0 and got[4].keep == 0
+    assert got[5].ok_alpha == 0 and got[5].keep == 0
+    assert got[6].ok_stopwords == 0 and got[6].keep == 0
+    # zero-shuffle map-side plan: no Exchange anywhere
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
