@@ -8,12 +8,14 @@ formats a stdlib+numpy environment can parse — 24-bit BMP images
 decode: chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
 unfilters), GIF (full variable-width LZW), BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
-restart markers), PCM + IMA-ADPCM WAV audio, and YUV4MPEG2 (y4m)
-video (header parse + frame walk) — and library-gated for the
-remaining compressed formats: progressive JPEG needs PIL, FLAC/OGG
-need soundfile, MP4 needs av, none of which ship in this container,
-so those rows raise NotImplementedError loudly (the probe +
-skip-marked test light the seam up the moment the libraries appear).
+restart markers), PCM + IMA-ADPCM WAV audio, native FLAC (real rice
+decode, fixed + LPC prediction, mid/left/right-side stereo
+decorrelation), and YUV4MPEG2 (y4m) video (header parse + frame
+walk) — and library-gated for the remaining compressed formats:
+progressive JPEG needs PIL, Ogg(-wrapped FLAC)/Vorbis need soundfile,
+MP4 needs av, none of which ship in this container, so those rows
+raise NotImplementedError loudly (the probe + skip-marked test light
+the seam up the moment the libraries appear).
 Swapping in PIL/ffmpeg changes only the inner per-format branch, not
 the Spark plan.
 
@@ -90,7 +92,7 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 # external codec library involved.  "jpeg" means BASELINE sequential
 # Huffman JPEG (grayscale / 4:4:4 / 4:2:0, restart markers);
 # progressive streams still fall through to the PIL gate.
-STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "wav", "y4m"}
+STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "wav", "flac", "y4m"}
 
 
 def make_bmp(width: int, height: int, rgb_fn) -> bytes:
@@ -1225,6 +1227,408 @@ def _decode_y4m(data: bytes) -> tuple[int, int]:
     return frames, frames
 
 
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639): a REAL lossless-audio codec with nothing but stdlib
+# + numpy — the remaining compressed-audio format a crawl actually
+# ships (IMA-ADPCM covered the lossy-legacy corner; FLAC is THE
+# lossless one).  Encoder emits fixed-predictor rice-coded subframes
+# (mid-side for stereo) so the decoder's prediction, rice, and channel
+# decorrelation paths are honestly exercised; the decoder additionally
+# handles CONSTANT/VERBATIM/LPC subframes, rice2, escaped partitions,
+# wasted bits, and left/right-side stereo.  Ogg-wrapped FLAC and
+# >2-channel streams raise NotImplementedError into the library gate.
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        """RFC 9639 unary: q zero bits, then a one bit."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (extended to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    out, bits = [], []
+    while True:
+        bits.append(n & 0x3F)
+        n >>= 6
+        lead_len = len(bits) + 1
+        if n < (1 << (7 - lead_len)):
+            break
+    lead = (0xFF << (8 - lead_len) & 0xFF) | n
+    out.append(lead)
+    out += [0x80 | b for b in reversed(bits)]
+    return bytes(out)
+
+
+def _fixed_residual(x: "np.ndarray", order: int) -> "np.ndarray":
+    e = x.astype(np.int64)
+    for _ in range(order):
+        e = np.diff(e)
+    return e
+
+
+def _encode_flac_subframe(w: _FlacBitWriter, x: "np.ndarray", bps: int) -> None:
+    """CONSTANT if flat, else fixed-order-2 (order 0 for tiny blocks)
+    rice-coded with a single partition."""
+    if np.all(x == x[0]):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(int(x[0]), bps)
+        return
+    order = 2 if len(x) > 4 else 0
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)  # FIXED, order
+    w.write(0, 1)
+    for v in x[:order]:
+        w.write(int(v), bps)
+    e = _fixed_residual(x, order)
+    u = np.where(e >= 0, e << 1, ((-e) << 1) - 1).astype(np.int64)
+    mean = int(u.mean()) if len(u) else 0
+    p = min(14, max(0, mean.bit_length() - 1))
+    w.write(0, 2)  # rice (4-bit params)
+    w.write(0, 4)  # partition order 0
+    w.write(p, 4)
+    for v in u:
+        v = int(v)
+        w.write_unary(v >> p)
+        w.write(v, p)
+
+
+def make_flac(
+    samples, rate: int = 8000, channels: int = 1, blocksize: int = 1024
+) -> bytes:
+    """A GENUINE FLAC stream via stdlib + numpy: STREAMINFO metadata,
+    framed fixed-predictor rice-coded subframes, mid-side stereo
+    decorrelation, header CRC-8 and frame CRC-16.  ``samples`` are
+    interleaved int16 when ``channels=2``."""
+    import hashlib
+    import struct
+
+    s = np.asarray(list(samples), np.int64)
+    if channels == 2:
+        s = s.reshape(-1, 2)
+    n_total = len(s)
+    bps = 16
+
+    body = bytearray()
+    frame_no = 0
+    for start in range(0, n_total, blocksize):
+        blk = s[start : start + blocksize]
+        nb = len(blk)
+        w = _FlacBitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking
+        w.write(0b0111, 4)  # blocksize: 16-bit value-1 follows header
+        w.write(0b0000, 4)  # sample rate: from STREAMINFO
+        ch_assign = 0b0000 if channels == 1 else 0b1010  # mono | mid-side
+        w.write(ch_assign, 4)
+        w.write(0b100, 3)  # 16 bps
+        w.write(0, 1)  # reserved
+        for b in _utf8_coded(frame_no):
+            w.write(b, 8)
+        w.write(nb - 1, 16)
+        w.align()
+        hdr = bytes(w.buf)
+        w.write(_crc8(hdr), 8)
+        if channels == 1:
+            _encode_flac_subframe(w, blk, bps)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            mid = (left + right) >> 1
+            side = left - right
+            _encode_flac_subframe(w, mid, bps)
+            _encode_flac_subframe(w, side, bps + 1)
+        w.align()
+        frame = bytes(w.buf)
+        body += frame + struct.pack(">H", _crc16(frame))
+        frame_no += 1
+
+    info = _FlacBitWriter()
+    info.write(blocksize, 16)
+    info.write(blocksize, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(rate, 20)
+    info.write(channels - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n_total, 36)
+    raw = s.reshape(-1).astype("<i2").tobytes()
+    md5 = hashlib.md5(raw).digest()
+    streaminfo = bytes(info.buf) + md5
+    head = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return head + bytes(body)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.n = 0  # bits consumed of current byte
+
+    def bit(self) -> int:
+        if self.p >= len(self.d):
+            raise ValueError("truncated FLAC stream")
+        b = (self.d[self.p] >> (7 - self.n)) & 1
+        self.n += 1
+        if self.n == 8:
+            self.n = 0
+            self.p += 1
+        return b
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        if self.n:
+            self.n = 0
+            self.p += 1
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _read_flac_residual(r: _FlacBitReader, nb: int, order: int) -> list[int]:
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = r.bits(4)
+    n_parts = 1 << part_order
+    out: list[int] = []
+    for pi in range(n_parts):
+        count = (nb >> part_order) - (order if pi == 0 else 0)
+        p = r.bits(pbits)
+        if p == escape:
+            raw = r.bits(5)
+            for _ in range(count):
+                out.append(r.signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = r.unary()
+                u = (q << p) | r.bits(p)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _read_flac_subframe(r: _FlacBitReader, nb: int, bps: int) -> "np.ndarray":
+    if r.bit() != 0:
+        raise ValueError("bad FLAC subframe padding bit")
+    sftype = r.bits(6)
+    wasted = 0
+    if r.bit() == 1:
+        wasted = 1 + r.unary()
+    eff = bps - wasted
+    if sftype == 0:  # CONSTANT
+        x = np.full(nb, r.signed(eff), np.int64)
+    elif sftype == 1:  # VERBATIM
+        x = np.asarray([r.signed(eff) for _ in range(nb)], np.int64)
+    elif 8 <= sftype <= 12:  # FIXED order 0-4
+        order = sftype - 8
+        warm = [r.signed(eff) for _ in range(order)]
+        res = _read_flac_residual(r, nb, order)
+        x = np.empty(nb, np.int64)
+        x[:order] = warm
+        coefs = {
+            0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+        }[order]
+        for i in range(order, nb):
+            x[i] = res[i - order] + sum(
+                c * x[i - 1 - j] for j, c in enumerate(coefs)
+            )
+    elif sftype >= 32:  # LPC, order = sftype - 31
+        order = sftype - 31
+        warm = [r.signed(eff) for _ in range(order)]
+        prec = r.bits(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = r.signed(5)
+        coefs = [r.signed(prec) for _ in range(order)]
+        res = _read_flac_residual(r, nb, order)
+        x = np.empty(nb, np.int64)
+        x[:order] = warm
+        for i in range(order, nb):
+            acc = sum(c * int(x[i - 1 - j]) for j, c in enumerate(coefs))
+            x[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {sftype}")
+    return x << wasted
+
+
+def _decode_flac(data: bytes) -> tuple[int, int]:
+    """(sum of |samples|, per-channel sample count) of a native FLAC
+    stream — real metadata walk, frame/subframe parse, fixed+LPC
+    prediction, rice decode, all four channel assignments, CRC-8
+    header verification.  Ogg-wrapped FLAC and >2 channels raise
+    NotImplementedError (the soundfile gate)."""
+    raw = bytes(data)
+    if raw[:4] == b"OggS":
+        raise NotImplementedError("Ogg-wrapped FLAC — needs soundfile")
+    if raw[:4] != b"fLaC":
+        raise ValueError("not a native FLAC stream")
+    pos = 4
+    channels = bps = None
+    n_total = 0
+    while True:  # metadata blocks
+        if pos + 4 > len(raw):
+            raise ValueError("truncated FLAC metadata")
+        last = raw[pos] & 0x80
+        btype = raw[pos] & 0x7F
+        blen = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            br = _FlacBitReader(body, 0)
+            br.bits(16), br.bits(16), br.bits(24), br.bits(24)
+            _rate = br.bits(20)
+            channels = br.bits(3) + 1
+            bps = br.bits(5) + 1
+            n_total = br.bits(36)
+        pos += 4 + blen
+        if last:
+            break
+    if channels is None:
+        raise ValueError("FLAC stream without STREAMINFO")
+    if channels > 2:
+        raise NotImplementedError("FLAC with >2 channels — needs soundfile")
+
+    total = 0
+    n_samples = 0
+    while pos < len(raw) and (n_total == 0 or n_samples < n_total):
+        r = _FlacBitReader(raw, pos)
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        r.bit()  # reserved
+        r.bit()  # blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_assign = r.bits(4)
+        ss_code = r.bits(3)
+        r.bit()  # reserved
+        # UTF-8 coded frame/sample number: continuation count = number
+        # of 1-bits after the leading 1 (110x -> 1, 1110 -> 2, ...)
+        lead = r.bits(8)
+        extra, mask = 0, 0x40
+        if lead >= 0x80:
+            while lead & mask:
+                extra += 1
+                mask >>= 1
+        for _ in range(extra):
+            r.bits(8)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC blocksize code")
+        elif bs_code == 6:
+            nb = r.bits(8) + 1
+        elif bs_code == 7:
+            nb = r.bits(16) + 1
+        else:
+            nb = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            r.bits(8)
+        elif sr_code in (13, 14):
+            r.bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code")
+        hdr_end = r.p  # header CRC covers [pos, hdr_end) — crc byte aligned
+        r.align()
+        hdr_end = r.p
+        if _crc8(raw[pos:hdr_end]) != r.bits(8):
+            raise ValueError("FLAC frame header CRC mismatch")
+        sbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 0: bps}.get(ss_code)
+        if sbps is None:
+            raise ValueError("reserved FLAC sample-size code")
+        if ch_assign <= 7:
+            n_ch = ch_assign + 1
+            chans = [
+                _read_flac_subframe(r, nb, sbps) for _ in range(n_ch)
+            ]
+        elif ch_assign == 8:  # left + side
+            left = _read_flac_subframe(r, nb, sbps)
+            side = _read_flac_subframe(r, nb, sbps + 1)
+            chans = [left, left - side]
+        elif ch_assign == 9:  # right + side
+            side = _read_flac_subframe(r, nb, sbps + 1)
+            right = _read_flac_subframe(r, nb, sbps)
+            chans = [right + side, right]
+        elif ch_assign == 10:  # mid + side
+            mid = _read_flac_subframe(r, nb, sbps)
+            side = _read_flac_subframe(r, nb, sbps + 1)
+            m2 = (mid << 1) | (side & 1)
+            chans = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        r.align()
+        r.bits(16)  # frame CRC-16 (trailing; header CRC already checked)
+        for c in chans:
+            total += int(np.abs(c).sum())
+        n_samples += nb
+        pos = r.p
+    return total, n_samples
+
+
 def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
     """Media table whose payloads are GENUINE encodings of the stdlib
     formats (24-bit BMP, PCM16 WAV, y4m) — deterministic content, so
@@ -1247,11 +1651,18 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
                 )
         elif kind == "audio":
             samples = [((j * 37 + i * 101) % 2048) - 1024 for j in range(400)]
-            # alternate PCM16 and IMA-ADPCM payloads (both labeled
-            # "wav"; the decoder sniffs the fmt tag) so one table
-            # exercises the uncompressed AND the compressed audio path
-            enc = make_wav if (i // 3) % 2 == 0 else make_adpcm_wav
-            rows.append((i, kind, enc(samples), "wav", None, None, 50))
+            # rotate PCM16, IMA-ADPCM (both labeled "wav"; the decoder
+            # sniffs the fmt tag) and FLAC so one table exercises the
+            # uncompressed, lossy-compressed AND lossless-compressed
+            # audio paths
+            which = (i // 3) % 3
+            if which == 2:
+                rows.append(
+                    (i, kind, make_flac(samples), "flac", None, None, 50)
+                )
+            else:
+                enc = make_wav if which == 0 else make_adpcm_wav
+                rows.append((i, kind, enc(samples), "wav", None, None, 50))
         else:
             data = make_y4m(8, 6, 3 + i % 4, lambda f, j, i=i: f * 31 + j + i)
             rows.append((i, kind, data, "y4m", 8, 6, 1000))
@@ -1304,6 +1715,18 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
                 checksum, count = int(arr.sum()), int(arr.size)
         elif fmt == "wav":
             checksum, count = _decode_wav(data)
+        elif fmt == "flac":
+            try:
+                checksum, count = _decode_flac(data)
+            except NotImplementedError:
+                # Ogg-wrapped / >2-channel fall to the soundfile gate
+                if not (kind == "audio" and support.get("audio")):
+                    raise
+                import soundfile as sf
+
+                samples, _rate = sf.read(io.BytesIO(bytes(data)))
+                checksum = int(np.abs(samples).sum())
+                count = int(np.asarray(samples).size)
         elif fmt == "y4m":
             checksum, count = _decode_y4m(data)
         elif kind == "image" and support.get("image"):
@@ -1366,13 +1789,13 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode binary payloads to per-item metadata via mapInPandas.
 
     ``decoder="real"`` GENUINELY decodes the stdlib formats (24-bit
-    BMP, PNG, GIF, baseline JPEG, PCM16/IMA-ADPCM WAV, y4m —
-    :data:`STDLIB_FORMATS`) with no external library, and dispatches
-    other formats (progressive JPEG, FLAC/OGG, MP4) to whatever codec
-    libraries the environment offers (PIL / soundfile / av, per
-    :func:`codec_support`); a row in a format nothing can decode
-    raises NotImplementedError from the executor — loudly, never
-    silently.  The Spark plan is identical across decoders; only the
+    BMP, PNG, GIF, baseline JPEG, PCM16/IMA-ADPCM WAV, native FLAC,
+    y4m — :data:`STDLIB_FORMATS`) with no external library, and
+    dispatches other formats (progressive JPEG, Ogg/Vorbis, MP4) to
+    whatever codec libraries the environment offers (PIL / soundfile
+    / av, per :func:`codec_support`); a row in a format nothing can
+    decode raises NotImplementedError from the executor — loudly,
+    never silently.  The Spark plan is identical across decoders; only the
     inner pandas function changes.
     """
     support = codec_support() if decoder == "real" else {}
