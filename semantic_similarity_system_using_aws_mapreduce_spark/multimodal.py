@@ -92,7 +92,7 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 # external codec library involved.  "jpeg" means BASELINE sequential
 # Huffman JPEG (grayscale / 4:4:4 / 4:2:0, restart markers);
 # progressive streams still fall through to the PIL gate.
-STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "wav", "flac", "y4m"}
+STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "wav", "flac", "y4m", "mp4"}
 
 
 def make_bmp(width: int, height: int, rgb_fn) -> bytes:
@@ -1629,6 +1629,130 @@ def _decode_flac(data: bytes) -> tuple[int, int]:
     return total, n_samples
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12): a REAL container parser — box walk,
+# video-track discovery via hdlr, frame count off the stsz/stz2 sample
+# table.  This is the SAME information the av library branch extracts
+# (it counts frames; checksum == count == n_frames, the y4m
+# convention): a crawl pipeline needs duration/frame metadata without
+# paying an H.264 decode.  Pixel decoding stays library-gated, and
+# fragmented MP4 (moof) raises NotImplementedError into the av gate
+# because its sample counts live in the fragments.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def make_mp4(n_frames: int, width: int = 16, height: int = 9) -> bytes:
+    """A structurally GENUINE unfragmented MP4: ftyp + moov with a
+    complete video-track sample table (stts/stsc/stsz/stco) + mdat.
+    Sample payloads are dummy bytes (encoding real H.264 is the
+    library-gated part); every box the parser walks is real."""
+    import struct
+
+    b = _mp4_box
+    sample_sizes = [16 + (i % 7) for i in range(n_frames)]
+    # box bodies padded to their spec-exact v0 sizes (mvhd 100, tkhd
+    # 84, mdhd 24) — the parser only reads the sample table, but the
+    # fixture should BE a well-formed file
+    mvhd = b(b"mvhd", struct.pack(">I2I2I", 0, 0, 0, 1000, n_frames * 40) + b"\x00" * 80)
+    tkhd = b(b"tkhd", struct.pack(">I2I2I", 7, 0, 0, 1, 0) + b"\x00" * 64)
+    mdhd = b(b"mdhd", struct.pack(">I2I2I", 0, 0, 0, 1000, n_frames * 40) + b"\x00" * 4)
+    hdlr = b(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"engine\x00")
+    stsd = b(b"stsd", struct.pack(">II", 0, 1) + b(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70))
+    stts = b(b"stts", struct.pack(">IIII", 0, 1, n_frames, 40))
+    stsc = b(b"stsc", struct.pack(">IIIII", 0, 1, 1, n_frames, 1))
+    stsz = b(b"stsz", struct.pack(">III", 0, 0, n_frames) + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    stco = b(b"stco", struct.pack(">III", 0, 1, 0))
+    stbl = b(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = b(b"vmhd", struct.pack(">I", 1) + b"\x00" * 8)
+    dinf = b(b"dinf", b(b"dref", struct.pack(">II", 0, 1) + b(b"url ", struct.pack(">I", 1))))
+    minf = b(b"minf", vmhd + dinf + stbl)
+    mdia = b(b"mdia", mdhd + hdlr + minf)
+    trak = b(b"trak", tkhd + mdia)
+    moov = b(b"moov", mvhd + trak)
+    ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = b(b"mdat", bytes(sum(sample_sizes) % 4096))
+    return ftyp + moov + mdat
+
+
+def _mp4_children(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end);
+    handles 64-bit largesize and rejects malformed sizes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box size at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box matching the type path, as (body_start, body_end)."""
+    for typ, bs, be in _mp4_children(data, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return bs, be
+            found = _mp4_find(data, bs, be, path[1:])
+            if found:
+                return found
+    return None
+
+
+def _parse_mp4(data: bytes) -> tuple[int, int]:
+    """(frame count, frame count) of an unfragmented MP4's first video
+    track — the y4m/av convention (checksum == count == n_frames).
+    Real box walk: moov -> trak (hdlr == 'vide') -> stbl -> stsz/stz2.
+    Fragmented streams (moof) raise NotImplementedError (av gate)."""
+    import struct
+
+    raw = bytes(data)
+    top = list(_mp4_children(raw, 0, len(raw)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types and b"moov" not in types:
+        raise ValueError("not an ISO-BMFF (MP4) stream")
+    if b"moof" in types:
+        raise NotImplementedError("fragmented MP4 (moof) — needs av")
+    moov = next(((bs, be) for t, bs, be in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    for typ, bs, be in _mp4_children(raw, *moov):
+        if typ != b"trak":
+            continue
+        hdlr = _mp4_find(raw, bs, be, [b"mdia", b"hdlr"])
+        if hdlr is None or raw[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _mp4_find(raw, bs, be, [b"mdia", b"minf", b"stbl"])
+        if stbl is None:
+            raise ValueError("video trak without a sample table")
+        stsz = _mp4_find(raw, *stbl, [b"stsz"])
+        if stsz is not None:
+            n = struct.unpack_from(">I", raw, stsz[0] + 8)[0]
+            return n, n
+        stz2 = _mp4_find(raw, *stbl, [b"stz2"])
+        if stz2 is not None:
+            n = struct.unpack_from(">I", raw, stz2[0] + 8)[0]
+            return n, n
+        raise ValueError("video sample table without stsz/stz2")
+    raise ValueError("MP4 without a video track")
+
+
 def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
     """Media table whose payloads are GENUINE encodings of the stdlib
     formats (24-bit BMP, PCM16 WAV, y4m) — deterministic content, so
@@ -1664,8 +1788,13 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
                 enc = make_wav if which == 0 else make_adpcm_wav
                 rows.append((i, kind, enc(samples), "wav", None, None, 50))
         else:
-            data = make_y4m(8, 6, 3 + i % 4, lambda f, j, i=i: f * 31 + j + i)
-            rows.append((i, kind, data, "y4m", 8, 6, 1000))
+            # alternate the raw-frame stream and the MP4 container so
+            # one table exercises both real video parsers
+            if (i // 3) % 2 == 0:
+                data = make_y4m(8, 6, 3 + i % 4, lambda f, j, i=i: f * 31 + j + i)
+                rows.append((i, kind, data, "y4m", 8, 6, 1000))
+            else:
+                rows.append((i, kind, make_mp4(3 + i % 4), "mp4", 8, 6, 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -1729,6 +1858,17 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
                 count = int(np.asarray(samples).size)
         elif fmt == "y4m":
             checksum, count = _decode_y4m(data)
+        elif fmt == "mp4":
+            try:
+                checksum, count = _parse_mp4(data)
+            except NotImplementedError:
+                # fragmented streams fall to the av gate
+                if not (kind == "video" and support.get("video")):
+                    raise
+                import av
+
+                with av.open(io.BytesIO(bytes(data))) as container:
+                    checksum = count = sum(1 for _ in container.decode(video=0))
         elif kind == "image" and support.get("image"):
             from PIL import Image
 

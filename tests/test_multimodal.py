@@ -525,3 +525,38 @@ def test_flac_gates_and_garbage():
         mut[second + 4] ^= 0x10
         with _pytest.raises(ValueError):
             _decode_flac(bytes(mut))
+
+
+def test_mp4_container_parse_counts_frames(spark):
+    """The ISO-BMFF parser really walks boxes: frame count comes off
+    the stsz sample table of the hdlr-identified video track — the
+    same answer the av branch would give — and fragmented/garbage
+    streams fail loudly."""
+    import pytest as _pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _mp4_box,
+        _parse_mp4,
+        make_mp4,
+    )
+
+    for nf in (1, 7, 240):
+        assert _parse_mp4(make_mp4(nf)) == (nf, nf)
+    # through the live plan
+    rows = [(0, "video", make_mp4(12), "mp4", 8, 6, 480)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(media, decoder="real").collect()[0]
+    assert (got.checksum, got.pixels_or_samples) == (12, 12)
+    # fragmented -> av gate; garbage/truncation -> rejected
+    frag = make_mp4(4) + _mp4_box(b"moof", b"\x00" * 8)
+    with _pytest.raises(NotImplementedError, match="fragmented"):
+        _parse_mp4(frag)
+    with _pytest.raises(ValueError):
+        _parse_mp4(b"\x00\x00\x00\x08free not a real mp4")
+    data = make_mp4(9)
+    for cut in (4, 20, len(data) // 2):
+        try:
+            _parse_mp4(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
