@@ -161,6 +161,7 @@ EXTRA = [
     "q_domain_quota",
     "q_gopher_rules",
     "q_bpe_pair_counts",
+    "q_bpe_merges",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

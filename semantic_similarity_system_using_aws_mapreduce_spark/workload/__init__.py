@@ -147,10 +147,11 @@ _PRIORITY = [
     # promoted from LOCAL_ONLY — never driver-verified (VERDICT r6 #3):
     "q_domain_quota",
     # new in round 7 — never driver-verified (each makes window room
-    # by an explicit middle demotion below: q_ngram_jaccard_dups and
-    # q_decontaminate move to _LAST):
+    # by an explicit middle demotion below: q_ngram_jaccard_dups,
+    # q_decontaminate and q_interval_join move to _LAST):
     "q_gopher_rules",
     "q_bpe_pair_counts",
+    "q_bpe_merges",
     # the round-6 _LAST tail rotating back in (green r5, skipped r6):
     "q_repetition_signals",
     "q_part_brand_revenue",
@@ -188,13 +189,14 @@ _PRIORITY = [
     "q_sessionization",
 ]
 
-# Exported last: with 87 exported queries and a 50-row driver cap,
-# exactly these 37 fall off this round.  Every one is fully green in
-# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the four
+# Exported last: with 88 exported queries and a 50-row driver cap,
+# exactly these 38 fall off this round.  Every one is fully green in
+# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the five
 # demoted middle entries q_tagged_union, q_json_props,
-# q_ngram_jaccard_dups, q_decontaminate — rows, schema, AND hash), so
-# the rotation keeps every export driver-green within two consecutive
-# rounds, AND each is coverage-subsumed by queries that keep a slot:
+# q_ngram_jaccard_dups, q_decontaminate, q_interval_join — rows,
+# schema, AND hash), so the rotation keeps every export driver-green
+# within two consecutive rounds, AND each is coverage-subsumed by
+# queries that keep a slot:
 #   q_unpivot / q_user_event_pivot / q_pivot_status (via rotation) -
 #                           pivot/unpivot family; the rotating-in
 #                           q_pivot_status keeps a slot
@@ -290,6 +292,13 @@ _PRIORITY = [
 #                           anti-join shape rides the rotating-in
 #                           q_anti_join and q_semi_join; the shingle
 #                           arithmetic rides q_minhash_lsh_candidates
+#   q_interval_join       - (middle demotion for the new
+#                           q_bpe_merges) the range-predicate join
+#                           surface is also exercised by the
+#                           streaming stream-stream interval join
+#                           suite, and the temporal-event family
+#                           keeps q_sessionization and the as-of
+#                           join in the rotated-in window
 # All remain verified by the local mirror test either way.
 # ROUND-8 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-7 entries here) so the
@@ -335,6 +344,7 @@ _LAST = [
     "q_json_props",
     "q_ngram_jaccard_dups",
     "q_decontaminate",
+    "q_interval_join",
 ]
 
 _EXPORTED = (

@@ -194,6 +194,29 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: merge rounds for q_bpe_merges — small enough that the oracle can
+#: unroll them into chained CTEs (the q_domain_rank precedent)
+BPE_MERGE_ROUNDS = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE BPE training loop, hash-verified end to end:
+    learn {BPE_MERGE_ROUNDS} merges (operators/bpe.bpe_train — one
+    corpus pass, then vocab-sized rounds with a deterministic
+    lexicographic tie-break) and return them in rank order.  The
+    oracle unrolls the same rounds into chained CTEs; its merge
+    application wraps every symbol in chr(31) sentinels so a plain
+    non-regex replace() is boundary-safe and exactly equivalent to
+    the engine's anchored-regex merge (RE2 has no lookbehind)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        _docs(spark, sf_dir), n_merges=BPE_MERGE_ROUNDS, min_count=2
+    )
+    rows = [(i + 1, l, r) for i, (l, r) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -634,6 +657,7 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_gopher_rules": q_gopher_rules,
     "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_bpe_merges": q_bpe_merges,
     "q_lang_stats": q_lang_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
@@ -669,6 +693,52 @@ _HE_SUM_COLS = ",\n               ".join(
 )
 
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_TERMS)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    """Unroll the BPE training rounds into chained CTEs (the
+    q_domain_rank precedent for iterative operators).  Merge
+    application: every symbol is wrapped in chr(31) sentinels, so a
+    plain non-regex replace('<US>l<US><US>r<US>' -> '<US>lr<US>') is
+    (a) boundary-safe — a symbol merely ENDING in `l` can never match,
+    and (b) exactly the greedy left-to-right non-overlapping semantics
+    of the engine's lookaround-anchored regexp_replace — RE2 (DuckDB)
+    has no lookbehind, so the anchored regex itself is inexpressible
+    there."""
+    us = "chr(31)"
+    parts = [
+        f"""
+        words AS (SELECT unnest({_TOKS}) AS word FROM documents),
+        wc AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),
+        r0 AS (SELECT array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                       i -> {us} || substr(word, i, 1) || {us}), '')
+               || {us} || '</w>' || {us} AS syms, n FROM wc)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+        ss{k} AS (SELECT list_filter(string_split(syms, chr(31)),
+                                     s -> s <> '') AS ss, n
+                  FROM r{k - 1}),
+        p{k} AS (SELECT unnest(list_transform(range(1, len(ss)),
+                                              i -> ss[i])) AS l,
+                        unnest(list_transform(range(1, len(ss)),
+                                              i -> ss[i + 1])) AS r,
+                        n
+                 FROM ss{k} WHERE len(ss) >= 2),
+        c{k} AS (SELECT l, r, sum(n) AS w FROM p{k} GROUP BY l, r),
+        m{k} AS (SELECT l, r FROM c{k} ORDER BY w DESC, l, r LIMIT 1),
+        r{k} AS (SELECT replace(syms,
+                     {us} || m{k}.l || {us} || {us} || m{k}.r || {us},
+                     {us} || m{k}.l || m{k}.r || {us}) AS syms, n
+                 FROM r{k - 1} CROSS JOIN m{k})"""
+        )
+    sel = " UNION ALL ".join(
+        f'SELECT {k}::INT AS "rank", l AS "left", r AS "right" FROM m{k}'
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + "".join(parts) + f' SELECT * FROM ({sel}) ORDER BY "rank"'
 
 ORACLES = {
     "q_bm25_search": f"""
@@ -951,4 +1021,5 @@ ORACLES = {
         FROM pairs GROUP BY pair
         ORDER BY weight DESC, pair LIMIT 40
     """,
+    "q_bpe_merges": _bpe_merges_oracle(BPE_MERGE_ROUNDS),
 }
