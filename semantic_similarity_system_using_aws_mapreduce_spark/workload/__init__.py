@@ -107,7 +107,14 @@ for _m in _MODULES:
 # both are one-pass/one-GROUPING-SETS plans, cheap at sf0.01.
 # ROTATION (round 7): q_domain_quota promotes to _PRIORITY (VERDICT
 # r6 #3) — it was the only round-6 operator without a driver row.
+#   q_bpe_vocab_pieces - (new r7, mirror-only) the encode-side replay
+#                      of the learned merges; strict coverage subset
+#                      of q_bpe_merges' driver slot — its oracle IS
+#                      the same unrolled CTE chain, selecting the
+#                      final round's symbol state instead of the
+#                      argmax rows
 LOCAL_ONLY = [
+    "q_bpe_vocab_pieces",
     "q_hash_embeddings",
     "q_cohort_retention",
     "q_conversion_funnel",

@@ -217,6 +217,34 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, left string, right string")
 
 
+def q_bpe_vocab_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary segmentation under the learned tokenizer — trains
+    the {BPE_MERGE_ROUNDS}-merge model, then replays the merges over
+    the DISTINCT-word relation (operators/bpe.bpe_encode_words: encode
+    once per vocabulary entry; a full-corpus tokenization joins this
+    kilobyte table back rather than re-encoding per occurrence).
+    Oracle = the final round's symbol state of the same unrolled CTE
+    chain q_bpe_merges verifies."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=BPE_MERGE_ROUNDS, min_count=2)
+    wc = word_counts(docs)
+    return (
+        bpe_encode_words(wc, merges)
+        .join(wc, "word")
+        .select(
+            "word",
+            F.size("pieces").cast("int").alias("n_pieces"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -658,6 +686,7 @@ QUERIES = {
     "q_gopher_rules": q_gopher_rules,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_vocab_pieces": q_bpe_vocab_pieces,
     "q_lang_stats": q_lang_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
@@ -695,22 +724,36 @@ _HE_SUM_COLS = ",\n               ".join(
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_TERMS)
 
 
-def _bpe_merges_oracle(rounds: int) -> str:
-    """Unroll the BPE training rounds into chained CTEs (the
-    q_domain_rank precedent for iterative operators).  Merge
+def _bpe_vocab_pieces_oracle(rounds: int) -> str:
+    """Vocabulary segmentation AFTER the learned merges — the same
+    unrolled CTE chain as the merges oracle, selecting the final
+    round's symbol state instead of the argmax rows."""
+    final = f"""
+        SELECT word,
+               len(list_filter(string_split(syms, chr(31)),
+                               s -> s <> ''))::INT AS n_pieces,
+               n AS n_occurrences
+        FROM r{rounds}"""
+    return _bpe_unrolled(rounds) + final
+
+
+def _bpe_unrolled(rounds: int) -> str:
+    """The shared WITH-chain unrolling the BPE training rounds into
+    CTEs (the q_domain_rank precedent for iterative operators).  Merge
     application: every symbol is wrapped in chr(31) sentinels, so a
     plain non-regex replace('<US>l<US><US>r<US>' -> '<US>lr<US>') is
     (a) boundary-safe — a symbol merely ENDING in `l` can never match,
     and (b) exactly the greedy left-to-right non-overlapping semantics
     of the engine's lookaround-anchored regexp_replace — RE2 (DuckDB)
     has no lookbehind, so the anchored regex itself is inexpressible
-    there."""
+    there.  Exposes per round k: m{{k}} (the argmax merge) and r{{k}}
+    (the (word, syms, n) state after applying it)."""
     us = "chr(31)"
     parts = [
         f"""
         words AS (SELECT unnest({_TOKS}) AS word FROM documents),
         wc AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),
-        r0 AS (SELECT array_to_string(
+        r0 AS (SELECT word, array_to_string(
                    list_transform(range(1, length(word) + 1),
                        i -> {us} || substr(word, i, 1) || {us}), '')
                || {us} || '</w>' || {us} AS syms, n FROM wc)"""
@@ -729,16 +772,20 @@ def _bpe_merges_oracle(rounds: int) -> str:
                  FROM ss{k} WHERE len(ss) >= 2),
         c{k} AS (SELECT l, r, sum(n) AS w FROM p{k} GROUP BY l, r),
         m{k} AS (SELECT l, r FROM c{k} ORDER BY w DESC, l, r LIMIT 1),
-        r{k} AS (SELECT replace(syms,
+        r{k} AS (SELECT word, replace(syms,
                      {us} || m{k}.l || {us} || {us} || m{k}.r || {us},
                      {us} || m{k}.l || m{k}.r || {us}) AS syms, n
                  FROM r{k - 1} CROSS JOIN m{k})"""
         )
+    return "WITH " + "".join(parts)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
     sel = " UNION ALL ".join(
         f'SELECT {k}::INT AS "rank", l AS "left", r AS "right" FROM m{k}'
         for k in range(1, rounds + 1)
     )
-    return "WITH " + "".join(parts) + f' SELECT * FROM ({sel}) ORDER BY "rank"'
+    return _bpe_unrolled(rounds) + f' SELECT * FROM ({sel}) ORDER BY "rank"'
 
 ORACLES = {
     "q_bm25_search": f"""
@@ -1022,4 +1069,5 @@ ORACLES = {
         ORDER BY weight DESC, pair LIMIT 40
     """,
     "q_bpe_merges": _bpe_merges_oracle(BPE_MERGE_ROUNDS),
+    "q_bpe_vocab_pieces": _bpe_vocab_pieces_oracle(BPE_MERGE_ROUNDS),
 }

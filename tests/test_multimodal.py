@@ -560,3 +560,37 @@ def test_mp4_container_parse_counts_frames(spark):
             _parse_mp4(data[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_flac_lossless_property():
+    """Hypothesis fuzz: ANY int16 sample sequence, mono or stereo, any
+    blocksize, must survive the FLAC encode/decode round trip
+    bit-exactly (lossless is a property, not an example)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_flac, make_flac
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=600
+        ),
+        stereo=st.booleans(),
+        blocksize=st.sampled_from([16, 100, 256, 4096]),
+    )
+    def check(samples, stereo, blocksize):
+        if stereo and len(samples) % 2:
+            samples = samples + [0]
+        data = make_flac(
+            samples, channels=2 if stereo else 1, blocksize=blocksize
+        )
+        cs, n = _decode_flac(data)
+        assert cs == sum(abs(v) for v in samples)
+        assert n == (len(samples) // 2 if stereo else len(samples))
+
+    check()
