@@ -296,6 +296,39 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 
 
+def _gopher_flag_cols(toks_ref: str) -> list:
+    """The five Gopher rule flags as boolean Columns over a
+    MATERIALIZED token-array column (materialized so the split runs
+    once per row, not once per rule — the q_doc_quality lesson).
+    Shared by :func:`gopher_rules` and the curation funnel's
+    ``--gopher`` stage so both enforce byte-identical rules."""
+    n = F.size(toks_ref)
+    sum_len = F.aggregate(toks_ref, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_sym = F.size(
+        F.filter(toks_ref, lambda t: t.contains("#") | t.contains("..."))
+    )
+    n_alpha = F.size(F.filter(toks_ref, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stops = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks_ref, s)))
+    return [
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("ok_word_len"),
+        (n_sym * 10 < n).alias("ok_symbols"),
+        (n_alpha * 10 >= 8 * n).alias("ok_alpha"),
+        (n_stops >= 2).alias("ok_stopwords"),
+    ]
+
+
+def gopher_keep_col(toks_ref: str) -> Column:
+    """Conjunction of every Gopher rule — ONE map-side boolean over a
+    materialized token-array column."""
+    cols = _gopher_flag_cols(toks_ref)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
 def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style quality-rule flags per document — the rule-based
     quality gate (vs. the learned one in ml/quality.py and the
@@ -313,27 +346,12 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     gate at all (its corpus is pre-cleaned biarcs, Step1.java:30);
     this is north-star surface for the crawl-curation funnel."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n = F.size("toks")
-    sum_len = F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
-    n_sym = F.size(
-        F.filter("toks", lambda t: t.contains("#") | t.contains("..."))
-    )
-    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stops = F.size(F.filter(stop_arr, lambda s: F.array_contains("toks", s)))
-    flags = [
-        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
-        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("ok_word_len"),
-        (n_sym * 10 < n).alias("ok_symbols"),
-        (n_alpha * 10 >= 8 * n).alias("ok_alpha"),
-        (n_stops >= 2).alias("ok_stopwords"),
-    ]
     out = docs.select(
         "doc_id", toks.alias("toks")
     ).select(
         "doc_id",
-        n.cast("int").alias("n_words"),
-        *[f.cast("int") for f in flags],
+        F.size("toks").cast("int").alias("n_words"),
+        *[f.cast("int") for f in _gopher_flag_cols("toks")],
     )
     keep = (
         (F.col("ok_word_count") == 1)

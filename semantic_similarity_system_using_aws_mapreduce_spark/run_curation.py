@@ -89,18 +89,35 @@ def curate(
     shard_budget: int = 2048,
     shards: bool = True,
     domain_quota_k: int | None = None,
+    gopher: bool = False,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
 
     # --- stage columns (all map-side except where noted) ------------
     toks = tokens(F.col("text"))
-    staged = docs.withColumn("_n_toks", F.size(toks)).withColumn(
+    staged = docs.withColumn("_toks", toks).withColumn(
+        "_n_toks", F.size("_toks")
+    ).withColumn(
         "_ttr",
         F.when(
-            F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+            F.size("_toks") > 0,
+            F.size(F.array_distinct("_toks")) / F.size("_toks"),
         ).otherwise(F.lit(0.0)),
     )
     quality_ok = (F.col("_n_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+    # optional Gopher rule gate (operators/text_analysis.gopher_rules —
+    # byte-identical rules via the shared flag expressions), map-side
+    # like the basic quality gate, so it runs BEFORE any shuffle and
+    # rejected rows never reach the dedup stages.  NOTE: Gopher's own
+    # word-count floor is 50, stricter than the default min_tokens=24.
+    if gopher:
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import gopher_keep_col
+
+        staged = staged.withColumn("_gopher_ok", gopher_keep_col("_toks"))
+        gopher_ok = F.col("_gopher_ok")
+    else:
+        gopher_ok = F.lit(True)
+    staged = staged.drop("_toks")
 
     # exact dedup: min doc_id survives per content digest (one shuffle)
     digest_rank = F.row_number().over(
@@ -110,9 +127,9 @@ def curate(
 
     # near-dedup clusters over the quality+exact survivors only — the
     # expensive stage never sees rows an earlier (cheaper) stage drops
-    survivors0 = staged.filter(quality_ok & (F.col("_exact_rank") == 1)).select(
-        "doc_id", "text"
-    )
+    survivors0 = staged.filter(
+        quality_ok & gopher_ok & (F.col("_exact_rank") == 1)
+    ).select("doc_id", "text")
     sigs = minhash_signatures(shingle_hashes(survivors0))
     comp = connected_components(lsh_candidates(sigs)).withColumnRenamed(
         "node", "doc_id"
@@ -145,6 +162,7 @@ def curate(
             raise ValueError("--domain-quota needs a 'source' column")
         pre_kept = (
             quality_ok
+            & gopher_ok
             & (F.col("_exact_rank") == 1)
             & near_ok
             & ~F.col("_contaminated")
@@ -168,6 +186,7 @@ def curate(
         staged.withColumn(
             "_stage",
             F.when(~quality_ok, "quality")
+            .when(~gopher_ok, "gopher")
             .when(F.col("_exact_rank") != 1, "exact_dup")
             .when(~near_ok, "near_dup")
             .when(F.col("_contaminated"), "contaminated")
@@ -240,6 +259,13 @@ def main() -> None:
         help="(--format wet) keep one record per canonical target URL "
         "before any content pass — the crawl pipeline's cheapest dedup",
     )
+    ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher rule-based quality gate (word-count "
+        "bounds incl. the 50-word floor, mean word length, symbol/"
+        "alpha ratios, stop-word presence) as a map-side reject stage",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation")
@@ -257,6 +283,7 @@ def main() -> None:
         shard_budget=args.shard_budget,
         shards=not args.no_shards,
         domain_quota_k=args.domain_quota,
+        gopher=args.gopher,
     )
     print(json.dumps(manifest, default=str))
 

@@ -384,3 +384,42 @@ def test_curation_domain_quota_stage(spark, tmp_path):
     rej = spark.read.parquet(f"{out}/rejects.parquet")
     stages = {r.drop_stage for r in rej.collect()}
     assert "over_quota" in stages
+
+
+def test_curation_gopher_stage(spark, tmp_path):
+    """--gopher: the rule gate rejects documents that pass the basic
+    min_tokens/TTR quality gate but violate a Gopher rule (the 50-word
+    floor, the alpha-word ratio), with its own funnel stage; every
+    input row stays accounted for exactly once, and the stage is
+    byte-identical to operators/text_analysis.gopher_rules."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import gopher_rules
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    def prose(seed, n):
+        # natural-ish text: distinct alpha words + guaranteed stopwords
+        return "the and " + " ".join(f"{seed}word{i}" for i in range(n - 2))
+
+    rows = [
+        (1, prose("a", 60), "s1"),          # passes everything
+        (2, prose("b", 30), "s1"),          # passes min_tokens=24, fails 50-word floor
+        (3, "the and " + " ".join(str(i) * 3 for i in range(58)), "s2"),  # fails alpha ratio
+        (4, "too short", "s2"),             # basic quality drop, not gopher's
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = str(tmp_path / "gopher_out")
+    manifest = curate(spark, docs, out, shards=False, gopher=True)
+    funnel = manifest["funnel"]
+    assert manifest["n_input"] == len(rows) == sum(funnel.values())
+    assert funnel["quality"] == 1
+    assert funnel["gopher"] == 2
+    assert funnel["kept"] == 1
+    kept = spark.read.parquet(f"{out}/curated.parquet")
+    assert [r.doc_id for r in kept.collect()] == [1]
+    # stage verdicts == the standalone operator's keep flags
+    flags = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
+    assert flags == {1: 1, 2: 0, 3: 0, 4: 0}
+    # without the flag, doc 2 and 3 are kept (back-compat: no gopher stage)
+    out2 = str(tmp_path / "gopher_off")
+    manifest2 = curate(spark, docs, out2, shards=False)
+    assert "gopher" not in manifest2["funnel"]
+    assert manifest2["funnel"]["kept"] == 3
