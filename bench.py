@@ -162,6 +162,7 @@ EXTRA = [
     "q_gopher_rules",
     "q_bpe_pair_counts",
     "q_bpe_merges",
+    "q_quantile_sketch",
 ]
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

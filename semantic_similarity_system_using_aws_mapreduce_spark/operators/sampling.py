@@ -546,3 +546,55 @@ def cluster_split(group_col: Column) -> Column:
         .when(b < SPLIT_VAL_PERMILLE, "val")
         .otherwise("test")
     )
+
+
+def bottomk_sample(
+    df: DataFrame, key_col: str, k: int = 256, salt: str = "qsk"
+) -> DataFrame:
+    """The k rows whose salted md5 key-hash is SMALLEST — a
+    deterministic uniform sample with bounded state (the KMV idea
+    pointed at rows instead of distinct counts).  MERGEABLE exactly:
+    bottom-k of a union == bottom-k of the per-shard bottom-k union,
+    so shards, partitions, and streaming micro-batches fold without
+    approximation drift — and because the hash (not a RNG) picks the
+    sample, two engines select the IDENTICAL rows.
+
+    Scale shape: the per-partition sort is a TopK (k rows of state per
+    task, partial across partitions), never a full sort; the sample
+    relation that leaves the scan is k rows regardless of corpus
+    size."""
+    h = md5_int(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    # key tiebreak: md5 collisions are ~impossible at 60 bits, but a
+    # deterministic total order costs nothing and removes the "~"
+    return (
+        df.withColumn("_h", h).orderBy("_h", key_col).limit(k).drop("_h")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    k: int = 256,
+    salt: str = "qsk",
+) -> DataFrame:
+    """(prob, estimate) quantile estimates from a :func:`bottomk_sample`
+    — O(1/sqrt(k)) rank error with k rows of state, vs. a full sort
+    for exact quantiles.  The estimate is the exact interpolated
+    percentile OF THE SAMPLE, so given the same keys it is
+    bit-deterministic across engines and runs (unlike reservoir or
+    RNG sampling) and the whole relation hash-verifies."""
+    sample = bottomk_sample(df.select(key_col, value_col), key_col, k, salt)
+    rows = [
+        F.struct(
+            F.lit(p).alias("prob"),
+            F.percentile(F.col(value_col), F.lit(p)).alias("estimate"),
+        )
+        for p in probs
+    ]
+    return (
+        sample.agg(F.array(*rows).alias("qs"))
+        .select(F.explode("qs").alias("q"))
+        .select("q.prob", "q.estimate")
+    )

@@ -155,10 +155,12 @@ _PRIORITY = [
     "q_domain_quota",
     # new in round 7 — never driver-verified (each makes window room
     # by an explicit middle demotion below: q_ngram_jaccard_dups,
-    # q_decontaminate and q_interval_join move to _LAST):
+    # q_decontaminate, q_interval_join and q_simhash_near_dups move
+    # to _LAST):
     "q_gopher_rules",
     "q_bpe_pair_counts",
     "q_bpe_merges",
+    "q_quantile_sketch",
     # the round-6 _LAST tail rotating back in (green r5, skipped r6):
     "q_repetition_signals",
     "q_part_brand_revenue",
@@ -196,14 +198,14 @@ _PRIORITY = [
     "q_sessionization",
 ]
 
-# Exported last: with 88 exported queries and a 50-row driver cap,
-# exactly these 38 fall off this round.  Every one is fully green in
-# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the five
+# Exported last: with 89 exported queries and a 50-row driver cap,
+# exactly these 39 fall off this round.  Every one is fully green in
+# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the six
 # demoted middle entries q_tagged_union, q_json_props,
-# q_ngram_jaccard_dups, q_decontaminate, q_interval_join — rows,
-# schema, AND hash), so the rotation keeps every export driver-green
-# within two consecutive rounds, AND each is coverage-subsumed by
-# queries that keep a slot:
+# q_ngram_jaccard_dups, q_decontaminate, q_interval_join,
+# q_simhash_near_dups — rows, schema, AND hash), so the rotation
+# keeps every export driver-green within two consecutive rounds, AND
+# each is coverage-subsumed by queries that keep a slot:
 #   q_unpivot / q_user_event_pivot / q_pivot_status (via rotation) -
 #                           pivot/unpivot family; the rotating-in
 #                           q_pivot_status keeps a slot
@@ -306,6 +308,14 @@ _PRIORITY = [
 #                           suite, and the temporal-event family
 #                           keeps q_sessionization and the as-of
 #                           join in the rotated-in window
+#   q_simhash_near_dups   - (middle demotion for the new
+#                           q_quantile_sketch) the near-dup family
+#                           keeps q_minhash_lsh_candidates (middle)
+#                           and the rotated-in q_exact_jaccard_join;
+#                           the simhash bit-aggregate arithmetic
+#                           stays mirror-verified (q_simhash
+#                           LOCAL_ONLY oracles the identical
+#                           60-bit aggregates)
 # All remain verified by the local mirror test either way.
 # ROUND-8 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-7 entries here) so the
@@ -352,6 +362,7 @@ _LAST = [
     "q_ngram_jaccard_dups",
     "q_decontaminate",
     "q_interval_join",
+    "q_simhash_near_dups",
 ]
 
 _EXPORTED = (

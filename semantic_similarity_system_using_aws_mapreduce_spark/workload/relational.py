@@ -393,6 +393,44 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile-sketch parameters (q_quantile_sketch)
+QSK_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+QSK_K = 256
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-state quantile estimation
+    (operators/sampling.quantile_sketch): a deterministic hash-bottom-k
+    sample (k={QSK_K} rows of state however large the table — the KMV
+    idea pointed at quantiles) yields interpolated estimates, audited
+    in-query against the exact full-sort percentiles with a rank-space
+    check (|CDF(estimate) - p| <= 0.1, ~2.5x the 2/sqrt(k) standard
+    error).  Hash-verifies EXACTLY because the hash picks the sample —
+    no RNG, no reservoir order dependence; the same property makes the
+    sample exactly mergeable across shards and micro-batches."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import quantile_sketch
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    est = quantile_sketch(o, "o_totalprice", "o_orderkey", QSK_PROBS, k=QSK_K)
+    # rank-space audit: one broadcast of the 6-row estimate relation,
+    # one partial-aggregated pass over the table
+    cdf = (
+        o.crossJoin(F.broadcast(est))
+        .groupBy("prob")
+        .agg(
+            F.avg((F.col("o_totalprice") <= F.col("estimate")).cast("int")).alias(
+                "_cdf"
+            ),
+            F.first("estimate").alias("_est"),
+        )
+    )
+    return cdf.select(
+        F.round("prob", 2).alias("prob"),
+        F.round("_est", 6).alias("estimate"),
+        (F.abs(F.col("_cdf") - F.col("prob")) <= 0.1).cast("int").alias("ok"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based aggregate)."""
     o = _t(spark, sf_dir, "orders")
@@ -575,6 +613,7 @@ QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q_window_functions": q_window_functions,
     "q_percentiles": q_percentiles,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_date_buckets": q_date_buckets,
     "q_string_funcs": q_string_funcs,
     "q_array_agg": q_array_agg,
@@ -639,6 +678,34 @@ ORACLES = {
                round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
                round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         FROM orders GROUP BY o_orderstatus
+    """,
+    # deterministic hash-bottom-k sample -> interpolated estimates ->
+    # rank-space audit vs the full table; mirrors
+    # operators/sampling.quantile_sketch expression for expression
+    "q_quantile_sketch": """
+        WITH sample AS (
+            SELECT o_totalprice FROM orders
+            ORDER BY ('0x' || substr(md5('qsk:' || o_orderkey::VARCHAR), 1, 15))::BIGINT,
+                     o_orderkey
+            LIMIT 256
+        ),
+        est AS (
+            SELECT 0.1::DOUBLE AS prob, quantile_cont(o_totalprice, 0.1) AS estimate FROM sample
+            UNION ALL SELECT 0.25::DOUBLE, quantile_cont(o_totalprice, 0.25) FROM sample
+            UNION ALL SELECT 0.5::DOUBLE, quantile_cont(o_totalprice, 0.5) FROM sample
+            UNION ALL SELECT 0.75::DOUBLE, quantile_cont(o_totalprice, 0.75) FROM sample
+            UNION ALL SELECT 0.9::DOUBLE, quantile_cont(o_totalprice, 0.9) FROM sample
+            UNION ALL SELECT 0.99::DOUBLE, quantile_cont(o_totalprice, 0.99) FROM sample
+        ),
+        cdf AS (
+            SELECT prob, estimate,
+                   avg((o_totalprice <= estimate)::INT) AS c
+            FROM orders CROSS JOIN est GROUP BY prob, estimate
+        )
+        SELECT round(prob, 2) AS prob,
+               round(estimate, 6) AS estimate,
+               (abs(c - prob) <= 0.1)::INT AS ok
+        FROM cdf
     """,
     "q_date_buckets": """
         SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,

@@ -34,6 +34,7 @@ def test_export_ordered_for_the_driver_cap():
         "q_gopher_rules",
         "q_bpe_pair_counts",
         "q_bpe_merges",
+        "q_quantile_sketch",
         "q_repetition_signals",
         "q_part_brand_revenue",
         "q_embedding_quantization",

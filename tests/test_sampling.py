@@ -371,3 +371,42 @@ def test_domain_quota_two_phase_equals_naive_window(spark):
         if t[1] == "hot" and t[0] not in {k[0] for k in kept_hot}
     )
     assert min(t[2] for t in kept_hot) >= dropped_max - 0  # ties allowed
+
+
+def test_bottomk_quantile_sketch_merges_exactly(spark):
+    """The sketch's scale claim: bottom-k of a UNION equals the
+    re-truncated union of per-shard bottom-k samples — shards,
+    partitions, and micro-batches fold with ZERO approximation drift
+    (hash selection, not RNG).  And the estimates audit within the
+    rank tolerance vs exact percentiles."""
+    import pyspark.sql.functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
+        bottomk_sample,
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.pow(F.col("id") % 1000, 1.3)).alias("v"),  # skewed values
+    )
+    whole = sorted(map(tuple, bottomk_sample(df, "k", k=128).collect()))
+    shards = [df.filter(F.col("k") % 3 == i) for i in range(3)]
+    folded_src = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    # per-shard bottom-k, unioned, re-truncated == whole-table bottom-k
+    per_shard = bottomk_sample(shards[0], "k", k=128)
+    for s in shards[1:]:
+        per_shard = per_shard.unionByName(bottomk_sample(s, "k", k=128))
+    folded = sorted(map(tuple, bottomk_sample(per_shard, "k", k=128).collect()))
+    assert folded == whole == sorted(map(tuple, bottomk_sample(folded_src, "k", k=128).collect()))
+
+    # estimates within rank tolerance of the exact percentiles
+    probs = [0.25, 0.5, 0.9]
+    est = {r.prob: r.estimate for r in quantile_sketch(df, "v", "k", probs, k=128).collect()}
+    n = df.count()
+    for p in probs:
+        cdf = df.filter(F.col("v") <= est[p]).count() / n
+        assert abs(cdf - p) <= 0.15, (p, est[p], cdf)
+    # deterministic across runs
+    est2 = {r.prob: r.estimate for r in quantile_sketch(df, "v", "k", probs, k=128).collect()}
+    assert est == est2
