@@ -798,6 +798,63 @@ def run_streaming_token_sketch(
     )
 
 
+def run_streaming_quantile_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    k: int = 256,
+    salt: str = "qsk",
+) -> None:
+    """Continuous distribution tracking: each micro-batch's document
+    token counts fold into a persisted hash-bottom-k sample — the
+    streaming face of q_quantile_sketch, and the second mergeable
+    sketch next to the CMS (run_streaming_token_sketch), with the same
+    replay discipline (applied_batch_id stamp; at-least-once
+    micro-batches whose id is already <= the stamp are SKIPPED) and
+    the same atomic_replace rewrite.
+
+    EXACT convergence, not approximate: bottom-k selection is by the
+    salted md5 of the key, so bottom-k(union) == bottom-k(bottom-k(A)
+    ∪ B) — after draining any prefix of the stream the persisted
+    sample is ROW-IDENTICAL to the batch operator
+    (operators/sampling.bottomk_sample) over the documents ingested so
+    far, and so are the quantile estimates (the test asserts both).
+    State is k rows however much text flows through."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int, tokens
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        prev = read_parquet_recovering(spark, sketch_path)
+        if prev is not None:
+            applied = prev.agg(F.max("applied_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # at-least-once replay of an already-merged batch
+        delta = batch.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("v"),
+            md5_int(
+                F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+            ).alias("_h"),
+        )
+        merged = (
+            delta
+            if prev is None
+            else delta.unionByName(prev.select("doc_id", "v", "_h"))
+        )
+        sample = merged.orderBy("_h", "doc_id").limit(k)
+        atomic_replace(
+            sample.withColumn("applied_batch_id", F.lit(batch_id)), sketch_path
+        )
+
+    (
+        read_document_stream(spark, source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", sketch_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def forget_documents(
     spark: SparkSession,
     corpus_path: str,

@@ -1888,3 +1888,68 @@ def test_vacuum_covers_the_segment_bucket_table_too(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("svac_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_quantile_sketch_converges_to_batch(spark, tmp_path):
+    """Per-micro-batch bottom-k folds into the persisted sample table
+    must be ROW-IDENTICAL to the batch bottomk_sample over all
+    ingested documents (hash selection merges EXACTLY — streaming
+    introduces zero drift), estimates match the batch operator, and an
+    at-least-once replay is a no-op via the applied_batch_id stamp."""
+    import glob
+    import os
+    import shutil
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int, tokens as _tokens
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import bottomk_sample
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_quantile_sketch
+
+    batches = {
+        "qb_a": [(i, " ".join(f"a{j}" for j in range(5 + i))) for i in range(1, 8)],
+        "qb_b": [(i, " ".join(f"b{j}" for j in range(3 + 2 * i))) for i in range(10, 20)],
+        "qb_c": [(i, " ".join(f"c{j}" for j in range(40))) for i in range(30, 34)],
+    }
+    src = tmp_path / "qsk_incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for name, rows in batches.items():
+        ds = tmp_path / f"_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    sketch_path = str(tmp_path / "qsketch")
+    run_streaming_quantile_sketch(spark, str(src), sketch_path, k=10)
+
+    all_rows = [r for rows in batches.values() for r in rows]
+    docs = spark.createDataFrame(all_rows, schema)
+    rel = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("v"),
+        md5_int(
+            F.concat_ws(":", F.lit("qsk"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    )
+    expected = sorted(
+        (r.doc_id, r.v) for r in bottomk_sample(rel.drop("_h"), "doc_id", k=10).collect()
+    )
+
+    def read_sample():
+        return sorted(
+            (r.doc_id, r.v)
+            for r in spark.read.parquet(sketch_path).select("doc_id", "v").collect()
+        )
+
+    assert read_sample() == expected
+    assert len(expected) == 10  # 21 docs ingested, k rows of state
+
+    # at-least-once replay: drop the final commit so the last batch
+    # re-delivers — the stamp makes the fold a no-op, not a double-merge
+    commits = sorted(os.listdir(os.path.join(sketch_path + "_ckpt", "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(sketch_path + "_ckpt", "commits", last))
+    crc = os.path.join(sketch_path + "_ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_quantile_sketch(spark, str(src), sketch_path, k=10)
+    assert read_sample() == expected
