@@ -321,8 +321,11 @@ _PRIORITY = [
 # demote the then-green round-7 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 # Every entry below is green in CORRECTNESS_r06, so each tolerates
-# exactly the round-7 skip; all 35 must re-enter the round-8 window
-# (35 ≤ 50, so no staging is needed).
+# exactly the round-7 skip; all 39 must re-enter the round-8 window
+# (39 ≤ 50, leaving 11 middle slots — exactly the current middle —
+# so no staging is needed and no new-query slots remain free: a
+# round-8 addition must demote a then-green middle entry, as this
+# round did).
 _LAST = [
     "q_unpivot",
     "q_user_event_pivot",
