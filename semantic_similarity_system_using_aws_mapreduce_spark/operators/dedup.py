@@ -1152,3 +1152,56 @@ def source_overlap_kmv(
             ).alias("est_jaccard"),
         )
     )
+
+
+def lsh_plan(
+    threshold: float, n_hashes: int = 8, resolution: int = 1000
+) -> dict:
+    """Pick (n_bands, rows_per_band) for :func:`lsh_candidates` from a
+    target Jaccard threshold — the S-curve calculus every MinHash-LSH
+    deployment does by hand (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+
+    A (b bands x r rows) scheme makes a pair with similarity s a
+    candidate with probability  p(s) = 1 - (1 - s^r)^b.  Among the
+    factorizations of ``n_hashes`` this picks the one minimizing the
+    integrated error
+        ∫_0^t p(s) ds  +  ∫_t^1 (1 - p(s)) ds
+    (false-candidate mass below the threshold + missed mass above it),
+    evaluated by midpoint rule at ``resolution`` points — exact enough
+    that the argmin is stable, cheap enough to run at plan time.
+
+    Returns {"n_bands", "rows_per_band", "fp_mass", "fn_mass",
+    "s50"} where s50 is the similarity at which p crosses 1/2
+    (~(1/b)^(1/r), the scheme's effective threshold).  Driver-side
+    pure arithmetic over a handful of factorizations — nothing
+    touches data."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        fp = fn = 0.0
+        for i in range(resolution):
+            s = (i + 0.5) / resolution
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        fp /= resolution
+        fn /= resolution
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r, fp, fn)
+    _err, b, r, fp, fn = best
+    # p(s50) = 1/2  =>  s50 = (1 - (1/2)^(1/b))^(1/r)
+    s50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+    return {
+        "n_bands": b,
+        "rows_per_band": r,
+        "fp_mass": round(fp, 6),
+        "fn_mass": round(fn, 6),
+        "s50": round(s50, 6),
+    }

@@ -641,3 +641,27 @@ def test_paragraph_dedup_keep_first_survives_60bit_doc_ids(spark):
     assert got[1].n_kept == 2 and got[1].n_dup == 0
     assert got[1 << 43].n_dup == 1 and got[1 << 43].n_kept == 1
     assert shared in got[1].kept_text and shared not in got[1 << 43].kept_text
+
+
+def test_lsh_plan_picks_sane_bandings():
+    """The S-curve tuner: low thresholds pick many-bands/short-rows
+    (recall-leaning), high thresholds pick few-bands/long-rows
+    (precision-leaning); the effective threshold s50 tracks the
+    request; and the chosen scheme always factors n_hashes."""
+    import pytest as _pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import lsh_plan
+
+    lo = lsh_plan(0.2, n_hashes=8)
+    hi = lsh_plan(0.9, n_hashes=8)
+    assert lo["n_bands"] * lo["rows_per_band"] == 8
+    assert hi["n_bands"] * hi["rows_per_band"] == 8
+    assert lo["rows_per_band"] < hi["rows_per_band"]  # recall vs precision
+    assert abs(lo["s50"] - 0.2) < 0.25 and abs(hi["s50"] - 0.9) < 0.25
+    # the engine default (4 bands x 2 rows) is what mid thresholds pick
+    mid = lsh_plan(0.45, n_hashes=8)
+    assert (mid["n_bands"], mid["rows_per_band"]) == (4, 2)
+    # deterministic and input-validated
+    assert lsh_plan(0.45, n_hashes=8) == mid
+    with _pytest.raises(ValueError):
+        lsh_plan(1.5)
