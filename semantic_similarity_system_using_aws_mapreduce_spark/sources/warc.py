@@ -181,12 +181,22 @@ def _open_archive(content: bytes):
     return io.BytesIO(content)
 
 
+def _ensure_charset_confs(spark: SparkSession) -> None:
+    """The WARC surface must never throw on crawl bytes: REPLACE
+    coding-error action + the full JVM charset set (see session.py —
+    set here too so the readers are safe under a SparkSession built by
+    some other factory; both are runtime SQL confs)."""
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """One row per WARC record under ``path`` (plain or .gz archives;
     glob patterns work).  Corrupt records surface as quarantine rows
     (``corrupt = true``) rather than failing the archive — filter on
     the flag for the ingest/reject split, same contract as the JSONL
     and CSV readers."""
+    _ensure_charset_confs(spark)
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -305,6 +315,7 @@ def wet_documents(
     runs here (unlike :func:`response_bodies`); under the session's
     REPLACE coding-error action a stray invalid byte degrades to
     U+FFFD instead of aborting the archive scan."""
+    _ensure_charset_confs(records.sparkSession)
     ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
         "record_id"
     ).isNotNull()
@@ -458,6 +469,7 @@ def response_bodies(records: DataFrame) -> DataFrame:
     actually decoded the row) and ``n_repl`` (U+FFFD replacement
     count under the session's REPLACE coding-error action) so the
     quality gate can drop mojibake instead of training on it."""
+    _ensure_charset_confs(records.sparkSession)
     probe = F.decode(F.col("payload"), "ISO-8859-1")  # total: 1 byte = 1 char
     sep = F.instr(probe, "\r\n\r\n")
     header_probe = F.when(sep > 0, F.substring(probe, 1, sep - 1)).otherwise(F.lit(""))
