@@ -224,6 +224,131 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+#: tags that terminate a text block (jusText's "block-level" set):
+#: splitting HTML on their open/close forms yields the candidate
+#: blocks the density scorer classifies.
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|td|tr|th|table|thead|tbody|nav|"
+    r"footer|header|aside|article|section|main|blockquote|pre|form|"
+    r"fieldset|br)[^>]*>"
+)
+
+#: default block-classification thresholds (jusText-shaped: a block is
+#: main content iff it has enough text AND low enough link density)
+MAIN_CONTENT_MIN_CHARS = 25
+MAIN_CONTENT_MAX_LINK_PCT = 33
+
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+)
+
+
+def _block_text(b: Column) -> Column:
+    """Tag-strip + entity-decode + whitespace-collapse one raw block
+    (the html_to_text tail, backreference-free so the DuckDB/RE2
+    oracle can run the identical chain)."""
+    t = F.regexp_replace(b, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_chars: int = MAIN_CONTENT_MIN_CHARS,
+    max_link_pct: int = MAIN_CONTENT_MAX_LINK_PCT,
+) -> DataFrame:
+    """Block-level main-content extraction (the jusText / text-density
+    heuristic shape: Pomikalek 2011, also Kohlschuetter 2010
+    boilerpipe): split the page into blocks at block-level tag
+    boundaries, score each block by text length and link density, and
+    keep only "good" blocks — so per-page template furniture
+    (nav/footer/sidebar: short, link-dense) is stripped even when the
+    template appears once in the corpus and corpus-level paragraph
+    dedup can't see it.
+
+    Entirely JVM-side column expressions — split / transform / filter
+    / aggregate over the per-row block array; no Python stage, no
+    shuffle, scale-safe at any corpus size.  A block is main content
+    iff ``n_chars >= min_chars`` AND ``anchor_chars * 100 <=
+    max_link_pct * n_chars`` (integer cross-multiplication, the
+    gopher_rules trick — no FP ratio whose rounding an oracle could
+    disagree with).
+
+    Adds ``main_text`` (good blocks joined), ``n_blocks`` (non-empty
+    blocks), ``n_good_blocks``, ``total_chars`` / ``good_chars``
+    (block-text chars), and ``boilerplate_ppm`` (rejected-chars
+    density in parts-per-million, exact integer div) — the columns the
+    quality gate consumes.  The block-stats array is materialized in
+    its own projection so the split+score chain runs once per row
+    (multi-use non-cheap aliases are not collapsed by Catalyst).
+
+    The reference never needs this: its corpus is pre-cleaned text
+    (Step1.java:30).  It belongs to the crawl-ingestion path this
+    engine adds (sources/warc.py)."""
+    pre = F.regexp_replace(
+        F.col(html_col), r"(?is)<script[^>]*>.*?</script\s*>", " "
+    )
+    pre = F.regexp_replace(pre, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    pre = F.regexp_replace(pre, r"(?s)<!--.*?-->", " ")
+
+    def _stat(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a[^>]*>([^<]*)"), 1)
+        a_chars = F.aggregate(
+            F.transform(
+                anchors,
+                lambda a: F.length(F.trim(F.regexp_replace(a, r"\s+", " "))),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        text = _block_text(b)
+        return F.struct(
+            text.alias("txt"),
+            F.length(text).alias("n_chars"),
+            a_chars.alias("a_chars"),
+        )
+
+    staged = df.withColumn(
+        "__mc_stats", F.transform(F.split(pre, _BLOCK_SPLIT_RE), _stat)
+    )
+    good = F.filter(
+        "__mc_stats",
+        lambda s: (s.n_chars >= min_chars)
+        & (s.a_chars * 100 <= max_link_pct * s.n_chars),
+    )
+    with_sums = staged.select(
+        *df.columns,
+        F.array_join(F.transform(good, lambda s: s.txt), " ").alias("main_text"),
+        F.size(F.filter("__mc_stats", lambda s: s.n_chars > 0))
+        .cast("long")
+        .alias("n_blocks"),
+        F.size(good).cast("long").alias("n_good_blocks"),
+        F.aggregate(
+            "__mc_stats", F.lit(0), lambda acc, s: acc + s.n_chars
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.aggregate(good, F.lit(0), lambda acc, s: acc + s.n_chars)
+        .cast("long")
+        .alias("good_chars"),
+    )
+    return with_sums.withColumn(
+        "boilerplate_ppm",
+        F.expr(
+            "case when total_chars > 0 then"
+            " (1000000 * (total_chars - good_chars)) div total_chars"
+            " else 0 end"
+        ),
+    )
+
+
 def cms_sketch(
     toks: DataFrame, d: int = 3, w: int = 512, token_col: str = "token"
 ) -> DataFrame:

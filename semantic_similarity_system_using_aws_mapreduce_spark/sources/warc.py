@@ -512,14 +512,20 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     second Python stage.
 
     Docs additionally carry ``charset`` (what decoded the body — see
-    :func:`response_bodies`) and ``n_repl`` (malformed-byte
-    replacement count): a page whose replacement density is high is
-    mojibake, and the downstream quality gate should treat it like any
-    other low-quality text rather than this reader silently shipping
-    it as clean."""
-    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import html_to_text
+    :func:`response_bodies`), ``n_repl`` (malformed-byte replacement
+    count: a page whose replacement density is high is mojibake, and
+    the downstream quality gate should treat it like any other
+    low-quality text rather than this reader silently shipping it as
+    clean), and ``main_text``/``boilerplate_ppm`` from the block-level
+    main-content extractor (operators/text_analysis.main_content) —
+    ``text`` stays the full extraction so small legitimate pages
+    survive, while the gate can prefer the furniture-stripped view."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        html_to_text,
+        main_content,
+    )
 
-    bodies = response_bodies(records)
+    bodies = main_content(response_bodies(records), html_col="body")
     host = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
     text = html_to_text(F.col("body"))
     shaped = bodies.select(
@@ -530,6 +536,14 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit(None).cast("string").alias("lang"),
         F.coalesce(host, F.lit("unknown")).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
+        # block-level main-content extraction (text_analysis.
+        # main_content, jusText-shaped): `text` stays the full
+        # extraction — small legitimate pages have no >=min_chars
+        # block — while main_text/boilerplate_ppm let the quality
+        # gate prefer the furniture-stripped view and penalize
+        # template-heavy pages
+        "main_text",
+        "boilerplate_ppm",
         "charset",
         "n_repl",
         "http_status",

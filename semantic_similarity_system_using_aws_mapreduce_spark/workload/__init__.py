@@ -138,195 +138,22 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 7),
-# executing the round-6 registry's ROUND-7 NOTE and VERDICT r6 #1/#3:
-# the full 34-entry round-6 _LAST tail (every entry fully green in
-# CORRECTNESS_r05, mirror-verified since) rotates back into the
-# window — no round-8 staging needed, because 35 priority + 15 middle
-# = exactly the 50-row window — plus the q_domain_quota promotion
-# from LOCAL_ONLY (never driver-verified, so it leads).  The 33
-# round-6 _PRIORITY entries (all fully green in CORRECTNESS_r06)
-# demote to the new _LAST tail together with two coverage-subsumed
-# middle entries (q_tagged_union, q_json_props — both green r6),
-# keeping the every-export-green-within-two-rounds invariant:
-# r7-window ∪ r6-green covers all 85 exports.
+# order-sensitive cap can't starve them again.  ROTATION (round 8),
+# executing the round-7 registry's ROUND-8 NOTE and VERDICT r7 #1:
+# the full 39-entry round-7 _LAST tail (every entry fully green in
+# CORRECTNESS_r06, mirror-verified since) rotates back into the
+# 50-row window.  39 rotated + 11 middle = exactly 50, so every new
+# round-8 query makes window room by an explicit middle demotion
+# (noted per entry).  The 39 round-7 _PRIORITY entries (all fully
+# green in CORRECTNESS_r07) demote to the new _LAST tail, keeping
+# the every-export-green-within-two-rounds invariant:
+# r8-window ∪ r7-green covers all exports.
 _PRIORITY = [
-    # promoted from LOCAL_ONLY — never driver-verified (VERDICT r6 #3):
-    "q_domain_quota",
-    # new in round 7 — never driver-verified (each makes window room
-    # by an explicit middle demotion below: q_ngram_jaccard_dups,
-    # q_decontaminate, q_interval_join and q_simhash_near_dups move
-    # to _LAST):
-    "q_gopher_rules",
-    "q_bpe_pair_counts",
-    "q_bpe_merges",
-    "q_quantile_sketch",
-    # the round-6 _LAST tail rotating back in (green r5, skipped r6):
-    "q_repetition_signals",
-    "q_part_brand_revenue",
-    "q_embedding_quantization",
-    "q_stratified_sample",
-    "q_token_shards",
-    "q_sample_per_group",
-    "q_dedup_clusters",
-    "q_lang_id",
-    "q_regex_token_stats",
-    "q_rolling_fingerprint",
-    "q_doc_quality",
-    "q_asof_view_before_purchase",
-    "q_token_totals",
-    "q_doc_chunks",
-    "q_minhash_signatures",
-    "q01_pricing_summary",
-    "q_window_functions",
-    "q_token_counts",
-    "q_semi_join",
-    "q_anti_join",
-    "q_pivot_status",
-    "q_exact_dedup",
-    "q_label_centroids",
-    "q_above_nation_avg",
-    "q_exact_jaccard_join",
-    "q_cms_heavy_hitters",
-    "q_bm25_search",
-    "q_cube_qty",
-    "q_sketch_accuracy",
-    "q_cosine_pairs",
-    "q_embedding_parity_measures",
-    "q_ann_ivf_recall",
-    "q_hourly_event_stats",
-    "q_sessionization",
-]
-
-# Exported last: with 89 exported queries and a 50-row driver cap,
-# exactly these 39 fall off this round.  Every one is fully green in
-# CORRECTNESS_r06 (round 6's 33 _PRIORITY entries plus the six
-# demoted middle entries q_tagged_union, q_json_props,
-# q_ngram_jaccard_dups, q_decontaminate, q_interval_join,
-# q_simhash_near_dups — rows, schema, AND hash), so the rotation
-# keeps every export driver-green within two consecutive rounds, AND
-# each is coverage-subsumed by queries that keep a slot:
-#   q_unpivot / q_user_event_pivot / q_pivot_status (via rotation) -
-#                           pivot/unpivot family; the rotating-in
-#                           q_pivot_status keeps a slot
-#   q_array_agg           - array agg carried by the rotating-in
-#                           q_label_centroids
-#   q_acctbal_share / q_above_nation_avg (rotating in) - 1-row-agg
-#                           broadcast compares swap slots; the
-#                           rotating-in q_token_totals also carries it
-#   q_distinct_counts     - distinct aggregates also inside the
-#                           rotating-in q_sketch_accuracy (exact
-#                           branch) and q_cube_qty
-#   q05_local_supplier    - grouped agg over the 6-way join; carried
-#                           by q03_shipping_priority (keeps a slot)
-#                           and the rotating-in q01_pricing_summary
-#   q_date_buckets        - date/hour bucketing carried by the
-#                           rotating-in q_hourly_event_stats
-#   q_string_funcs        - string surface rides q_pii_redaction
-#                           (keeps a slot) and the rotating-in
-#                           q_regex_token_stats
-#   q_full_outer_align    - the J4 zero-filled align is also the core
-#                           of q_source_similarity (keeps a slot)
-#   q_having_big_customers - grouped HAVING carried by q03 and the
-#                           rotating-in q01_pricing_summary
-#   q_range_frame         - RANGE frames ride the rotating-in
-#                           q_window_functions
-#   q_sequence_packing    - chunk/pack family slot passes back to the
-#                           rotating-in q_doc_chunks and q_token_shards
-#   q_semantic_dedup      - SRP-bucketed cosine; the embedding-dedup
-#                           family keeps q_ann_lsh_topk (middle) and
-#                           the rotating-in q_cosine_pairs
-#   q_duplicate_spans / q_span_scrub - span-hash shape carried by the
-#                           rotating-in q_rolling_fingerprint
-#   q_training_order / q_source_mixture - md5-bucket sampling rides
-#                           the rotating-in q_stratified_sample and
-#                           q_sample_per_group
-#   q_event_sequences     - temporal-order surface rides the
-#                           rotating-in q_sessionization and
-#                           q_asof_view_before_purchase
-#   q_dsir_select         - importance-resampling ratios; the
-#                           bucket-ratio shape rides the rotating-in
-#                           q_stratified_sample; profiled plan pinned
-#                           by test_sampling
-#   q_bloom_dedup         - broadcast-bitmap membership; semi/anti
-#                           family keeps q_decontaminate (middle) and
-#                           the rotating-in q_semi_join/q_anti_join
-#   q_leakage_safe_split  - cluster-bucket split rides the rotating-in
-#                           q_dedup_clusters (same CC subplan)
-#   q_data_card / q_table_stats - GROUPING SETS / multi-column stats
-#                           carried by the rotating-in q_cube_qty and
-#                           q_sketch_accuracy
-#   q_blocked_cosine_pairs - its oracle is VERBATIM the rotating-in
-#                           q_cosine_pairs' oracle (same rows); the
-#                           block plan stays pinned by test_ann
-#   q_hybrid_rrf          - both arms keep slots: BM25 via the
-#                           rotating-in q_bm25_search, dense via
-#                           q_ann_lsh_topk (middle)
-#   q_containment_dups / q_edit_similarity_dups - prefix-filter join
-#                           family keeps the rotating-in
-#                           q_exact_jaccard_join; candidate-verify
-#                           rides q_ngram_jaccard_dups (middle)
-#   q_event_anomalies     - grouped event aggregates ride the
-#                           rotating-in q_hourly_event_stats and
-#                           q_sessionization
-#   q_source_overlap      - inverted-index set algebra rides the
-#                           rotating-in q_exact_jaccard_join; the KMV
-#                           sketch branch rides q_cms_heavy_hitters
-#                           (rotating in, same mergeable-sketch family)
-#   q_kmeans_assign / q_pq_codes / q_pq_adc_search - clustering/PQ
-#                           numpy differentials + broadcast-only plan
-#                           pins in test_clustering; the embedding
-#                           family keeps q_ann_lsh_topk and the
-#                           rotating-in q_ann_ivf_recall /
-#                           q_embedding_quantization
-#   q_domain_rank         - integer PageRank vs unrolled-CTE oracle
-#                           stays mirror-verified; the graph family
-#                           keeps the rotating-in q_dedup_clusters
-#   q_tagged_union        - (middle demotion) set-op family; UNION ALL
-#                           shape also inside the rotating-in
-#                           q_bm25_search's oracle and mirror-verified
-#                           intersect/except siblings
-#   q_json_props          - (middle demotion) JSON extraction is a
-#                           map-side expression chain; the events
-#                           family keeps q_interval_join and
-#                           q_sessionization (rotating in)
-#   q_ngram_jaccard_dups  - (middle demotion for the new
-#                           q_gopher_rules) candidate-verify shape
-#                           rides the rotating-in q_exact_jaccard_join
-#                           (its verify stage IS the jaccard compute);
-#                           the LSH-candidate source keeps
-#                           q_minhash_lsh_candidates's middle slot
-#   q_decontaminate       - (middle demotion for the new
-#                           q_bpe_pair_counts) broadcast-probe
-#                           anti-join shape rides the rotating-in
-#                           q_anti_join and q_semi_join; the shingle
-#                           arithmetic rides q_minhash_lsh_candidates
-#   q_interval_join       - (middle demotion for the new
-#                           q_bpe_merges) the range-predicate join
-#                           surface is also exercised by the
-#                           streaming stream-stream interval join
-#                           suite, and the temporal-event family
-#                           keeps q_sessionization and the as-of
-#                           join in the rotated-in window
-#   q_simhash_near_dups   - (middle demotion for the new
-#                           q_quantile_sketch) the near-dup family
-#                           keeps q_minhash_lsh_candidates (middle)
-#                           and the rotated-in q_exact_jaccard_join;
-#                           the simhash bit-aggregate arithmetic
-#                           stays mirror-verified (q_simhash
-#                           LOCAL_ONLY oracles the identical
-#                           60-bit aggregates)
-# All remain verified by the local mirror test either way.
-# ROUND-8 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-7 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-# Every entry below is green in CORRECTNESS_r06, so each tolerates
-# exactly the round-7 skip; all 39 must re-enter the round-8 window
-# (39 ≤ 50, leaving 11 middle slots — exactly the current middle —
-# so no staging is needed and no new-query slots remain free: a
-# round-8 addition must demote a then-green middle entry, as this
-# round did).
-_LAST = [
+    # new in round 8 — never driver-verified (makes window room by
+    # the explicit middle demotion noted in _LAST below:
+    # q_tfidf_top_terms moves to _LAST):
+    "q_main_content",
+    # the round-7 _LAST tail rotating back in (green r6, skipped r7):
     "q_unpivot",
     "q_user_event_pivot",
     "q_array_agg",
@@ -368,6 +195,166 @@ _LAST = [
     "q_simhash_near_dups",
 ]
 
+# Exported last: with 90 exported queries and a 50-row driver cap,
+# exactly these 40 fall off this round.  Every one is fully green in
+# CORRECTNESS_r07 (round 7's 39 _PRIORITY entries plus the demoted
+# middle entry q_tfidf_top_terms — rows, schema, AND hash), so the
+# rotation keeps every export driver-green within two consecutive
+# rounds, AND each is coverage-subsumed by queries that keep a slot:
+#   q_domain_quota        - two-phase salted per-group top-k; the
+#                           grouped-quota shape rides the rotating-in
+#                           q_sample_per_group's slot successor
+#                           q_training_order and q_source_mixture
+#                           (md5-bucket quota arithmetic)
+#   q_gopher_rules        - the rule-gate expression chain is a strict
+#                           sibling of q_quality_gate (middle, keeps a
+#                           slot) and q_lm_quality (middle)
+#   q_bpe_pair_counts / q_bpe_merges - BPE surface stays mirror-
+#                           verified (and q_bpe_vocab_pieces
+#                           LOCAL_ONLY); the explode+sum shape rides
+#                           the rotating-in q_ngram_jaccard_dups and
+#                           q_token-family middles
+#   q_quantile_sketch     - the bottom-k/KMV mergeable-sketch family
+#                           keeps the rotating-in q_source_overlap
+#                           (KMV branch) and q_table_stats
+#                           (percentile surface)
+#   q_repetition_signals / q_regex_token_stats / q_lang_id /
+#   q_doc_quality / q_rolling_fingerprint - text-analysis expression
+#                           chains; the family keeps q_lm_quality and
+#                           q_quality_gate (middle) plus the
+#                           rotating-in q_data_card and q_span_scrub
+#   q_part_brand_revenue  - grouped join-agg carried by
+#                           q03_shipping_priority (middle) and the
+#                           rotating-in q05_local_supplier
+#   q_embedding_quantization - int8 quantization rides the rotating-in
+#                           q_pq_codes / q_pq_adc_search (same
+#                           codebook arithmetic family)
+#   q_stratified_sample / q_sample_per_group / q_token_shards -
+#                           md5-bucket sampling/sharding rides the
+#                           rotating-in q_training_order,
+#                           q_source_mixture and q_dsir_select
+#   q_dedup_clusters      - the CC subplan is shared by the
+#                           rotating-in q_leakage_safe_split (same
+#                           cluster-bucket split) and q_domain_rank
+#                           (graph family)
+#   q_asof_view_before_purchase - as-of direction family stays
+#                           mirror-verified (nearest/forward are
+#                           LOCAL_ONLY); temporal-events keep the
+#                           rotating-in q_event_sequences and
+#                           q_interval_join
+#   q_token_totals / q_token_counts - A1-A3 count kinds ride
+#                           q_token_source_assoc (middle, the same
+#                           3-way count join) and the rotating-in
+#                           q_acctbal_share (1-row-agg broadcast)
+#   q_doc_chunks          - chunk/pack family passes the slot back to
+#                           the rotating-in q_sequence_packing
+#   q_minhash_signatures  - minhash rides q_minhash_lsh_candidates
+#                           (middle) and the rotating-in
+#                           q_ngram_jaccard_dups / q_simhash_near_dups
+#   q01_pricing_summary / q_having_big_customers (rotating in) -
+#                           grouped HAVING/agg swap slots; q03 keeps a
+#                           middle slot
+#   q_window_functions    - window family passes the slot back to the
+#                           rotating-in q_range_frame
+#   q_semi_join / q_anti_join - semi/anti family passes back to the
+#                           rotating-in q_bloom_dedup and
+#                           q_decontaminate
+#   q_pivot_status        - pivot family passes back to the
+#                           rotating-in q_unpivot and
+#                           q_user_event_pivot
+#   q_exact_dedup         - exact-dedup shape inside the rotating-in
+#                           q_duplicate_spans and q_containment_dups'
+#                           verify stage
+#   q_label_centroids     - array-agg centroid fold rides the
+#                           rotating-in q_kmeans_assign and
+#                           q_array_agg
+#   q_above_nation_avg / q_acctbal_share (rotating in) - 1-row-agg
+#                           broadcast compares swap slots
+#   q_exact_jaccard_join  - prefix-filter join family passes back to
+#                           the rotating-in q_containment_dups and
+#                           q_edit_similarity_dups
+#   q_cms_heavy_hitters   - mergeable-sketch family keeps the
+#                           rotating-in q_source_overlap (KMV) and
+#                           q_sketch_accuracy stays mirror-verified
+#   q_bm25_search         - both retrieval arms ride the rotating-in
+#                           q_hybrid_rrf (BM25 + dense fusion)
+#   q_cube_qty            - CUBE/grouping-sets family passes back to
+#                           the rotating-in q_data_card and
+#                           q_table_stats
+#   q_sketch_accuracy     - distinct-count audit rides the rotating-in
+#                           q_distinct_counts and q_table_stats
+#   q_cosine_pairs        - its oracle is VERBATIM the rotating-in
+#                           q_blocked_cosine_pairs' oracle (same rows)
+#   q_embedding_parity_measures - D1-D6 parity arithmetic also inside
+#                           q_source_similarity (middle, standard
+#                           measures over the identical align)
+#   q_ann_ivf_recall      - ANN family keeps q_ann_lsh_topk (middle)
+#                           and the rotating-in q_pq_adc_search
+#   q_hourly_event_stats  - date/hour bucketing passes back to the
+#                           rotating-in q_date_buckets and
+#                           q_event_anomalies
+#   q_sessionization      - temporal-order surface passes back to the
+#                           rotating-in q_event_sequences and
+#                           q_interval_join
+#   q_tfidf_top_terms     - (middle demotion for the new
+#                           q_main_content) per-term window top-k over
+#                           grouped counts; the window-rank shape
+#                           rides the rotating-in q_range_frame and
+#                           q_hybrid_rrf (same rank-and-filter), and
+#                           the tf-idf arithmetic stays inside
+#                           q_bm25_search's mirror-verified oracle
+# All remain verified by the local mirror test either way.
+# ROUND-9 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-8 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r07, so each tolerates
+# exactly the round-8 skip; all 40 must re-enter the round-9 window
+# (40 ≤ 50, leaving 10 middle slots — exactly the then-current
+# middle — so no staging is needed and no new-query slots remain
+# free: a round-9 addition must demote a then-green middle entry,
+# as rounds 7 and 8 did).
+_LAST = [
+    "q_domain_quota",
+    "q_gopher_rules",
+    "q_bpe_pair_counts",
+    "q_bpe_merges",
+    "q_quantile_sketch",
+    "q_repetition_signals",
+    "q_part_brand_revenue",
+    "q_embedding_quantization",
+    "q_stratified_sample",
+    "q_token_shards",
+    "q_sample_per_group",
+    "q_dedup_clusters",
+    "q_lang_id",
+    "q_regex_token_stats",
+    "q_rolling_fingerprint",
+    "q_doc_quality",
+    "q_asof_view_before_purchase",
+    "q_token_totals",
+    "q_doc_chunks",
+    "q_minhash_signatures",
+    "q01_pricing_summary",
+    "q_window_functions",
+    "q_token_counts",
+    "q_semi_join",
+    "q_anti_join",
+    "q_pivot_status",
+    "q_exact_dedup",
+    "q_label_centroids",
+    "q_above_nation_avg",
+    "q_exact_jaccard_join",
+    "q_cms_heavy_hitters",
+    "q_bm25_search",
+    "q_cube_qty",
+    "q_sketch_accuracy",
+    "q_cosine_pairs",
+    "q_embedding_parity_measures",
+    "q_ann_ivf_recall",
+    "q_hourly_event_stats",
+    "q_sessionization",
+    "q_tfidf_top_terms",
+]
 _EXPORTED = (
     _PRIORITY
     + [n for n in ALL_QUERIES if n not in _PRIORITY + _LAST and n not in LOCAL_ONLY]

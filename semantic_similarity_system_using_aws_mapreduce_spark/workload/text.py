@@ -169,6 +169,131 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_docs(spark, sf_dir))
 
 
+# Deterministic page template for q_main_content: wrap each document's
+# plain text in crawl-page furniture (link-dense nav / aside / footer,
+# a short heading, a style block) so the block-level extractor has
+# real boilerplate to strip.  Shared verbatim with the DuckDB oracle —
+# the query verifies the EXTRACTION arithmetic, not the template.
+_MC_SEG0 = (
+    '<html><head><title>Doc</title><style>p{color:red}</style></head>'
+    '<body><nav><a href="/">Home</a> <a href="/catalog">Catalog</a> '
+    '<a href="/login">Sign in</a></nav><h1>Document '
+)
+_MC_SEG1 = '</h1><div class="content">'
+_MC_SEG2 = (
+    '</div><aside><a href="/ad">Sponsored offer</a> '
+    '<a href="/deals">Daily deals</a> shop</aside>'
+    '<footer><a href="/about">About</a> <a href="/terms">Terms</a> '
+    "(c) example</footer></body></html>"
+)
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level main-content extraction (operators/text_analysis.
+    main_content — the jusText text/link-density shape): each document
+    is wrapped in the deterministic page template above, and the
+    extractor must strip the nav/aside/footer furniture while the body
+    text survives — per-page boilerplate removal that corpus-level
+    paragraph dedup can't do when a template appears once."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import main_content
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(_MC_SEG0),
+            F.col("doc_id").cast("string"),
+            F.lit(_MC_SEG1),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_MC_SEG2),
+        ).alias("html"),
+    )
+    out = main_content(docs, "html")
+    return out.select(
+        "doc_id",
+        F.substring("main_text", 1, 80).alias("main_prefix"),
+        F.length("main_text").cast("long").alias("main_len"),
+        "n_blocks",
+        "n_good_blocks",
+        "total_chars",
+        "good_chars",
+        F.col("boilerplate_ppm").cast("long").alias("boilerplate_ppm"),
+    )
+
+
+def _main_content_oracle() -> str:
+    """q_main_content's DuckDB mirror: the same template concat, the
+    same preclean/split/score/aggregate chain re-expressed over RE2 +
+    list lambdas.  Every regex is shared verbatim with the operator
+    (they were written backreference-free for exactly this); entity
+    decode uses non-regex replace() on the same literals in the same
+    order; the good-block rule is the same integer cross-multiply; ppm
+    is exact integer division on both engines."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        _BLOCK_SPLIT_RE,
+        MAIN_CONTENT_MAX_LINK_PCT,
+        MAIN_CONTENT_MIN_CHARS,
+    )
+
+    good = (
+        f"s -> (s).n_chars >= {MAIN_CONTENT_MIN_CHARS} AND "
+        f"(s).a_chars * 100 <= {MAIN_CONTENT_MAX_LINK_PCT} * (s).n_chars"
+    )
+    return rf"""
+        WITH h AS (
+          SELECT doc_id,
+                 '{_MC_SEG0}' || doc_id::VARCHAR || '{_MC_SEG1}'
+                   || coalesce(text, '') || '{_MC_SEG2}' AS html
+          FROM documents),
+        pre AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                     '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g') AS c
+          FROM h),
+        raw AS (
+          SELECT doc_id, list_transform(
+                   regexp_split_to_array(c, '{_BLOCK_SPLIT_RE}'),
+                   b -> struct_pack(
+                     txt := trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                       '\s+', ' ', 'g')),
+                     a_chars := coalesce(list_aggregate(list_transform(
+                         regexp_extract_all(b, '(?is)<a[^>]*>([^<]*)', 1),
+                         a -> length(trim(regexp_replace(a, '\s+', ' ', 'g')))),
+                         'sum'), 0))) AS st
+          FROM pre),
+        st AS (
+          SELECT doc_id, list_transform(st, s -> struct_pack(
+                   txt := (s).txt, n_chars := length((s).txt),
+                   a_chars := (s).a_chars)) AS st
+          FROM raw),
+        agg AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                     list_filter(st, {good}), s -> (s).txt), ' ') AS main_text,
+                 len(list_filter(st, s -> (s).n_chars > 0))::BIGINT AS n_blocks,
+                 len(list_filter(st, {good}))::BIGINT AS n_good_blocks,
+                 coalesce(list_aggregate(list_transform(st,
+                     s -> (s).n_chars), 'sum'), 0)::BIGINT AS total_chars,
+                 coalesce(list_aggregate(list_transform(
+                     list_filter(st, {good}), s -> (s).n_chars), 'sum'),
+                     0)::BIGINT AS good_chars
+          FROM st)
+        SELECT doc_id,
+               substr(main_text, 1, 80) AS main_prefix,
+               length(main_text)::BIGINT AS main_len,
+               n_blocks, n_good_blocks, total_chars, good_chars,
+               (CASE WHEN total_chars > 0
+                     THEN (1000000 * (total_chars - good_chars)) // total_chars
+                     ELSE 0 END)::BIGINT AS boilerplate_ppm
+        FROM agg
+    """
+
+
 #: top-k cut for q_bpe_pair_counts (deterministic tie-break on pair)
 BPE_PAIRS_TOPK = 40
 
@@ -684,6 +809,7 @@ QUERIES = {
     "q_source_similarity": q_source_similarity,
     "q_doc_quality": q_doc_quality,
     "q_gopher_rules": q_gopher_rules,
+    "q_main_content": q_main_content,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_vocab_pieces": q_bpe_vocab_pieces,
@@ -1053,6 +1179,10 @@ ORACLES = {
                 AND n_alpha * 10 >= 8 * n AND n_stops >= 2)::INT AS keep
         FROM s
     """,
+    # The identical jusText-shaped chain in RE2/DuckDB: same template,
+    # same backreference-free regexes, same integer cross-multiplied
+    # link-density rule — see operators/text_analysis.main_content.
+    "q_main_content": _main_content_oracle(),
     "q_bpe_pair_counts": f"""
         WITH words AS (SELECT unnest({_TOKS}) AS word FROM documents),
         wc AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),

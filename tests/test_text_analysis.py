@@ -288,3 +288,92 @@ def test_gopher_rules_flags(spark):
     # zero-shuffle map-side plan: no Exchange anywhere
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_main_content_strips_template_furniture(spark):
+    """jusText-shaped block extractor: nav/aside/footer (short,
+    link-dense blocks) are stripped while the long low-link-density
+    body survives — per-page boilerplate removal that corpus-level
+    paragraph dedup can't do for a template that appears once."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import main_content
+
+    body = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the wide summer meadow beside a slow river"
+    )
+    page = (
+        '<html><head><title>T</title><style>p{color:red}</style></head><body>'
+        '<nav><a href="/">Home</a> <a href="/cat">Catalog</a> '
+        '<a href="/login">Sign in</a></nav>'
+        "<h1>Short heading</h1>"
+        f'<p>{body}</p>'
+        '<p>A second real paragraph with enough characters to clear the '
+        "minimum block length and no links at all inside it.</p>"
+        '<aside><a href="/ad">Sponsored offer</a> '
+        '<a href="/deals">Daily deals</a> shop</aside>'
+        '<footer><a href="/about">About</a> <a href="/tos">Terms</a> '
+        "(c) example</footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    row = main_content(df).collect()[0]
+    assert body in row.main_text
+    assert "second real paragraph" in row.main_text
+    for furniture in ("Home", "Catalog", "Sign in", "Sponsored", "About", "Terms"):
+        assert furniture not in row.main_text
+    assert row.n_good_blocks == 2
+    assert 0 < row.boilerplate_ppm < 1_000_000
+    assert row.good_chars < row.total_chars
+    # exact integer ppm
+    assert row.boilerplate_ppm == (
+        1_000_000 * (row.total_chars - row.good_chars) // row.total_chars
+    )
+    # map-side only: no Exchange in the plan
+    plan = main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_main_content_link_density_and_length_rules(spark):
+    """A long block fails on link density alone; a short linkless
+    block fails on length alone; boundary arithmetic is the integer
+    cross-multiply (no FP ratios)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import main_content
+
+    long_linky = (
+        '<p>'
+        + " ".join(f'<a href="/x{i}">anchor text number {i}</a>' for i in range(8))
+        + "</p>"
+    )
+    cases = {
+        1: long_linky,                      # long but ~100% link density
+        2: "<p>tiny</p>",                   # short, linkless
+        3: "<p></p><div></div>",            # empty blocks only
+        4: None,                            # null page
+    }
+    df = spark.createDataFrame(
+        list(cases.items()), "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in main_content(df).collect()}
+    assert got[1].n_good_blocks == 0 and got[1].main_text == ""
+    assert got[1].boilerplate_ppm == 1_000_000
+    assert got[2].n_good_blocks == 0 and got[2].n_blocks == 1
+    assert got[3].n_blocks == 0 and got[3].boilerplate_ppm == 0
+    assert got[4].main_text is None and got[4].boilerplate_ppm == 0
+
+
+def test_main_content_entities_and_comments(spark):
+    """Entity decode runs per block (same chain as html_to_text) and
+    comments/script/style never leak into block text or skew the
+    density arithmetic."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import main_content
+
+    page = (
+        "<body><!-- hidden comment full of <a href=x>links</a> -->"
+        "<script>var a = '<p>not text</p>';</script>"
+        "<p>Tom &amp; Jerry say &quot;hello&quot; &lt;twice&gt; and keep "
+        "talking long enough to clear the minimum length rule.</p></body>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    row = main_content(df).collect()[0]
+    assert 'Tom & Jerry say "hello" <twice>' in row.main_text
+    assert "hidden comment" not in row.main_text
+    assert "not text" not in row.main_text

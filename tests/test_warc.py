@@ -484,3 +484,32 @@ def test_wet_documents_url_dedup(spark, tmp_path):
     docs_all, _ = wet_documents(records, url_dedup=False)
     assert docs_all.count() == 5
     assert "_uri" not in docs_all.columns and "_uri" not in docs.columns
+
+
+def test_warc_text_documents_main_content_columns(spark, tmp_path):
+    """Raw-crawl docs carry the block-level main-content view: nav and
+    footer furniture is stripped from main_text (while `text` keeps
+    the full extraction so small pages survive) and boilerplate_ppm
+    quantifies the stripped fraction for the quality gate."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, warc_text_documents
+
+    body = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the wide summer meadow beside a slow river"
+    )
+    html = (
+        '<html><body><nav><a href="/">Home</a> <a href="/cat">Catalog</a>'
+        f"</nav><p>{body}</p>"
+        '<footer><a href="/about">About</a> <a href="/tos">Terms</a>'
+        "</footer></body></html>"
+    ).encode()
+    arch = _record(
+        "mc1", "response", _http_payload(html), "http://a.com/page",
+        ctype="application/http; msgtype=response",
+    )
+    (tmp_path / "crawl.warc").write_bytes(arch)
+    row = warc_text_documents(read_warc(spark, str(tmp_path)))[0].collect()[0]
+    assert row.main_text == body
+    assert "Home" in row.text and "About" in row.text  # full extraction intact
+    assert "Home" not in row.main_text and "About" not in row.main_text
+    assert 0 < row.boilerplate_ppm < 1_000_000
