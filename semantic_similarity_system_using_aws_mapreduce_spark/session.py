@@ -60,16 +60,12 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
-    # Crawl bytes must never kill a job: `decode` on a malformed
-    # payload THROWS in Spark 4 by default, so one bad byte in a 1 GB
-    # archive would abort the whole scan.  REPLACE (U+FFFD) mirrors
-    # `new String(bytes, charset)` in the reference's Hadoop stack,
-    # and the WARC reader counts the replacement chars into a
-    # quality-gate column (sources/warc.py).  javaCharsets unlocks
-    # the legacy-web charsets (Shift_JIS/GBK/Big5/…) the charset
-    # sniffer decodes.  Runtime SQL confs, set here so a reused
-    # session gets them too.
-    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    # NOT set here: spark.sql.legacy.codingErrorAction / javaCharsets.
+    # Only the crawl surface wants REPLACE-on-malformed-bytes decode
+    # semantics, and the WARC readers set both runtime confs
+    # reader-locally (sources/warc.py:_ensure_charset_confs — safe
+    # under any SparkSession factory); a session-global set would
+    # silently change `decode()` from Spark 4 fail-fast to REPLACE for
+    # every other caller.
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -183,9 +183,13 @@ def _open_archive(content: bytes):
 
 def _ensure_charset_confs(spark: SparkSession) -> None:
     """The WARC surface must never throw on crawl bytes: REPLACE
-    coding-error action + the full JVM charset set (see session.py —
-    set here too so the readers are safe under a SparkSession built by
-    some other factory; both are runtime SQL confs)."""
+    coding-error action + the full JVM charset set.  Set HERE, reader
+    -locally, and nowhere else (both are runtime SQL confs, so this
+    works under a SparkSession built by any factory): `decode` on a
+    malformed payload THROWS in Spark 4 by default, so one bad byte in
+    a 1 GB archive would abort the whole scan — but only the crawl
+    surface wants REPLACE semantics (U+FFFD, counted into the n_repl
+    quality column); non-WARC decode() callers keep fail-fast."""
     spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 

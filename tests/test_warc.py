@@ -513,3 +513,31 @@ def test_warc_text_documents_main_content_columns(spark, tmp_path):
     assert "Home" in row.text and "About" in row.text  # full extraction intact
     assert "Home" not in row.main_text and "About" not in row.main_text
     assert 0 < row.boilerplate_ppm < 1_000_000
+
+
+def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
+    """The legacy REPLACE-decode confs are set reader-locally, not
+    session-globally: get_spark() leaves Spark 4 fail-fast decode
+    semantics for non-WARC callers, and a WARC read on a bare session
+    (neither conf set — e.g. a SparkSession built by a foreign
+    factory) still survives mojibake bytes because the reader sets
+    both runtime confs itself."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
+
+    spark.conf.unset("spark.sql.legacy.codingErrorAction")
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    # the session factory must NOT re-set them globally
+    reused = get_spark()
+    assert reused is spark  # getOrCreate reuse — same runtime conf state
+    assert reused.conf.get("spark.sql.legacy.codingErrorAction") == "false"
+    assert reused.conf.get("spark.sql.legacy.javaCharsets") == "false"
+    # a charset-sensitive read on the bare session still works
+    body = b"good text then \xff\xfe\xff broken"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + body
+    )
+    (tmp_path / "m.warc").write_bytes(
+        _record("moji2", "response", payload, "http://bad.example/x")
+    )
+    row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
+    assert row.n_repl >= 1 and "good text then" in row.body
