@@ -30,6 +30,43 @@ PIPELINE_LINES = 200_000
 RUNS_PER_QUERY = 3
 
 
+def _load_snapshot() -> dict:
+    """Measurement-environment evidence (VERDICT r7: BENCH_r07's
+    apparent regression was shared-host load on byte-identical code,
+    and proving that required a judge re-run).  Recording the host's
+    load average and process counts at run start/end makes a
+    load-inflated round self-diagnosing: compare numbers across rounds
+    only when loadavg_1m is comparable (rule of thumb: min-of-N values
+    are trustworthy when loadavg_1m <= ~2x the benched core count;
+    above that, prefer the round with the quieter snapshot — see
+    README 'Benchmarking')."""
+    snap: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        snap["loadavg_1m"] = round(la1, 2)
+        snap["loadavg_5m"] = round(la5, 2)
+        snap["loadavg_15m"] = round(la15, 2)
+    except OSError:
+        pass
+    try:
+        pids = [d for d in os.listdir("/proc") if d.isdigit()]
+        snap["n_procs"] = len(pids)
+        running = 0
+        for pid in pids:
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    # field 3 (after the parenthesized comm, which may
+                    # itself contain spaces) is the state char
+                    if fh.read().rsplit(")", 1)[-1].split()[0] == "R":
+                        running += 1
+            except OSError:
+                continue  # pid exited mid-walk
+        snap["n_running"] = running
+    except OSError:
+        pass
+    return snap
+
+
 def _synth_corpus(tmp_dir: str, n_lines: int = PIPELINE_LINES, seed: int = 13):
     """Deterministic synthetic biarcs corpus + gold standard for the
     end-to-end pipeline benchmark (written once, reused across runs)."""
@@ -163,7 +200,47 @@ EXTRA = [
     "q_bpe_pair_counts",
     "q_bpe_merges",
     "q_quantile_sketch",
+    "q_main_content",
 ]
+
+
+def _bench_bpe_train_256(spark, sf_dir: str) -> None:
+    """Tokenizer-training throughput row (VERDICT r7 #3): 256 merges.
+    Exercises operators/bpe.bpe_train's adaptive driver-local merge
+    loop — the distributed per-round path would cost 256 sequential
+    Spark jobs (~minutes of pure scheduling); the local path collects
+    the model-sized weighted vocabulary once and must finish in
+    seconds.  Merge-sequence identity between the two paths is pinned
+    by test_bpe.  The synthetic documents table has only ~31 distinct
+    words (too few to sustain 256 merges), so the trainer sees bigram
+    words — token_i + '_' + token_{i+1}, ~1k distinct ~10-char words —
+    built as a pure column expression inside the same corpus pass."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # toks materialized in its own projection so the split runs once
+    # per row, not once per transform element
+    staged = docs.select(
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks")
+    ).filter(F.expr("size(toks) >= 2"))
+    corpus = staged.select(
+        F.expr(
+            "array_join(transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), '_',"
+            " element_at(toks, i + 1))), ' ')"
+        ).alias("text")
+    )
+    merges = bpe_train(corpus, n_merges=256, min_count=2)
+    assert len(merges) >= 256, f"expected 256 merges, learned {len(merges)}"
+
+
+# bench-only timed callables (not registry queries — no tractable SQL
+# oracle at this scale; correctness is pinned by pytest instead)
+EXTRA_FNS = {
+    "bpe_train_256_merges": _bench_bpe_train_256,
+}
 
 # (n_lines, checkpointed) pipeline configurations reported every round;
 # keep these stable so BENCH_r{N} files are directly comparable.
@@ -189,6 +266,7 @@ def _pipeline_only() -> None:
     the min so a round with one lucky run stays interpretable."""
     import statistics
 
+    load_start = _load_snapshot()
     spark = get_spark(app_name="bench-pipeline")
     # one-time whole-stage-codegen warmup (unreported, both modes)
     for checkpointed in (True, False):
@@ -221,6 +299,10 @@ def _pipeline_only() -> None:
         out[key] = {
             "min": min(runs),
             "median": round(statistics.median(runs), 3),
+            # the full run list (VERDICT r7 #4): a load-inflated round
+            # shows up as a wide spread here instead of needing a
+            # judge re-measurement on identical code
+            "runs": runs,
         }
     # The end-to-end curation funnel gets the same fresh-JVM treatment:
     # measured in-session it ran LAST, after ~50 queries, and read the
@@ -253,9 +335,12 @@ def _pipeline_only() -> None:
         out["curation_funnel_docs"] = {
             "min": min(runs),
             "median": round(statistics.median(runs), 3),
+            "runs": runs,
         }
     except Exception as exc:  # noqa: BLE001
         out["curation_funnel_docs"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+    out["load_start"] = load_start
+    out["load_end"] = _load_snapshot()
     print(json.dumps(out))
 
 
@@ -267,6 +352,7 @@ def main() -> None:
         _pipeline_only()
         return
 
+    load_start = _load_snapshot()
     spark = get_spark(app_name="bench")
 
     if "--dry" in sys.argv:
@@ -334,9 +420,12 @@ def main() -> None:
             # One broken query must not zero out the whole round's bench
             # (BENCH_r02 lost every number to a single AnalysisException).
             try:
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                if name in EXTRA_FNS:
+                    EXTRA_FNS[name](spark, sf_dir)
+                else:
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -361,6 +450,8 @@ def main() -> None:
     # `pipeline_median` so one lucky run can't hide instability.
     extra: dict[str, float] = {}
     pipeline_median: dict[str, float] = {}
+    pipeline_runs: dict[str, list[float]] = {}
+    pipeline_env: dict[str, dict] = {}
     try:
         import subprocess
 
@@ -389,7 +480,12 @@ def main() -> None:
         dest = timings if headline_config else extra
         dest[key] = r["min"]
         pipeline_median[key] = r["median"]
+        if "runs" in r:
+            pipeline_runs[key] = r["runs"]
         print(f"  {key}: {r['min']:.3f}s (median {r['median']:.3f}s)", file=sys.stderr)
+    for k in ("load_start", "load_end"):
+        if k in results:
+            pipeline_env[k] = results[k]
 
     # End-to-end curation funnel (run_curation CLI semantics: gate ->
     # exact + near dedup -> leakage-safe split -> shard write) —
@@ -400,6 +496,8 @@ def main() -> None:
     if r and "error" not in r:
         extra["curation_funnel_docs"] = r["min"]
         pipeline_median["curation_funnel_docs"] = r["median"]
+        if "runs" in r:
+            pipeline_runs["curation_funnel_docs"] = r["runs"]
         print(
             f"  curation_funnel_docs: {r['min']:.3f}s (median {r['median']:.3f}s)",
             file=sys.stderr,
@@ -409,6 +507,7 @@ def main() -> None:
         print(f"  curation_funnel_docs: ERROR {r['error']}", file=sys.stderr)
 
     _run_queries([(n, extra_queries) for n in EXTRA])
+    _run_queries([(n, extra_queries) for n in EXTRA_FNS])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -419,6 +518,12 @@ def main() -> None:
         "extra_queries": extra_queries,
         "pipeline": extra,
         "pipeline_median": pipeline_median,
+        # measurement-environment evidence + full pipeline run lists
+        # (VERDICT r7 #4): interpretation rule in README 'Benchmarking'
+        "pipeline_runs": pipeline_runs,
+        "pipeline_env": pipeline_env,
+        "load_start": load_start,
+        "load_end": _load_snapshot(),
         "runs_per_query": RUNS_PER_QUERY,
         "sf": float(sf),
     }

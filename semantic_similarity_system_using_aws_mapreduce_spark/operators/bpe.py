@@ -95,26 +95,125 @@ def apply_merge(syms_df: DataFrame, left: str, right: str) -> DataFrame:
     return syms_df.withColumn("syms", F.regexp_replace("syms", pat, repl))
 
 
+#: vocabularies at or under this many distinct words run the merge
+#: loop in-process (see bpe_train).  200k rows of (syms, n) is a few
+#: tens of MB on the driver — model-sized, like the k-means centroid
+#: collect — while a 32k-merge production run against the distributed
+#: loop would cost 32k sequential Spark jobs (~hours of scheduling at
+#: ~0.3 s/round, VERDICT r7).
+LOCAL_VOCAB_THRESHOLD = 200_000
+
+
+def _local_merge_loop(
+    vocab: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """The merge loop over a collected vocabulary, bit-identical to the
+    distributed rounds (same weights, same (count DESC, left ASC,
+    right ASC) tie-break, same left-to-right non-overlapping merge
+    application, same ``< min_count`` early stop — pinned by
+    tests/test_bpe.py's cross-path identity test).
+
+    Incremental bookkeeping, not per-round recounting: a pair->words
+    inverted index confines each round's work to the words that
+    actually contain the merged pair (the classic trainer shape), so
+    32k merges over a 200k-word vocabulary stay tractable in-process.
+    """
+    from collections import Counter, defaultdict
+
+    pair_w: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    words: list[list] = []
+    for i, (ss, n) in enumerate(vocab):
+        words.append([ss, n])
+        for a, b in zip(ss, ss[1:]):
+            pair_w[(a, b)] += n
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_w:
+            break
+        (left, right), w = min(
+            pair_w.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if w < min_count:
+            break
+        merges.append((left, right))
+        for i in list(pair_words.get((left, right), ())):
+            ss, n = words[i]
+            for a, b in zip(ss, ss[1:]):
+                pair_w[(a, b)] -= n
+                if pair_w[(a, b)] <= 0:
+                    del pair_w[(a, b)]
+                pair_words[(a, b)].discard(i)
+            new: list[str] = []
+            j = 0
+            while j < len(ss):
+                if j + 1 < len(ss) and ss[j] == left and ss[j + 1] == right:
+                    new.append(left + right)
+                    j += 2
+                else:
+                    new.append(ss[j])
+                    j += 1
+            words[i][0] = new
+            for a, b in zip(new, new[1:]):
+                pair_w[(a, b)] += n
+                pair_words[(a, b)].add(i)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
     stats: dict | None = None,
+    mode: str = "auto",
+    local_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus; returns the merge
     list in learned order (the tokenizer model).  Deterministic: ties
     on pair frequency break lexicographically on (left, right), so two
     engines (and the pure-Python differential in tests/test_bpe.py)
     learn the IDENTICAL merge sequence.  Stops early when no pair
-    reaches ``min_count``."""
+    reaches ``min_count``.
+
+    Adaptive execution (the connected_components/graph.py pattern):
+    the corpus always collapses to the weighted vocabulary in ONE
+    distributed pass; then, when that vocabulary fits
+    ``local_threshold`` rows (measured by the same count that
+    materializes the persist), the merge loop itself runs in-process —
+    a production 32k-merge vocabulary otherwise means 32k sequential
+    driver round-trips of pure job-scheduling latency on a
+    model-sized relation.  Above threshold (or ``mode="distributed"``,
+    which the q_bpe_merges oracle row uses so the distributed rounds
+    stay driver-verified) each round is one explode+sum job + a 1-row
+    collect + a JVM regexp_replace.  Both paths learn the identical
+    merge sequence (cross-path identity pinned in tests/test_bpe.py).
+    Pass ``stats`` to get back ``stats["mode"]`` and
+    ``stats["n_merges"]``."""
     from pyspark import StorageLevel
 
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown bpe_train mode: {mode!r}")
     syms = _init_symbols(word_counts(docs, text_col)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    syms.count()  # materialize once; each round replaces this relation
+    # one action materializes the persist AND measures the loop operand
+    n_vocab = syms.count()
     merges: list[tuple[str, str]] = []
+
+    if mode == "local" or (mode == "auto" and n_vocab <= local_threshold):
+        vocab = [
+            (r.syms.split(" "), r.n) for r in syms.select("syms", "n").collect()
+        ]
+        syms.unpersist()
+        merges = _local_merge_loop(vocab, n_merges, min_count)
+        if stats is not None:
+            stats["mode"] = "local"
+            stats["n_merges"] = len(merges)
+        return merges
+
     for _ in range(n_merges):
         top = (
             pair_counts(syms)
@@ -130,6 +229,7 @@ def bpe_train(
         syms.unpersist()
         syms = new_syms
     if stats is not None:
+        stats["mode"] = "distributed"
         stats["n_merges"] = len(merges)
     syms.unpersist()
     return merges

@@ -335,8 +335,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's anchored-regex merge (RE2 has no lookbehind)."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import bpe_train
 
+    # mode="distributed": the oracle row keeps verifying the
+    # distributed per-round loop; the in-process path (which auto mode
+    # picks at this vocab size) is oracle-verified by
+    # q_bpe_vocab_pieces and cross-path-identity-pinned in test_bpe
     merges = bpe_train(
-        _docs(spark, sf_dir), n_merges=BPE_MERGE_ROUNDS, min_count=2
+        _docs(spark, sf_dir),
+        n_merges=BPE_MERGE_ROUNDS,
+        min_count=2,
+        mode="distributed",
     )
     rows = [(i + 1, l, r) for i, (l, r) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, left string, right string")
