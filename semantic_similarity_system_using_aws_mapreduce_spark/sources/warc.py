@@ -122,12 +122,148 @@ def _resync(stream: _PushbackStream) -> bool:
             return True
 
 
+#: decompressed-size cap per HTTP body — a compression bomb (or an
+#: absurd chunk stream) quarantines its ONE record instead of OOMing
+#: the task that carries the other million records
+MAX_HTTP_BODY_DECODED = 128 * 1024 * 1024
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    hex-size line (chunk extensions after ``;`` ignored), chunk bytes,
+    CRLF, ..., terminated by a zero chunk (trailers ignored).  Bare-LF
+    line ends are tolerated (real crawls contain them).  Returns None
+    on torn/malformed framing — the caller quarantines the RECORD; the
+    archive scan never dies."""
+    out: list[bytes] = []
+    i, n, total = 0, len(body), 0
+    while True:
+        j = body.find(b"\n", i)
+        if j < 0:
+            return None  # torn size line
+        size_tok = body[i:j].strip(b"\r").split(b";", 1)[0].strip()
+        i = j + 1
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None  # not a chunk-size line
+        if size == 0:
+            return b"".join(out)
+        if i + size > n:
+            return None  # torn chunk data
+        total += size
+        if total > MAX_HTTP_BODY_DECODED:
+            return None  # over-long chunk stream
+        out.append(body[i : i + size])
+        i += size
+        if body[i : i + 2] == b"\r\n":
+            i += 2
+        elif body[i : i + 1] == b"\n":
+            i += 1
+        else:
+            return None  # missing chunk-data terminator
+
+
+def _decompress_http(body: bytes, enc: str) -> bytes | None:
+    """Remove one HTTP content/transfer coding.  gzip and deflate
+    (both zlib-wrapped and the raw-DEFLATE servers actually send) via
+    stdlib zlib with the bomb cap; ``br`` is library-gated (decoded
+    when a brotli module is importable, quarantined otherwise — never
+    shipped as mojibake "text").  Returns None on any failure."""
+    import zlib
+
+    if enc in ("gzip", "x-gzip"):
+        wbits_list = [31]
+    elif enc == "deflate":
+        wbits_list = [15, -15]
+    elif enc == "br":
+        try:
+            import brotli  # type: ignore[import-not-found]
+        except ImportError:
+            return None
+        try:
+            out = brotli.decompress(body)
+        except Exception:  # noqa: BLE001 — malformed stream
+            return None
+        return out if len(out) <= MAX_HTTP_BODY_DECODED else None
+    else:
+        return None  # unknown coding (compress/zstd/...): quarantine
+    for wbits in wbits_list:
+        try:
+            d = zlib.decompressobj(wbits=wbits)
+            out = d.decompress(body, MAX_HTTP_BODY_DECODED + 1)
+            if d.unconsumed_tail:
+                return None  # bomb cap hit mid-stream
+            out += d.flush()
+            if len(out) > MAX_HTTP_BODY_DECODED:
+                return None
+            return out
+        except zlib.error:
+            continue
+    return None
+
+
+def decode_http_payload(payload: bytes) -> tuple[bytes, bool]:
+    """Undo HTTP transfer/content codings on a raw ``response``
+    payload: de-chunk ``Transfer-Encoding: chunked`` framing, then
+    remove content codings (gzip/deflate; br library-gated) innermost
+    -last, returning the payload with the ORIGINAL header block and
+    the identity-coded body.  CommonCrawl ships pre-de-chunked
+    identity bodies (this is a no-op costing one ``find``); Heritrix/
+    wget archives carry both codings constantly, and without this the
+    chunk-size hex lines land in the extracted text and gzip bytes
+    decode as counted mojibake.
+
+    Returns ``(payload, ok)``; ``ok=False`` means the body declared a
+    coding that could not be decoded (torn chunk stream, malformed or
+    over-long compressed data, unavailable br library) — the caller
+    quarantines that ONE record, never the archive."""
+    if not payload.startswith(b"HTTP/"):
+        return payload, True
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload, True  # bare/headerless: nothing declared
+    head, body = payload[:sep], payload[sep + 4 :]
+    headers = _parse_headers(head)
+    te = [
+        t.strip()
+        for t in headers.get("transfer-encoding", "").lower().split(",")
+        if t.strip()
+    ]
+    ce = [
+        c.strip()
+        for c in headers.get("content-encoding", "").lower().split(",")
+        if c.strip() and c.strip() != "identity"
+    ]
+    if not te and not ce:
+        return payload, True
+    changed = False
+    if "chunked" in te:
+        new = _dechunk(body)
+        if new is None:
+            return payload, False
+        body, changed = new, True
+    # remaining transfer codings (e.g. "gzip, chunked"), then content
+    # codings — innermost-last applied, so removed in reverse
+    for enc in reversed([t for t in te if t != "chunked"] + ce):
+        new = _decompress_http(body, enc)
+        if new is None:
+            return payload, False
+        body, changed = new, True
+    if not changed:
+        return payload, True
+    return head + b"\r\n\r\n" + body, True
+
+
 def parse_warc_records(
     raw, warc_file: str
 ) -> Iterator[tuple[str, str | None, str | None, str | None, str | None, str | None, bytes, int, bool]]:
     """Yield one tuple per record (WARC_SCHEMA order) off a binary
     file object.  Corrupt records yield a quarantine tuple and the
-    parser resyncs at the next ``WARC/`` line."""
+    parser resyncs at the next ``WARC/`` line.  ``response`` payloads
+    get their HTTP transfer/content codings removed in this same pass
+    (:func:`decode_http_payload`); an undecodable body quarantines its
+    record WITHOUT a resync (the WARC framing itself is intact)."""
     stream = _PushbackStream(raw)
     while True:
         line = stream.readline()
@@ -160,6 +296,9 @@ def parse_warc_records(
             continue
         payload = stream.read(n)
         short = len(payload) < n  # truncated archive tail
+        ok = True
+        if not short and headers.get("warc-type", "").lower() == "response":
+            payload, ok = decode_http_payload(payload)
         yield (
             warc_file,
             headers.get("warc-record-id"),
@@ -169,7 +308,7 @@ def parse_warc_records(
             headers.get("content-type"),
             payload,
             len(payload),
-            short,
+            short or not ok,
         )
         if short:
             return

@@ -541,3 +541,186 @@ def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
     )
     row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
     assert row.n_repl >= 1 and "good text then" in row.body
+
+
+# ---------------------------------------------------------------------------
+# HTTP transfer/content codings on the raw-WARC path (VERDICT r7 #2)
+
+
+def _chunked(body: bytes, sizes=None) -> bytes:
+    """RFC 9112 chunked framing for a test body."""
+    out, i = [], 0
+    sizes = sizes or [7, 11, 64, len(body)]
+    k = 0
+    while i < len(body):
+        n = min(sizes[k % len(sizes)], len(body) - i)
+        k += 1
+        out.append(f"{n:x}".encode() + b"\r\n" + body[i : i + n] + b"\r\n")
+        i += n
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def _http_coded(body: bytes, headers: list[bytes]) -> bytes:
+    head = b"\r\n".join(
+        [b"HTTP/1.1 200 OK", b"Content-Type: text/html"] + headers
+    )
+    return head + b"\r\n\r\n" + body
+
+
+def test_chunked_response_body_decodes_clean(spark, tmp_path):
+    """A Transfer-Encoding: chunked response (the Heritrix/wget norm)
+    must yield clean extracted text — no hex chunk-size lines."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    body = (
+        b"<html><body><p>the quick brown fox jumps over the lazy dog "
+        b"and keeps going for long enough to be real content</p></body></html>"
+    )
+    payload = _http_coded(_chunked(body), [b"Transfer-Encoding: chunked"])
+    (tmp_path / "c.warc").write_bytes(
+        _record("ch1", "response", payload, "http://a.com/x",
+                ctype="application/http; msgtype=response")
+    )
+    docs, _ = warc_text_documents(read_warc(spark, str(tmp_path)))
+    row = docs.collect()[0]
+    assert "quick brown fox" in row.text
+    assert "40\r" not in row.text and ";" not in row.text
+    for frag in ("0\r", "7\r", "b\r"):
+        assert frag not in row.text
+
+
+def test_gzip_and_deflate_response_bodies_decode_clean(spark, tmp_path):
+    """Content-Encoding: gzip / deflate (zlib-wrapped AND raw) bodies
+    decompress before the charset sniff instead of decoding as
+    counted mojibake."""
+    import zlib as _zl
+
+    text = "compressed body text naïve café long enough to matter"
+    raw = f"<html><body><p>{text}</p></body></html>".encode("utf-8")
+    arch = (
+        _record("gz", "response",
+                _http_coded(gzip.compress(raw), [b"Content-Encoding: gzip"]),
+                "http://a.com/gz", ctype="application/http; msgtype=response")
+        + _record("dfz", "response",
+                  _http_coded(_zl.compress(raw), [b"Content-Encoding: deflate"]),
+                  "http://a.com/dfz", ctype="application/http; msgtype=response")
+        + _record("dfr", "response",
+                  _http_coded((lambda c: c.compress(raw) + c.flush())(
+                                  _zl.compressobj(wbits=-15)),
+                              [b"Content-Encoding: deflate"]),
+                  "http://a.com/dfr", ctype="application/http; msgtype=response")
+    )
+    (tmp_path / "z.warc").write_bytes(arch)
+    rows = {r.target_uri: r for r in response_bodies(read_warc(spark, str(tmp_path))).collect()}
+    assert len(rows) == 3
+    for uri, r in rows.items():
+        assert text in r.body, uri
+        assert r.n_repl == 0, uri
+
+
+def test_chunked_plus_gzip_and_charset_interplay(spark, tmp_path):
+    """TE chunked wrapping a CE-gzipped Shift-JIS body: de-chunk, then
+    gunzip, then the existing charset sniff — all three layers in
+    order."""
+    jp = "日本語のテキストです。文字化けしません。"
+    html = (
+        '<html><head><meta charset="shift_jis"></head>'
+        f"<body><p>{jp}</p></body></html>"
+    ).encode("shift_jis")
+    payload = _http_coded(
+        _chunked(gzip.compress(html)),
+        [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"],
+    )
+    (tmp_path / "cj.warc").write_bytes(
+        _record("cj1", "response", payload, "http://jp.example/cz",
+                ctype="application/http; msgtype=response")
+    )
+    row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
+    assert row.charset == "Shift_JIS" and row.n_repl == 0
+    assert jp in row.body
+
+
+def test_corrupt_chunk_stream_quarantines_record_not_archive(spark, tmp_path):
+    """A torn/garbage chunk stream quarantines ITS record (corrupt =
+    true, original payload preserved); the next record in the archive
+    parses normally."""
+    good_body = (
+        b"<html><body><p>intact sibling record with plenty of text to "
+        b"survive the gate</p></body></html>"
+    )
+    torn = _http_coded(
+        b"ZZZ\r\nnot hex\r\n0\r\n\r\n", [b"Transfer-Encoding: chunked"]
+    )
+    truncated = _http_coded(
+        b"ff\r\nonly a few bytes", [b"Transfer-Encoding: chunked"]
+    )
+    arch = (
+        _record("bad1", "response", torn, "http://bad.com/a",
+                ctype="application/http; msgtype=response")
+        + _record("bad2", "response", truncated, "http://bad.com/b",
+                  ctype="application/http; msgtype=response")
+        + _record("ok1", "response", _http_payload(good_body), "http://ok.com/c",
+                  ctype="application/http; msgtype=response")
+    )
+    (tmp_path / "q.warc").write_bytes(arch)
+    records = read_warc(spark, str(tmp_path)).collect()
+    by_id = {r.record_id: r for r in records}
+    assert by_id["<urn:uuid:bad1>"].corrupt
+    assert by_id["<urn:uuid:bad2>"].corrupt
+    # quarantined rows keep the ORIGINAL payload for forensics
+    assert bytes(by_id["<urn:uuid:bad1>"].payload) == torn
+    assert not by_id["<urn:uuid:ok1>"].corrupt
+    # and the docs path sees only the intact record
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    docs, _ = warc_text_documents(read_warc(spark, str(tmp_path)))
+    texts = [r.text for r in docs.collect()]
+    assert len(texts) == 1 and "intact sibling" in texts[0]
+
+
+def test_decode_http_payload_unit_edges():
+    """Driver-side unit edges of the coding decoder: identity no-op,
+    bomb cap, unknown/unavailable codings, bare-LF chunk framing."""
+    import zlib as _zl
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import warc as W
+
+    ident = _http_coded(b"plain body", [])
+    assert W.decode_http_payload(ident) == (ident, True)
+    # non-HTTP payloads pass through untouched
+    assert W.decode_http_payload(b"\x89PNG...") == (b"\x89PNG...", True)
+    # bare-LF chunk framing tolerated
+    lf = _http_coded(b"5\nhello\n0\n\n", [b"Transfer-Encoding: chunked"])
+    out, ok = W.decode_http_payload(lf)
+    assert ok and out.endswith(b"\r\n\r\nhello")
+    # compression bomb: > cap expansion is rejected, record-level
+    bomb = _zl.compress(b"\x00" * (4 * 1024 * 1024))
+    old = W.MAX_HTTP_BODY_DECODED
+    W.MAX_HTTP_BODY_DECODED = 1024 * 1024
+    try:
+        p = _http_coded(bomb, [b"Content-Encoding: deflate"])
+        assert W.decode_http_payload(p) == (p, False)
+        # over-long chunk stream hits the same cap
+        big = _chunked(b"x" * (2 * 1024 * 1024), sizes=[65536])
+        pc = _http_coded(big, [b"Transfer-Encoding: chunked"])
+        assert W.decode_http_payload(pc) == (pc, False)
+    finally:
+        W.MAX_HTTP_BODY_DECODED = old
+    # unknown coding -> quarantine, never mojibake
+    p = _http_coded(b"\x01\x02", [b"Content-Encoding: zstd-nonsense"])
+    assert W.decode_http_payload(p) == (p, False)
+    # br: decoded when the library exists, loudly quarantined otherwise
+    p = _http_coded(b"\x0b\x02\x80hi\x03", [b"Content-Encoding: br"])
+    try:
+        import brotli  # noqa: F401
+
+        out, ok = W.decode_http_payload(p)
+        assert ok and out.endswith(b"hi")
+    except ImportError:
+        assert W.decode_http_payload(p) == (p, False)
+    # TE "gzip, chunked": dechunk, then remove the transfer gzip
+    inner = gzip.compress(b"layered body")
+    p = _http_coded(_chunked(inner), [b"Transfer-Encoding: gzip, chunked"])
+    out, ok = W.decode_http_payload(p)
+    assert ok and out.endswith(b"layered body")
