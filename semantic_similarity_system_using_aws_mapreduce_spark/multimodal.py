@@ -8,13 +8,15 @@ formats a stdlib+numpy environment can parse — 24-bit BMP images
 decode: chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
 unfilters), GIF (full variable-width LZW), BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
-restart markers), PCM + IMA-ADPCM WAV audio, native FLAC (real rice
-decode, fixed + LPC prediction, mid/left/right-side stereo
-decorrelation), and YUV4MPEG2 (y4m) video (header parse + frame
-walk) — and library-gated for the remaining compressed formats:
-progressive JPEG needs PIL, Ogg(-wrapped FLAC)/Vorbis need soundfile,
-MP4 needs av, none of which ship in this container, so those rows
-raise NotImplementedError loudly (the probe + skip-marked test light
+restart markers; progressive SOF2 with spectral selection AND
+successive approximation — DC/AC refinement scans, EOBRUN), PCM +
+IMA-ADPCM WAV audio, native FLAC (real rice decode, fixed + LPC
+prediction, mid/left/right-side stereo decorrelation), and YUV4MPEG2
+(y4m) video (header parse + frame walk) — and library-gated for the
+remaining compressed formats: arithmetic-coded JPEG needs PIL,
+Ogg(-wrapped FLAC)/Vorbis need soundfile, MP4 needs av, none of which
+ship in this container, so those rows raise NotImplementedError
+loudly (the probe + skip-marked test light
 the seam up the moment the libraries appear).
 Swapping in PIL/ffmpeg changes only the inner per-format branch, not
 the Spark plan.
@@ -89,9 +91,10 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 
 
 # Formats the real decoder parses with stdlib + numpy alone — no
-# external codec library involved.  "jpeg" means BASELINE sequential
-# Huffman JPEG (grayscale / 4:4:4 / 4:2:0, restart markers);
-# progressive streams still fall through to the PIL gate.
+# external codec library involved.  "jpeg" means Huffman-coded JPEG:
+# baseline sequential AND progressive (grayscale / 4:4:4 / 4:2:0,
+# restart markers, spectral selection + successive approximation);
+# only arithmetic-coded streams still fall through to the PIL gate.
 STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "wav", "flac", "y4m", "mp4"}
 
 
@@ -516,10 +519,11 @@ def _decode_gif(data: bytes) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): a REAL lossy-DCT codec with nothing but
 # stdlib + numpy, the PNG/GIF precedent taken to the format a web
-# crawl actually hits most.  Encoder and decoder cover baseline
-# sequential Huffman JPEG — grayscale, YCbCr 4:4:4 and 4:2:0, restart
-# markers — which is the overwhelming majority of crawl images;
-# progressive (SOF2) and arithmetic/12-bit variants raise
+# crawl actually hits most.  Encoder and decoder cover Huffman-coded
+# JPEG — baseline sequential AND progressive (SOF2: spectral
+# selection, successive approximation, EOBRUN), grayscale, YCbCr
+# 4:4:4 and 4:2:0, restart markers — which together are essentially
+# all crawl images; arithmetic-coded and 12-bit variants raise
 # NotImplementedError into the library gate like every other
 # compressed-codec seam.  All tables below are the public spec
 # constants from T.81 Annex K.
@@ -689,6 +693,113 @@ def _pad_to(plane: "np.ndarray", mult: int) -> "np.ndarray":
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+#: AC Huffman table for the progressive encoder: every symbol 0x00-
+#: 0xFF gets a code (255 8-bit + one 9-bit), because EOBn symbols
+#: (n<<4, n>=1) don't exist in the Annex K sequential tables — real
+#: progressive encoders always emit custom tables for the same reason.
+_HUFF_AC_FLAT = ([0] * 7 + [255, 1] + [0] * 7, list(range(256)))
+
+
+def _flush_eobrun(w: "_JpegBitWriter", enc_ac, eobrun: int, bbuf: list) -> tuple[int, list]:
+    """Emit a pending EOB run (EOBn symbol + extension bits) followed
+    by the correction bits buffered across the run's blocks (T.81
+    G.1.2.2/G.1.2.3 encoder side — the libjpeg emit_eobrun shape)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = enc_ac[nbits << 4]
+        w.write(code, ln)
+        if nbits:
+            w.write(eobrun - (1 << nbits), nbits)
+        for b in bbuf:
+            w.write(b, 1)
+        return 0, []
+    return eobrun, bbuf
+
+
+def _encode_block_ac_first(
+    w: "_JpegBitWriter", enc_ac, zz, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first-scan encoding of one block's band: point
+    transform (sign * (abs >> Al)), zero runs, EOB folding."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        ta = abs(t) >> al
+        if ta == 0:
+            r += 1
+            continue
+        eobrun, _ = _flush_eobrun(w, enc_ac, eobrun, [])
+        while r > 15:
+            code, ln = enc_ac[0xF0]
+            w.write(code, ln)
+            r -= 16
+        val = ta if t > 0 else -ta
+        size, bits = _mag_bits(val)
+        code, ln = enc_ac[(r << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun, _ = _flush_eobrun(w, enc_ac, eobrun, [])
+    return eobrun
+
+
+def _encode_block_ac_refine(
+    w: "_JpegBitWriter",
+    enc_ac,
+    zz,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    bbuf: list,
+) -> tuple[int, list]:
+    """Progressive AC refinement encoding of one block's band: newly
+    significant coefficients as (run<<4)|1 + sign bit, correction bits
+    for already-significant ones, EOB-run folding with the cross-block
+    correction-bit buffer (the libjpeg encode_mcu_AC_refine shape —
+    the exact mirror of the decoder's _block_ac_refine)."""
+    absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+    eobpos = 0
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eobpos = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            eobrun, bbuf = _flush_eobrun(w, enc_ac, eobrun, bbuf)
+            code, ln = enc_ac[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:  # already significant: one correction bit
+            br.append(t & 1)
+            continue
+        eobrun, bbuf = _flush_eobrun(w, enc_ac, eobrun, bbuf)
+        code, ln = enc_ac[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(0 if int(zz[k]) < 0 else 1, 1)  # sign of the new coef
+        for b in br:
+            w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eobrun += 1
+        bbuf = bbuf + br
+        if eobrun == 0x7FFF:
+            eobrun, bbuf = _flush_eobrun(w, enc_ac, eobrun, bbuf)
+    return eobrun, bbuf
+
+
 def make_jpeg(
     width: int,
     height: int,
@@ -697,6 +808,7 @@ def make_jpeg(
     subsample: bool = False,
     gray: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """A GENUINE baseline JPEG via stdlib + numpy: real FDCT, real
     quantization (Annex K tables scaled by ``quality`` per the IJG
@@ -704,7 +816,16 @@ def make_jpeg(
     stuffing.  ``subsample=True`` writes YCbCr 4:2:0 (16x16 MCUs, four
     Y blocks + averaged chroma); ``gray`` writes a single-component
     scan; ``restart_interval`` > 0 emits a DRI segment and RSTn
-    markers so the decoder's restart path is honestly testable."""
+    markers so the decoder's restart path is honestly testable.
+
+    ``progressive=True`` writes a GENUINE progressive (SOF2) stream
+    exercising both progressive dimensions: spectral selection (DC
+    scan, AC bands 1-5 and 6-63 per component) AND successive
+    approximation (first scans at Al=1, then DC/AC refinement scans at
+    Al=0) with EOB-run folding.  Identical quantized coefficients as
+    the baseline stream for the same inputs, so baseline and
+    progressive encodings of one image must DECODE IDENTICALLY — the
+    cross-check tests/test_multimodal.py pins."""
     import struct
 
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -755,55 +876,135 @@ def make_jpeg(
         ) if (need_h > ph or need_w > pw) else plane[:need_h, :need_w]
         blocks.append(_quantized_blocks(plane, qt_raster[tq]))
 
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported with progressive=True")
+
     enc_dc = [_huff_encode_table(_HUFF_DC_LUMA), _huff_encode_table(_HUFF_DC_CHROMA)]
     enc_ac = [_huff_encode_table(_HUFF_AC_LUMA), _huff_encode_table(_HUFF_AC_CHROMA)]
-    w = _JpegBitWriter()
-    dc_prev = [0] * len(comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     zz_idx = np.asarray(_ZIGZAG)
-    n_mcu = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                w.flush()
-                w.buf += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
-                dc_prev = [0] * len(comps)
-            for ci, (cid, h, v, tq) in enumerate(comps):
-                tab = 0 if ci == 0 else 1
-                for by in range(v):
-                    for bx in range(h):
-                        blk = blocks[ci][my * v + by, mx * h + bx]
-                        zz = blk.reshape(64)[zz_idx]
-                        diff = int(zz[0]) - dc_prev[ci]
-                        dc_prev[ci] = int(zz[0])
-                        size, bits = _mag_bits(diff)
-                        code, ln = enc_dc[tab][size]
-                        w.write(code, ln)
-                        w.write(bits, size)
-                        run = 0
-                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                        for k in range(1, 64):
-                            val = int(zz[k])
-                            if val == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = enc_ac[tab][0xF0]
-                                w.write(code, ln)
-                                run -= 16
-                            size, bits = _mag_bits(val)
-                            code, ln = enc_ac[tab][(run << 4) | size]
+    # per-component zigzag-order coefficient grids (shared by both
+    # entropy-coding modes)
+    zzblocks = [
+        blocks[ci].reshape(blocks[ci].shape[0], blocks[ci].shape[1], 64)[
+            :, :, zz_idx
+        ]
+        for ci in range(len(comps))
+    ]
+
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+    if not progressive:
+        w = _JpegBitWriter()
+        dc_prev = [0] * len(comps)
+        n_mcu = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    w.flush()
+                    w.buf += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    dc_prev = [0] * len(comps)
+                for ci, (cid, h, v, tq) in enumerate(comps):
+                    tab = 0 if ci == 0 else 1
+                    for by in range(v):
+                        for bx in range(h):
+                            zz = zzblocks[ci][my * v + by, mx * h + bx]
+                            diff = int(zz[0]) - dc_prev[ci]
+                            dc_prev[ci] = int(zz[0])
+                            size, bits = _mag_bits(diff)
+                            code, ln = enc_dc[tab][size]
                             w.write(code, ln)
                             w.write(bits, size)
                             run = 0
-                        if last_nz < 63:
-                            code, ln = enc_ac[tab][0x00]  # EOB
-                            w.write(code, ln)
-            n_mcu += 1
-    w.flush()
+                            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                            for k in range(1, 64):
+                                val = int(zz[k])
+                                if val == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    code, ln = enc_ac[tab][0xF0]
+                                    w.write(code, ln)
+                                    run -= 16
+                                size, bits = _mag_bits(val)
+                                code, ln = enc_ac[tab][(run << 4) | size]
+                                w.write(code, ln)
+                                w.write(bits, size)
+                                run = 0
+                            if last_nz < 63:
+                                code, ln = enc_ac[tab][0x00]  # EOB
+                                w.write(code, ln)
+                n_mcu += 1
+        w.flush()
+        scans.append((list(range(len(comps))), 0, 63, 0, 0, bytes(w.buf)))
+    else:
+        flat_ac = _huff_encode_table(_HUFF_AC_FLAT)
+        al0 = 1  # first scans at Al=1, refinements complete to Al=0
+
+        def _mcu_blocks():
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (cid, h, v, tq) in enumerate(comps):
+                        for by in range(v):
+                            for bx in range(h):
+                                yield ci, zzblocks[ci][my * v + by, mx * h + bx]
+
+        def _comp_blocks(ci):
+            # non-interleaved scans cover the component's OWN block
+            # grid: ceil(ceil(width*h/hmax)/8) x ceil(ceil(height*v/vmax)/8)
+            _, h, v, _ = comps[ci]
+            cw = -(-(width * h) // hmax)
+            ch = -(-(height * v) // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield zzblocks[ci][by, bx]
+
+        # 1) DC first scan (interleaved), Al=1: diffs of (DC >> 1)
+        w = _JpegBitWriter()
+        dc_prev = [0] * len(comps)
+        for ci, zz in _mcu_blocks():
+            tab = 0 if ci == 0 else 1
+            scaled = int(zz[0]) >> al0
+            diff = scaled - dc_prev[ci]
+            dc_prev[ci] = scaled
+            size, bits = _mag_bits(diff)
+            code, ln = enc_dc[tab][size]
+            w.write(code, ln)
+            w.write(bits, size)
+        w.flush()
+        scans.append((list(range(len(comps))), 0, 0, 0, al0, bytes(w.buf)))
+        # 2) AC first scans per component: spectral bands 1-5, 6-63
+        for ss, se in ((1, 5), (6, 63)):
+            for ci in range(len(comps)):
+                w = _JpegBitWriter()
+                eobrun = 0
+                for zz in _comp_blocks(ci):
+                    eobrun = _encode_block_ac_first(
+                        w, flat_ac, zz, ss, se, al0, eobrun
+                    )
+                eobrun, _ = _flush_eobrun(w, flat_ac, eobrun, [])
+                w.flush()
+                scans.append(([ci], ss, se, 0, al0, bytes(w.buf)))
+        # 3) DC refinement scan (interleaved), Ah=1 -> Al=0: raw bits
+        w = _JpegBitWriter()
+        for ci, zz in _mcu_blocks():
+            w.write((int(zz[0]) >> 0) & 1, 1)
+        w.flush()
+        scans.append((list(range(len(comps))), 0, 0, al0, 0, bytes(w.buf)))
+        # 4) AC refinement scans per component, band 1-63, Ah=1 -> Al=0
+        for ci in range(len(comps)):
+            w = _JpegBitWriter()
+            eobrun = 0
+            bbuf: list[int] = []
+            for zz in _comp_blocks(ci):
+                eobrun, bbuf = _encode_block_ac_refine(
+                    w, flat_ac, zz, 1, 63, 0, eobrun, bbuf
+                )
+            eobrun, bbuf = _flush_eobrun(w, flat_ac, eobrun, bbuf)
+            w.flush()
+            scans.append(([ci], 1, 63, al0, 0, bytes(w.buf)))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -815,22 +1016,32 @@ def make_jpeg(
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
     for cid, h, v, tq in comps:
         sof += bytes([cid, (h << 4) | v, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    huff_specs = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    huff_specs = [(0, 0, _HUFF_DC_LUMA)]
+    if progressive:
+        huff_specs += [(1, 0, _HUFF_AC_FLAT)]
+    else:
+        huff_specs += [(1, 0, _HUFF_AC_LUMA)]
     if not gray:
-        huff_specs += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
+        huff_specs += [(0, 1, _HUFF_DC_CHROMA)]
+        if not progressive:
+            huff_specs += [(1, 1, _HUFF_AC_CHROMA)]
     for cls, tid, (bits, vals) in huff_specs:
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([len(comps)])
-    for ci, (cid, *_rest) in enumerate(comps):
-        tab = 0 if ci == 0 else 1
-        sos += bytes([cid, (tab << 4) | tab])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += w.buf
+    for comp_idxs, ss, se, ah, al, buf in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            cid = comps[ci][0]
+            dc_tab = 0 if ci == 0 else 1
+            ac_tab = 0 if progressive else dc_tab
+            sos += bytes([cid, (dc_tab << 4) | ac_tab])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -897,15 +1108,137 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _block_sequential(r: _JpegBitReader, zz, dct, act, dc_pred: int) -> int:
+    """One sequential-Huffman block (DC diff + AC runs) into ``zz``
+    (zigzag-order int array); returns the new DC predictor."""
+    size = _jpeg_decode_sym(r, dct)
+    diff = _jpeg_extend(r.receive(size), size)
+    dc = dc_pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_sym(r, act)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        zz[k] = _jpeg_extend(r.receive(size), size)
+        k += 1
+    return dc
+
+
+def _block_ac_first(
+    r: _JpegBitReader, zz, act, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first scan (Ah=0) for one block: run/size coding
+    of the band with EOB-run folding (T.81 G.1.2.2); returns the
+    updated EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_sym(r, act)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _jpeg_extend(r.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(
+    r: _JpegBitReader, zz, act, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement scan (Ah=Al+1) for one block: newly
+    significant coefficients arrive as ±1<<Al with zero-run counting
+    over zero-HISTORY positions only; every already-nonzero
+    coefficient in the band consumes one correction bit (T.81
+    G.1.2.3, the libjpeg decode_mcu_AC_refine shape); returns the
+    updated EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_sym(r, act)
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break  # current block finishes in the EOBRUN pass
+                # run == 15: ZRL — skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if r.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if zz[k] != 0:
+                if r.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF followed by non-zero,
+    non-RST) at or after ``pos`` — where the segment walk resumes
+    after an entropy-coded scan."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("truncated JPEG stream after scan")
+
+
 def _decode_jpeg(data: bytes) -> tuple[int, int]:
-    """(luma checksum, pixel count) of a BASELINE sequential Huffman
-    JPEG — real marker walk, canonical Huffman decode, dequant, IDCT,
-    4:2:0/4:2:2 chroma upsampling, restart markers.  Same integer
-    ITU-R 601 luma convention as the other image decoders (computed
-    from the reconstructed RGB, so cross-format checksums are
-    COMPARABLE under the codec's loss, not bit-equal — JPEG is lossy).
-    Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise
-    NotImplementedError into the library gate."""
+    """(luma checksum, pixel count) of a Huffman-coded JPEG — real
+    marker walk, canonical Huffman decode, dequant, IDCT, 4:2:0/4:2:2
+    chroma upsampling, restart markers.  Handles BASELINE/extended
+    sequential (SOF0/1) and PROGRESSIVE (SOF2: spectral selection AND
+    successive approximation — DC/AC first + refinement scans, EOBRUN)
+    streams: every scan accumulates into per-component coefficient
+    buffers and dequant/IDCT run once at the end, so a sequential
+    stream is simply the one-scan special case of the same machinery.
+    Same integer ITU-R 601 luma convention as the other image decoders
+    (computed from the reconstructed RGB, so cross-format checksums
+    are COMPARABLE under the codec's loss, not bit-equal — JPEG is
+    lossy).  Arithmetic-coded (SOF9/10/11/13/14/15) streams raise
+    NotImplementedError into the library gate; lossless/hierarchical
+    (SOF3/5/6/7) likewise."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -915,9 +1248,13 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
     comps: list[tuple[int, int, int, int]] = []
     width = height = 0
     dri = 0
+    progressive = False
+    coefs: dict[int, "np.ndarray"] = {}
+    cgrid: dict[int, tuple[int, int]] = {}  # cid -> non-interleaved (bh, bw)
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     pos = 2
-    scan_pos = None
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
         marker = data[pos + 1]
@@ -926,6 +1263,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment")
         seglen = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -939,7 +1278,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
                 raster[np.asarray(_ZIGZAG)] = zz
                 qt[tq] = raster.reshape(8, 8)
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (progressive streams redefine these)
             i = 0
             while i < len(body):
                 cls, tid = body[i] >> 4, body[i] & 15
@@ -948,81 +1287,64 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", body, 1)
             nf = body[5]
             comps = []
-            for c in range(nf):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for cid, h, v, _ in comps:
+                coefs[cid] = np.zeros((mcuy * v, mcux * h, 64), np.int64)
+                cw = -(-(width * h) // hmax)  # ceil(width*h/hmax)
+                ch = -(-(height * v) // vmax)
+                cgrid[cid] = (-(-ch // 8), -(-cw // 8))
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive JPEG (SOF2/6/10/14) — needs a codec library (PIL)"
+                "arithmetic-coded JPEG (SOF9-15) — needs a codec library (PIL)"
             )
-        elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
-            raise NotImplementedError("non-baseline JPEG coding process")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("lossless/hierarchical JPEG coding process")
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan in place
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_tabs = {}
-            for c in range(ns):
-                cid, tt = body[1 + 2 * c : 3 + 2 * c]
-                scan_tabs[cid] = (tt >> 4, tt & 15)
-            scan_pos = pos + seglen
-            break
+            scomps = []
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                scomps.append((cid, tt >> 4, tt & 15))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            pos = _decode_jpeg_scan(
+                data, pos + seglen, comps, scomps, ss, se, ah, al,
+                progressive, coefs, cgrid, huff, dri, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    if scan_pos is None or not comps or not width:
+    if not saw_scan or not comps or not width:
         raise ValueError("JPEG stream without SOF/SOS")
 
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * 8 * v, mcux * 8 * h), np.float64)
-        for cid, h, v, _ in comps
-    }
+    # dequant + IDCT once, over the accumulated coefficient buffers
     c = _dct_matrix()
-    r = _JpegBitReader(data, scan_pos)
-    dc_prev = {cid: 0 for cid, *_ in comps}
     zz_idx = np.asarray(_ZIGZAG)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and n_mcu and n_mcu % dri == 0:
-                r.restart()
-                dc_prev = {cid: 0 for cid, *_ in comps}
-            for cid, h, v, tq in comps:
-                td, ta = scan_tabs[cid]
-                dct, act = huff[(0, td)], huff[(1, ta)]
-                for by in range(v):
-                    for bx in range(h):
-                        zz = np.zeros(64, np.int64)
-                        size = _jpeg_decode_sym(r, dct)
-                        diff = _jpeg_extend(r.receive(size), size)
-                        dc_prev[cid] += diff
-                        zz[0] = dc_prev[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_decode_sym(r, act)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _jpeg_extend(r.receive(size), size)
-                            k += 1
-                        coef = np.zeros(64, np.float64)
-                        coef[zz_idx] = zz * qt[tq].reshape(64)[zz_idx]
-                        px = c.T @ coef.reshape(8, 8) @ c + 128.0
-                        y0, x0 = (my * v + by) * 8, (mx * h + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-            n_mcu += 1
+    planes: dict[int, "np.ndarray"] = {}
+    for cid, h, v, tq in comps:
+        zzc = coefs[cid]  # (bh, bw, 64), zigzag order
+        raster = np.zeros(zzc.shape, np.float64)
+        raster[:, :, zz_idx] = zzc * qt[tq].reshape(64)[zz_idx]
+        blocks = raster.reshape(zzc.shape[0], zzc.shape[1], 8, 8)
+        px = np.einsum("ji,rcjk,kl->rcil", c, blocks, c) + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(
+            zzc.shape[0] * 8, zzc.shape[1] * 8
+        )
 
     full = {}
     for cid, h, v, _ in comps:
@@ -1044,6 +1366,101 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
         bf = np.clip(np.round(yy + 1.772 * (cb - 128.0)), 0, 255).astype(np.int64)
         luma = (299 * rf + 587 * gf + 114 * bf) // 1000
     return int(luma.sum()), int(width * height)
+
+
+def _decode_jpeg_scan(
+    data: bytes,
+    pos: int,
+    comps,
+    scomps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    coefs,
+    cgrid,
+    huff,
+    dri: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient buffers and
+    return the position of the marker that follows it.  Sequential
+    scans must cover the full band untransformed; progressive scans
+    follow the T.81 G.1 constraints (DC scans interleavable, AC scans
+    single-component over the component's own block grid)."""
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("bad sequential JPEG scan header")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral band")
+    by_cid = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    for cid, _, _ in scomps:
+        if cid not in by_cid:
+            raise ValueError("scan references unknown component")
+    r = _JpegBitReader(data, pos)
+    dc_prev = {cid: 0 for cid, _, _ in scomps}
+    eobrun = 0
+    n_unit = 0
+
+    def _maybe_restart() -> None:
+        nonlocal dc_prev, eobrun
+        if dri and n_unit and n_unit % dri == 0:
+            r.restart()
+            dc_prev = {cid: 0 for cid, _, _ in scomps}
+            eobrun = 0
+
+    if len(scomps) > 1 or (progressive and ss == 0):
+        # MCU-interleaved (all sequential multi-comp scans + DC scans)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                _maybe_restart()
+                for cid, td, ta in scomps:
+                    h, v, _ = by_cid[cid]
+                    for by in range(v):
+                        for bx in range(h):
+                            zz = coefs[cid][my * v + by, mx * h + bx]
+                            if not progressive:
+                                dc_prev[cid] = _block_sequential(
+                                    r, zz, huff[(0, td)], huff[(1, ta)],
+                                    dc_prev[cid],
+                                )
+                            elif ah == 0:  # DC first
+                                size = _jpeg_decode_sym(r, huff[(0, td)])
+                                diff = _jpeg_extend(r.receive(size), size)
+                                dc_prev[cid] += diff
+                                zz[0] = dc_prev[cid] << al
+                            else:  # DC refinement: one raw bit
+                                if r.bit():
+                                    zz[0] |= 1 << al
+                n_unit += 1
+    else:
+        # single-component scan over the component's OWN block grid
+        cid, td, ta = scomps[0]
+        bh, bw = cgrid[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                _maybe_restart()
+                zz = coefs[cid][by, bx]
+                if not progressive:
+                    dc_prev[cid] = _block_sequential(
+                        r, zz, huff[(0, td)], huff[(1, ta)], dc_prev[cid]
+                    )
+                elif ah == 0:
+                    eobrun = _block_ac_first(
+                        r, zz, huff[(1, ta)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _block_ac_refine(
+                        r, zz, huff[(1, ta)], ss, se, al, eobrun
+                    )
+                n_unit += 1
+    return _jpeg_next_marker(data, r.p)
 
 
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
@@ -1832,7 +2249,7 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
             try:
                 checksum, count = _decode_jpeg(data)
             except NotImplementedError:
-                # progressive/arithmetic variants fall through to the
+                # arithmetic-coded variants fall through to the
                 # library gate below (PIL decodes them when present)
                 if not (kind == "image" and support.get("image")):
                     raise
@@ -1931,7 +2348,7 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     ``decoder="real"`` GENUINELY decodes the stdlib formats (24-bit
     BMP, PNG, GIF, baseline JPEG, PCM16/IMA-ADPCM WAV, native FLAC,
     y4m — :data:`STDLIB_FORMATS`) with no external library, and
-    dispatches other formats (progressive JPEG, Ogg/Vorbis, MP4) to
+    dispatches other formats (arithmetic JPEG, Ogg/Vorbis, MP4) to
     whatever codec libraries the environment offers (PIL / soundfile
     / av, per :func:`codec_support`); a row in a format nothing can
     decode raises NotImplementedError from the executor — loudly,
