@@ -14,9 +14,10 @@ IMA-ADPCM WAV audio, native FLAC (real rice decode, fixed + LPC
 prediction, mid/left/right-side stereo decorrelation), and YUV4MPEG2
 (y4m) video (header parse + frame walk) — and library-gated for the
 remaining compressed formats: arithmetic-coded JPEG needs PIL,
-Ogg(-wrapped FLAC)/Vorbis need soundfile, MP4 needs av, none of which
-ship in this container, so those rows raise NotImplementedError
-loudly (the probe + skip-marked test light
+Ogg Vorbis/Opus need soundfile, MP4 pixel decode needs av (container
+metadata — unfragmented AND fragmented frame counts — is stdlib, as is
+Ogg-FLAC via a real RFC 3533 depacketizer), none of which ship in this
+container, so those rows raise NotImplementedError loudly (the probe + skip-marked test light
 the seam up the moment the libraries appear).
 Swapping in PIL/ffmpeg changes only the inner per-format branch, not
 the Spark plan.
@@ -1652,8 +1653,10 @@ def _decode_y4m(data: bytes) -> tuple[int, int]:
 # (mid-side for stereo) so the decoder's prediction, rice, and channel
 # decorrelation paths are honestly exercised; the decoder additionally
 # handles CONSTANT/VERBATIM/LPC subframes, rice2, escaped partitions,
-# wasted bits, and left/right-side stereo.  Ogg-wrapped FLAC and
-# >2-channel streams raise NotImplementedError into the library gate.
+# wasted bits, and left/right-side stereo.  Ogg-encapsulated FLAC
+# decodes through a real RFC 3533 depacketizer (below); Ogg
+# Vorbis/Opus and >2-channel streams raise NotImplementedError into
+# the library gate.
 # ---------------------------------------------------------------------------
 
 
@@ -1762,6 +1765,16 @@ def make_flac(
     framed fixed-predictor rice-coded subframes, mid-side stereo
     decorrelation, header CRC-8 and frame CRC-16.  ``samples`` are
     interleaved int16 when ``channels=2``."""
+    head, frames = _flac_stream_parts(samples, rate, channels, blocksize)
+    return head + b"".join(frames)
+
+
+def _flac_stream_parts(
+    samples, rate: int = 8000, channels: int = 1, blocksize: int = 1024
+) -> tuple[bytes, list[bytes]]:
+    """(header, [frame bytes]) of the native FLAC encoding — the
+    per-frame split :func:`make_ogg_flac` needs, since the FLAC-to-Ogg
+    mapping packs exactly one audio frame per Ogg packet."""
     import hashlib
     import struct
 
@@ -1771,7 +1784,7 @@ def make_flac(
     n_total = len(s)
     bps = 16
 
-    body = bytearray()
+    frames: list[bytes] = []
     frame_no = 0
     for start in range(0, n_total, blocksize):
         blk = s[start : start + blocksize]
@@ -1802,7 +1815,7 @@ def make_flac(
             _encode_flac_subframe(w, side, bps + 1)
         w.align()
         frame = bytes(w.buf)
-        body += frame + struct.pack(">H", _crc16(frame))
+        frames.append(frame + struct.pack(">H", _crc16(frame)))
         frame_no += 1
 
     info = _FlacBitWriter()
@@ -1818,7 +1831,176 @@ def make_flac(
     md5 = hashlib.md5(raw).digest()
     streaminfo = bytes(info.buf) + md5
     head = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
-    return head + bytes(body)
+    return head, frames
+
+
+# ---------------------------------------------------------------------------
+# Ogg encapsulation (RFC 3533) + the FLAC-to-Ogg mapping: page walk
+# with lacing-value packet reassembly, page-CRC verification, and
+# cross-page packet continuation — so Ogg-FLAC (the streaming/web
+# shipping form of FLAC) decodes with the SAME native frame decoder.
+# Ogg Vorbis/Opus payloads still gate (their codecs are not stdlib).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32: poly 0x04C11DB7, no reflection, init 0, no final
+    xor (RFC 3533 §6) — NOT zlib's CRC-32."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (
+                    (r << 1) & 0xFFFFFFFF
+                )
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_packets(data: bytes) -> list[tuple[int, bytes]]:
+    """(serial, packet) list off an Ogg stream: page-sync + CRC
+    verification, lacing-value reassembly (255 = continues), packet
+    continuation across pages.  Raises ValueError on torn pages or a
+    CRC mismatch — never returns silently-wrong packets."""
+    import struct
+
+    raw = bytes(data)
+    pos = 0
+    partial: dict[int, bytes] = {}
+    packets: list[tuple[int, bytes]] = []
+    while pos < len(raw):
+        if raw[pos : pos + 4] != b"OggS":
+            raise ValueError("lost Ogg page sync")
+        if pos + 27 > len(raw):
+            raise ValueError("truncated Ogg page header")
+        if raw[pos + 4] != 0:
+            raise ValueError("unknown Ogg version")
+        htype = raw[pos + 5]
+        serial = struct.unpack_from("<I", raw, pos + 14)[0]
+        nseg = raw[pos + 26]
+        lacing = raw[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body = pos + 27 + nseg
+        page_end = body + sum(lacing)
+        if page_end > len(raw):
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(raw[pos:page_end])
+        want = struct.unpack_from("<I", raw, pos + 22)[0]
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            raise ValueError("Ogg page CRC mismatch")
+        cur = partial.pop(serial, b"")
+        if cur and not (htype & 0x01):
+            raise ValueError("Ogg packet torn at a page boundary")
+        off = body
+        for lv in lacing:
+            cur += raw[off : off + lv]
+            off += lv
+            if lv < 255:
+                packets.append((serial, cur))
+                cur = b""
+        if cur:
+            partial[serial] = cur
+        pos = page_end
+    if partial:
+        raise ValueError("Ogg stream ends mid-packet")
+    return packets
+
+
+def _decode_ogg(data: bytes) -> tuple[int, int]:
+    """Decode an Ogg stream's first FLAC-mapped logical stream with
+    the native FLAC decoder: the BOS packet is 0x7F 'FLAC' maj min +
+    header count + the native 'fLaC' signature and STREAMINFO, and
+    every later packet is a metadata block or ONE audio frame — so the
+    packet concatenation IS the native stream.  Vorbis/Opus payloads
+    raise NotImplementedError into the soundfile gate."""
+    packets = _ogg_packets(data)
+    streams: dict[int, list[bytes]] = {}
+    order: list[int] = []
+    for serial, pkt in packets:
+        if serial not in streams:
+            streams[serial] = []
+            order.append(serial)
+        streams[serial].append(pkt)
+    for serial in order:
+        first = streams[serial][0]
+        if first[:5] == b"\x7fFLAC":
+            native = first[9:] + b"".join(streams[serial][1:])
+            return _decode_flac(native)
+        if first[:7] == b"\x01vorbis":
+            raise NotImplementedError("Ogg Vorbis — needs soundfile")
+        if first[:8] == b"OpusHead":
+            raise NotImplementedError("Ogg Opus — needs soundfile")
+    raise ValueError("Ogg stream without a FLAC/Vorbis/Opus BOS packet")
+
+
+def make_ogg_flac(
+    samples,
+    rate: int = 8000,
+    channels: int = 1,
+    blocksize: int = 1024,
+    max_segs_per_page: int = 255,
+) -> bytes:
+    """A GENUINE Ogg-FLAC encapsulation of :func:`make_flac`'s native
+    stream per the FLAC-to-Ogg mapping: BOS page with the 0x7F 'FLAC'
+    mapping packet (signature + STREAMINFO), then exactly one audio
+    frame per packet, real lacing values, real page CRCs, EOS flag on
+    the final page.  ``max_segs_per_page`` < 255 forces packets to
+    continue across pages (continuation flag + 255-lacing tails), so
+    the depacketizer's cross-page path is honestly testable."""
+    import struct
+
+    head, frames = _flac_stream_parts(samples, rate, channels, blocksize)
+    serial = 0x5347  # arbitrary stream serial
+    seq = 0
+    out = bytearray()
+
+    def _emit(packet: bytes, htype: int, granule: int) -> None:
+        nonlocal seq, out
+        # lacing for the whole packet, then paginate
+        lacing = [255] * (len(packet) // 255) + [len(packet) % 255]
+        off = 0
+        first_page = True
+        while lacing:
+            take = lacing[:max_segs_per_page]
+            lacing = lacing[max_segs_per_page:]
+            nbytes = sum(take)
+            flags = htype if first_page else 0x01  # continuation
+            if not lacing:
+                flags |= htype & 0x04  # EOS only on the last page
+            else:
+                flags &= ~0x04
+            page = bytearray(b"OggS\x00")
+            page.append(flags)
+            page += struct.pack("<q", granule if not lacing else -1)
+            page += struct.pack("<I", serial)
+            page += struct.pack("<I", seq)
+            seq += 1
+            page += b"\x00\x00\x00\x00"  # CRC placeholder
+            page.append(len(take))
+            page += bytes(take)
+            page += packet[off : off + nbytes]
+            off += nbytes
+            struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+            out += page
+            first_page = False
+
+    bos = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + head
+    _emit(bos, 0x02, 0)
+    done = 0
+    for i, frame in enumerate(frames):
+        done += blocksize
+        _emit(frame, 0x04 if i == len(frames) - 1 else 0x00, done)
+    return bytes(out)
 
 
 class _FlacBitReader:
@@ -1940,11 +2122,14 @@ def _decode_flac(data: bytes) -> tuple[int, int]:
     """(sum of |samples|, per-channel sample count) of a native FLAC
     stream — real metadata walk, frame/subframe parse, fixed+LPC
     prediction, rice decode, all four channel assignments, CRC-8
-    header verification.  Ogg-wrapped FLAC and >2 channels raise
+    header verification.  Ogg-encapsulated streams are depacketized
+    first (:func:`_decode_ogg` — page CRCs, lacing, cross-page
+    continuation) and decode with this same frame decoder; only
+    Ogg Vorbis/Opus payloads and >2 channels raise
     NotImplementedError (the soundfile gate)."""
     raw = bytes(data)
     if raw[:4] == b"OggS":
-        raise NotImplementedError("Ogg-wrapped FLAC — needs soundfile")
+        return _decode_ogg(raw)
     if raw[:4] != b"fLaC":
         raise ValueError("not a native FLAC stream")
     pos = 4
@@ -2052,9 +2237,10 @@ def _decode_flac(data: bytes) -> tuple[int, int]:
 # table.  This is the SAME information the av library branch extracts
 # (it counts frames; checksum == count == n_frames, the y4m
 # convention): a crawl pipeline needs duration/frame metadata without
-# paying an H.264 decode.  Pixel decoding stays library-gated, and
-# fragmented MP4 (moof) raises NotImplementedError into the av gate
-# because its sample counts live in the fragments.
+# paying an H.264 decode.  Pixel decoding stays library-gated.
+# Fragmented MP4 (the DASH/CMAF shipping form) is parsed too: sample
+# counts live in the moof fragments' trun boxes, summed per video
+# track.
 # ---------------------------------------------------------------------------
 
 
@@ -2064,14 +2250,28 @@ def _mp4_box(typ: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + typ + body
 
 
-def make_mp4(n_frames: int, width: int = 16, height: int = 9) -> bytes:
-    """A structurally GENUINE unfragmented MP4: ftyp + moov with a
-    complete video-track sample table (stts/stsc/stsz/stco) + mdat.
-    Sample payloads are dummy bytes (encoding real H.264 is the
-    library-gated part); every box the parser walks is real."""
+def make_mp4(
+    n_frames: int,
+    width: int = 16,
+    height: int = 9,
+    fragments: list[int] | None = None,
+) -> bytes:
+    """A structurally GENUINE MP4: ftyp + moov with a complete
+    video-track sample table (stts/stsc/stsz/stco) + mdat.  Sample
+    payloads are dummy bytes (encoding real H.264 is the library-gated
+    part); every box the parser walks is real.
+
+    ``fragments=[n1, n2, ...]`` writes the FRAGMENTED (DASH/CMAF)
+    form instead: the moov's sample table declares zero samples and
+    carries an mvex/trex, and each fragment is a moof (mfhd sequence
+    number, traf with tfhd track_ID + one trun per fragment carrying
+    its sample_count) followed by its mdat — the layout whose frame
+    counts live in the fragments, not the moov."""
     import struct
 
     b = _mp4_box
+    if fragments is not None:
+        n_frames = 0  # the moov-side stsz declares zero samples
     sample_sizes = [16 + (i % 7) for i in range(n_frames)]
     # box bodies padded to their spec-exact v0 sizes (mvhd 100, tkhd
     # 84, mdhd 24) — the parser only reads the sample table, but the
@@ -2091,10 +2291,23 @@ def make_mp4(n_frames: int, width: int = 16, height: int = 9) -> bytes:
     minf = b(b"minf", vmhd + dinf + stbl)
     mdia = b(b"mdia", mdhd + hdlr + minf)
     trak = b(b"trak", tkhd + mdia)
-    moov = b(b"moov", mvhd + trak)
     ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
-    mdat = b(b"mdat", bytes(sum(sample_sizes) % 4096))
-    return ftyp + moov + mdat
+    if fragments is None:
+        moov = b(b"moov", mvhd + trak)
+        mdat = b(b"mdat", bytes(sum(sample_sizes) % 4096))
+        return ftyp + moov + mdat
+    # fragmented: mvex/trex in the moov, then one moof+mdat per fragment
+    trex = b(b"trex", struct.pack(">IIIIII", 0, 1, 1, 40, 16, 0))
+    moov = b(b"moov", mvhd + trak + b(b"mvex", trex))
+    out = ftyp + moov
+    for seq, nf in enumerate(fragments, start=1):
+        mfhd = b(b"mfhd", struct.pack(">II", 0, seq))
+        tfhd = b(b"tfhd", struct.pack(">II", 0x020000, 1))  # default-base-is-moof
+        trun = b(b"trun", struct.pack(">II", 0, nf))
+        traf = b(b"traf", tfhd + trun)
+        out += b(b"moof", mfhd + traf)
+        out += b(b"mdat", bytes(16 * nf))
+    return out
 
 
 def _mp4_children(data: bytes, start: int, end: int):
@@ -2133,10 +2346,13 @@ def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
 
 
 def _parse_mp4(data: bytes) -> tuple[int, int]:
-    """(frame count, frame count) of an unfragmented MP4's first video
-    track — the y4m/av convention (checksum == count == n_frames).
-    Real box walk: moov -> trak (hdlr == 'vide') -> stbl -> stsz/stz2.
-    Fragmented streams (moof) raise NotImplementedError (av gate)."""
+    """(frame count, frame count) of an MP4's first video track — the
+    y4m/av convention (checksum == count == n_frames).  Real box walk:
+    moov -> trak (hdlr == 'vide') -> stbl -> stsz/stz2, PLUS — for
+    fragmented streams, where the sample counts live in the fragments
+    — every top-level moof -> traf (tfhd track_ID == the video
+    track's) -> trun sample_count summed in (the DASH/CMAF shipping
+    form; an fMP4's moov stsz typically declares zero samples)."""
     import struct
 
     raw = bytes(data)
@@ -2144,8 +2360,6 @@ def _parse_mp4(data: bytes) -> tuple[int, int]:
     types = [t for t, _, _ in top]
     if b"ftyp" not in types and b"moov" not in types:
         raise ValueError("not an ISO-BMFF (MP4) stream")
-    if b"moof" in types:
-        raise NotImplementedError("fragmented MP4 (moof) — needs av")
     moov = next(((bs, be) for t, bs, be in top if t == b"moov"), None)
     if moov is None:
         raise ValueError("MP4 without a moov box")
@@ -2155,18 +2369,43 @@ def _parse_mp4(data: bytes) -> tuple[int, int]:
         hdlr = _mp4_find(raw, bs, be, [b"mdia", b"hdlr"])
         if hdlr is None or raw[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
+        tkhd = _mp4_find(raw, bs, be, [b"tkhd"])
+        track_id = None
+        if tkhd is not None:
+            ver = raw[tkhd[0]]
+            track_id = struct.unpack_from(
+                ">I", raw, tkhd[0] + (20 if ver == 1 else 12)
+            )[0]
         stbl = _mp4_find(raw, bs, be, [b"mdia", b"minf", b"stbl"])
         if stbl is None:
             raise ValueError("video trak without a sample table")
+        n = None
         stsz = _mp4_find(raw, *stbl, [b"stsz"])
         if stsz is not None:
             n = struct.unpack_from(">I", raw, stsz[0] + 8)[0]
-            return n, n
-        stz2 = _mp4_find(raw, *stbl, [b"stz2"])
-        if stz2 is not None:
-            n = struct.unpack_from(">I", raw, stz2[0] + 8)[0]
-            return n, n
-        raise ValueError("video sample table without stsz/stz2")
+        else:
+            stz2 = _mp4_find(raw, *stbl, [b"stz2"])
+            if stz2 is not None:
+                n = struct.unpack_from(">I", raw, stz2[0] + 8)[0]
+        if n is None:
+            raise ValueError("video sample table without stsz/stz2")
+        # fragmented samples: sum this track's trun counts
+        for t, fs, fe in top:
+            if t != b"moof":
+                continue
+            for ft, tbs, tbe in _mp4_children(raw, fs, fe):
+                if ft != b"traf":
+                    continue
+                tfhd = _mp4_find(raw, tbs, tbe, [b"tfhd"])
+                if tfhd is None:
+                    raise ValueError("traf without tfhd")
+                tid = struct.unpack_from(">I", raw, tfhd[0] + 4)[0]
+                if track_id is not None and tid != track_id:
+                    continue
+                for rt, rbs, rbe in _mp4_children(raw, tbs, tbe):
+                    if rt == b"trun":
+                        n += struct.unpack_from(">I", raw, rbs + 4)[0]
+        return n, n
     raise ValueError("MP4 without a video track")
 
 
@@ -2265,7 +2504,7 @@ def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
             try:
                 checksum, count = _decode_flac(data)
             except NotImplementedError:
-                # Ogg-wrapped / >2-channel fall to the soundfile gate
+                # Ogg Vorbis/Opus / >2-channel fall to the soundfile gate
                 if not (kind == "audio" and support.get("audio")):
                     raise
                 import soundfile as sf
