@@ -90,8 +90,35 @@ def curate(
     shards: bool = True,
     domain_quota_k: int | None = None,
     gopher: bool = False,
+    main_content: bool = False,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
+
+    # optional block-level boilerplate strip (operators/text_analysis.
+    # main_content, jusText-shaped) BEFORE every gate: substitute the
+    # furniture-stripped main_text wherever the page yielded at least
+    # one good block (small legitimate pages keep the full text).
+    # Raw-WARC docs already carry the columns (sources/warc.py);
+    # other formats compute them here — map-side column expressions
+    # either way, so the strip costs no extra pass or shuffle and the
+    # downstream gates/dedup judge the content, not the template.
+    if main_content:
+        if "main_text" not in docs.columns:
+            from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+                main_content as _mc_op,
+            )
+
+            docs = _mc_op(docs, html_col="text")
+        # a good block is >= min_chars long, so "any good block" ==
+        # non-empty main_text — the one condition both the raw-WARC
+        # columns (main_text + boilerplate_ppm only) and the freshly
+        # computed ones satisfy; null main_text (null page) keeps text
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.length("main_text") > 0, F.col("main_text")
+            ).otherwise(F.col("text")),
+        ).drop("main_text", "n_blocks", "n_good_blocks", "total_chars", "good_chars")
 
     # --- stage columns (all map-side except where noted) ------------
     toks = tokens(F.col("text"))
@@ -266,6 +293,13 @@ def main() -> None:
         "bounds incl. the 50-word floor, mean word length, symbol/"
         "alpha ratios, stop-word presence) as a map-side reject stage",
     )
+    ap.add_argument(
+        "--main-content",
+        action="store_true",
+        help="strip per-page template furniture (jusText-shaped block "
+        "text/link-density scoring) before every gate: pages keep "
+        "their main_text wherever at least one good block exists",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation")
@@ -284,6 +318,7 @@ def main() -> None:
         shards=not args.no_shards,
         domain_quota_k=args.domain_quota,
         gopher=args.gopher,
+        main_content=args.main_content,
     )
     print(json.dumps(manifest, default=str))
 

@@ -423,3 +423,39 @@ def test_curation_gopher_stage(spark, tmp_path):
     manifest2 = curate(spark, docs, out2, shards=False)
     assert "gopher" not in manifest2["funnel"]
     assert manifest2["funnel"]["kept"] == 3
+
+
+def test_curation_main_content_strip(spark, tmp_path):
+    """--main-content: template furniture is stripped BEFORE every
+    gate, so the curated corpus carries main text only — and without
+    the flag the same input keeps its template text (the strip is
+    opt-in, not a silent rewrite)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    bodies = {
+        i: " ".join(f"word{i}x{j} extra{i}y{j}" for j in range(16))
+        for i in range(8)
+    }
+    template = (
+        '<html><body><nav><a href="/">Home</a> <a href="/c">Catalog</a></nav>'
+        "<p>{body}</p>"
+        '<footer><a href="/tos">Terms</a> <a href="/ads">Sponsored</a></footer>'
+        "</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(i, template.format(body=b), "en", f"s{i % 2}", len(b))
+         for i, b in bodies.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "mc")
+    report = curate(spark, docs, out, shards=False, main_content=True)
+    assert report["n_kept"] > 0
+    kept = spark.read.parquet(f"{out}/curated.parquet").collect()
+    for r in kept:
+        assert "Sponsored" not in r.text and "Catalog" not in r.text
+        assert "<nav>" not in r.text and "word" in r.text
+    # control: without the flag the template text survives into `text`
+    out2 = str(tmp_path / "plain")
+    curate(spark, docs, out2, shards=False)
+    kept2 = spark.read.parquet(f"{out2}/curated.parquet").collect()
+    assert any("Sponsored" in r.text for r in kept2)
