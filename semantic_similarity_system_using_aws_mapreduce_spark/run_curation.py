@@ -91,6 +91,7 @@ def curate(
     domain_quota_k: int | None = None,
     gopher: bool = False,
     main_content: bool = False,
+    mojibake_max_permille: int | None = 20,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
 
@@ -132,6 +133,19 @@ def curate(
         ).otherwise(F.lit(0.0)),
     )
     quality_ok = (F.col("_n_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+    # mojibake gate: the WARC readers count U+FFFD replacements from
+    # the non-throwing charset decode into n_repl (sources/warc.py);
+    # a page whose replacement density exceeds the threshold is
+    # undecoded binary or a wrong-charset decode, not trainable text.
+    # Integer cross-multiplied (the gopher_rules convention), map-side,
+    # applied only where the ingest path supplies the column.
+    if mojibake_max_permille is not None and "n_repl" in docs.columns:
+        mojibake_ok = F.coalesce(F.col("n_repl"), F.lit(0)) * 1000 <= (
+            F.lit(mojibake_max_permille)
+            * F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+        )
+    else:
+        mojibake_ok = F.lit(True)
     # optional Gopher rule gate (operators/text_analysis.gopher_rules —
     # byte-identical rules via the shared flag expressions), map-side
     # like the basic quality gate, so it runs BEFORE any shuffle and
@@ -155,7 +169,7 @@ def curate(
     # near-dedup clusters over the quality+exact survivors only — the
     # expensive stage never sees rows an earlier (cheaper) stage drops
     survivors0 = staged.filter(
-        quality_ok & gopher_ok & (F.col("_exact_rank") == 1)
+        quality_ok & mojibake_ok & gopher_ok & (F.col("_exact_rank") == 1)
     ).select("doc_id", "text")
     sigs = minhash_signatures(shingle_hashes(survivors0))
     comp = connected_components(lsh_candidates(sigs)).withColumnRenamed(
@@ -189,6 +203,7 @@ def curate(
             raise ValueError("--domain-quota needs a 'source' column")
         pre_kept = (
             quality_ok
+            & mojibake_ok
             & gopher_ok
             & (F.col("_exact_rank") == 1)
             & near_ok
@@ -213,6 +228,7 @@ def curate(
         staged.withColumn(
             "_stage",
             F.when(~quality_ok, "quality")
+            .when(~mojibake_ok, "mojibake")
             .when(~gopher_ok, "gopher")
             .when(F.col("_exact_rank") != 1, "exact_dup")
             .when(~near_ok, "near_dup")
@@ -294,6 +310,14 @@ def main() -> None:
         "alpha ratios, stop-word presence) as a map-side reject stage",
     )
     ap.add_argument(
+        "--mojibake-max-permille",
+        type=int,
+        default=20,
+        help="reject pages whose U+FFFD replacement density (n_repl "
+        "per 1000 chars, counted by the WARC charset decode) exceeds "
+        "this; -1 disables; no-op for inputs without an n_repl column",
+    )
+    ap.add_argument(
         "--main-content",
         action="store_true",
         help="strip per-page template furniture (jusText-shaped block "
@@ -319,6 +343,11 @@ def main() -> None:
         domain_quota_k=args.domain_quota,
         gopher=args.gopher,
         main_content=args.main_content,
+        mojibake_max_permille=(
+            None
+            if args.mojibake_max_permille < 0
+            else args.mojibake_max_permille
+        ),
     )
     print(json.dumps(manifest, default=str))
 

@@ -459,3 +459,40 @@ def test_curation_main_content_strip(spark, tmp_path):
     curate(spark, docs, out2, shards=False)
     kept2 = spark.read.parquet(f"{out2}/curated.parquet").collect()
     assert any("Sponsored" in r.text for r in kept2)
+
+
+def test_curation_mojibake_gate(spark, tmp_path):
+    """The n_repl column the WARC charset decode emits is actually
+    CONSUMED: a page whose U+FFFD density exceeds the threshold lands
+    in the funnel's mojibake stage; clean pages with the same shape
+    pass; inputs without the column are unaffected."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    def doc(i, n_repl):
+        text = " ".join(f"tok{i}a{j} tok{i}b{j}" for j in range(16))
+        return (i, text, "en", "s0", len(text), n_repl)
+
+    docs = spark.createDataFrame(
+        [doc(0, 0), doc(1, 0), doc(2, 500), doc(3, None)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, n_repl long",
+    )
+    out = str(tmp_path / "mj")
+    report = curate(spark, docs, out, shards=False)
+    assert report["funnel"].get("mojibake") == 1
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(f"{out}/curated.parquet").collect()
+    }
+    assert 2 not in kept_ids and {0, 1, 3} <= kept_ids
+    rejects = spark.read.parquet(f"{out}/rejects.parquet").collect()
+    assert {(r.doc_id, r.drop_stage) for r in rejects} == {(2, "mojibake")}
+    # threshold disabled -> everything passes
+    out2 = str(tmp_path / "off")
+    report2 = curate(spark, docs, out2, shards=False, mojibake_max_permille=None)
+    assert "mojibake" not in report2["funnel"]
+    # no n_repl column -> gate silently absent
+    out3 = str(tmp_path / "plain")
+    report3 = curate(
+        spark, docs.drop("n_repl"), out3, shards=False
+    )
+    assert "mojibake" not in report3["funnel"]
