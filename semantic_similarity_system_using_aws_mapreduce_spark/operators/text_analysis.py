@@ -258,6 +258,27 @@ def _block_text(b: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def html_title(col: Column) -> Column:
+    """The page ``<title>`` as a clean text column (tag-scoped
+    extract + the shared entity/whitespace chain); empty/absent
+    titles come back null.  Crawl pipelines key retrieval snippets
+    and cheap URL-less dedup blocks on it."""
+    t = _block_text(F.regexp_extract(col, r"(?is)<title[^>]*>([^<]*)", 1))
+    return F.nullif(t, F.lit(""))
+
+
+def html_lang(col: Column) -> Column:
+    """The ``<html lang=...>`` declaration, lowercased (null when
+    absent) — the standard prior a crawl pipeline feeds its language
+    identifier alongside the statistical lang-ID signal."""
+    raw = F.regexp_extract(
+        col,
+        r"""(?is)<html[^>]*?\slang\s*=\s*["']?\s*([A-Za-z][A-Za-z0-9-]*)""",
+        1,
+    )
+    return F.nullif(F.lower(raw), F.lit(""))
+
+
 def main_content(
     df: DataFrame,
     html_col: str = "html",

@@ -472,6 +472,9 @@ def wet_documents(
         F.lit(None).cast("string").alias("lang"),
         F.coalesce(host, F.lit("unknown")).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
+        # fetch timestamp (WARC-Date): recency filters and time-sliced
+        # corpora key on it; null-safe for archives without the header
+        F.try_to_timestamp(F.col("warc_date")).alias("fetched_at"),
         F.col("target_uri").alias("_uri"),
     )
     if url_dedup:
@@ -481,7 +484,7 @@ def wet_documents(
             canonical_url(F.col("_uri")),
             F.concat(F.lit("__nouri__:"), F.col("doc_id").cast("string")),
         )
-        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        cols = ["doc_id", "text", "lang", "source", "n_chars", "fetched_at"]
         docs = (
             docs.groupBy(key.alias("_k"))
             .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("_s"))
@@ -635,6 +638,7 @@ def response_bodies(records: DataFrame) -> DataFrame:
     ).select(
         "record_id",
         "target_uri",
+        "warc_date",
         status.alias("http_status"),
         body.alias("body"),
         F.length(body).cast("long").alias("n_chars"),
@@ -664,6 +668,8 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``text`` stays the full extraction so small legitimate pages
     survive, while the gate can prefer the furniture-stripped view."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (
+        html_lang,
+        html_title,
         html_to_text,
         main_content,
     )
@@ -687,6 +693,14 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         # template-heavy pages
         "main_text",
         "boilerplate_ppm",
+        # page metadata priors: <title> text, the <html lang=...>
+        # declaration (the standard prior beside statistical lang-ID
+        # — `lang` itself stays null for identify_language to fill),
+        # and the archive's fetch timestamp (WARC-Date; recency
+        # filtering and time-sliced corpora key on it)
+        html_title(F.col("body")).alias("title"),
+        html_lang(F.col("body")).alias("html_lang"),
+        F.try_to_timestamp(F.col("warc_date")).alias("fetched_at"),
         "charset",
         "n_repl",
         "http_status",

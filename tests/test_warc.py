@@ -724,3 +724,46 @@ def test_decode_http_payload_unit_edges():
     p = _http_coded(_chunked(inner), [b"Transfer-Encoding: gzip, chunked"])
     out, ok = W.decode_http_payload(p)
     assert ok and out.endswith(b"layered body")
+
+
+def test_page_metadata_columns(spark, tmp_path):
+    """Crawl docs carry the page-metadata priors: <title> text
+    (entity-decoded), the <html lang=...> declaration, and the
+    WARC-Date fetch timestamp — null-safe when any is absent."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    body = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the wide summer meadow"
+    )
+    full = (
+        '<html lang="EN-us"><head><title> Tom &amp; Jerry </title></head>'
+        f"<body><p>{body}</p></body></html>"
+    ).encode()
+    bare = f"<html><body><p>{body} second page entirely</p></body></html>".encode()
+    arch = _record(
+        "meta1", "response", _http_payload(full), "http://a.com/x",
+        ctype="application/http; msgtype=response",
+    ) + _record(
+        "meta2", "response", _http_payload(bare), "http://a.com/y",
+        ctype="application/http; msgtype=response",
+    )
+    (tmp_path / "m.warc").write_bytes(arch)
+    docs, _ = warc_text_documents(read_warc(spark, str(tmp_path)))
+    rows = {r.source + r.text[-6:]: r for r in docs.collect()}
+    full_row = next(r for r in rows.values() if "entirely" not in r.text)
+    bare_row = next(r for r in rows.values() if "entirely" in r.text)
+    assert full_row.title == "Tom & Jerry"
+    assert full_row.html_lang == "en-us"
+    assert full_row.fetched_at == datetime.datetime(2026, 1, 1, 0, 0)
+    assert bare_row.title is None and bare_row.html_lang is None
+    # WET docs carry the fetch timestamp too
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import wet_documents
+
+    wet = _record("w1", "conversion", b"plain text body here", "http://a.com/z")
+    (tmp_path / "w2").mkdir()
+    (tmp_path / "w2" / "x.warc").write_bytes(wet)
+    wdocs, _ = wet_documents(read_warc(spark, str(tmp_path / "w2")))
+    assert wdocs.collect()[0].fetched_at == datetime.datetime(2026, 1, 1, 0, 0)
