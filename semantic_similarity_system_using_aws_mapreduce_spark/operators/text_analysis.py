@@ -238,6 +238,12 @@ _BLOCK_SPLIT_RE = (
 MAIN_CONTENT_MIN_CHARS = 25
 MAIN_CONTENT_MAX_LINK_PCT = 33
 
+#: default mojibake-density reject threshold (U+FFFD replacements per
+#: 1000 chars, counted by the WARC charset decode into ``n_repl``) —
+#: shared by the batch funnel (run_curation.curate) and the streaming
+#: quality gate so both reject the identical rows
+MOJIBAKE_MAX_PERMILLE = 20
+
 _HTML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),

@@ -46,6 +46,7 @@ from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import
     tokens,
 )
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import MOJIBAKE_MAX_PERMILLE
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import (
     SPLIT_TRAIN_PERMILLE,
     SPLIT_VAL_PERMILLE,
@@ -91,7 +92,7 @@ def curate(
     domain_quota_k: int | None = None,
     gopher: bool = False,
     main_content: bool = False,
-    mojibake_max_permille: int | None = 20,
+    mojibake_max_permille: int | None = MOJIBAKE_MAX_PERMILLE,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
 
@@ -312,7 +313,7 @@ def main() -> None:
     ap.add_argument(
         "--mojibake-max-permille",
         type=int,
-        default=20,
+        default=MOJIBAKE_MAX_PERMILLE,
         help="reject pages whose U+FFFD replacement density (n_repl "
         "per 1000 chars, counted by the WARC charset decode) exceeds "
         "this; -1 disables; no-op for inputs without an n_repl column",

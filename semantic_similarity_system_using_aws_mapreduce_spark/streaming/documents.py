@@ -84,17 +84,24 @@ def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 def quality_gate(stream: DataFrame, min_tokens: int, min_ttr: float) -> DataFrame:
     """Stateless streaming quality gate — the batch curation funnel's
     flag stage applied as a pure map on the stream (same thresholds,
-    same statistics: token count and type-token ratio)."""
+    same statistics: token count and type-token ratio, plus — when the
+    ingest path supplies the WARC decode's ``n_repl`` column — the
+    same integer cross-multiplied mojibake-density reject as
+    run_curation.curate)."""
     toks = tokens(F.col("text"))
     flagged = stream.withColumn("_toks", toks).withColumn(
         "_ttr", F.size(F.array_distinct("_toks")) / F.size("_toks")
     )
-    return (
-        flagged.filter(
-            (F.size("_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+    keep = (F.size("_toks") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+    if "n_repl" in stream.columns and "n_chars" in stream.columns:
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import MOJIBAKE_MAX_PERMILLE
+
+        keep = keep & (
+            F.coalesce(F.col("n_repl"), F.lit(0)) * 1000
+            <= F.lit(MOJIBAKE_MAX_PERMILLE)
+            * F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
         )
-        .drop("_toks", "_ttr")
-    )
+    return flagged.filter(keep).drop("_toks", "_ttr")
 
 
 def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:

@@ -1953,3 +1953,27 @@ def test_streaming_quantile_sketch_converges_to_batch(spark, tmp_path):
         os.remove(crc)
     run_streaming_quantile_sketch(spark, str(src), sketch_path, k=10)
     assert read_sample() == expected
+
+
+def test_streaming_quality_gate_mojibake(spark):
+    """The streaming gate applies the SAME mojibake-density reject as
+    the batch funnel when the ingest path supplies n_repl/n_chars —
+    and stays a pure token/ttr gate when it doesn't."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import quality_gate
+
+    text = " ".join(f"tok{i}a tok{i}b" for i in range(16))
+    rows = [
+        (1, text, len(text), 0),
+        (2, text, len(text), 500),   # 500 replacements -> mojibake
+        (3, text, len(text), None),  # null count passes
+    ]
+    schema = "doc_id long, text string, n_chars long, n_repl long"
+    got = {r.doc_id for r in quality_gate(
+        spark.createDataFrame(rows, schema), 24, 0.35
+    ).collect()}
+    assert got == {1, 3}
+    # without the columns the gate is unchanged
+    plain = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in quality_gate(plain, 24, 0.35).collect()} == {1, 2, 3}
