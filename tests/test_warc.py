@@ -767,3 +767,50 @@ def test_page_metadata_columns(spark, tmp_path):
     (tmp_path / "w2" / "x.warc").write_bytes(wet)
     wdocs, _ = wet_documents(read_warc(spark, str(tmp_path / "w2")))
     assert wdocs.collect()[0].fetched_at == datetime.datetime(2026, 1, 1, 0, 0)
+
+
+def test_decode_http_payload_roundtrip_property():
+    """Hypothesis: ANY body bytes under ANY chunking and any supported
+    coding stack (identity / chunked / gzip / deflate zlib+raw /
+    chunked-over-gzip) decode back to exactly the original bytes —
+    framing and decompression are lossless inverses, not heuristics."""
+    import zlib as _zl
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import decode_http_payload
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        body=st.binary(min_size=0, max_size=2000),
+        sizes=st.lists(st.integers(1, 300), min_size=1, max_size=6),
+        stack=st.sampled_from(
+            ["identity", "chunked", "gzip", "deflate", "deflate_raw",
+             "chunked+gzip"]
+        ),
+    )
+    def check(body, sizes, stack):
+        coded = body
+        headers = [b"Content-Type: text/html"]
+        if "gzip" in stack:
+            coded = gzip.compress(coded)
+            headers.append(b"Content-Encoding: gzip")
+        elif stack == "deflate":
+            coded = _zl.compress(coded)
+            headers.append(b"Content-Encoding: deflate")
+        elif stack == "deflate_raw":
+            c = _zl.compressobj(wbits=-15)
+            coded = c.compress(coded) + c.flush()
+            headers.append(b"Content-Encoding: deflate")
+        if "chunked" in stack:
+            coded = _chunked(coded, sizes=sizes)
+            headers.append(b"Transfer-Encoding: chunked")
+        payload = (
+            b"HTTP/1.1 200 OK\r\n" + b"\r\n".join(headers) + b"\r\n\r\n" + coded
+        )
+        out, ok = decode_http_payload(payload)
+        assert ok
+        assert out.split(b"\r\n\r\n", 1)[1] == body
+
+    check()
