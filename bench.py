@@ -201,6 +201,7 @@ EXTRA = [
     "q_bpe_merges",
     "q_quantile_sketch",
     "q_main_content",
+    "q_bpe_fertility",
 ]
 
 

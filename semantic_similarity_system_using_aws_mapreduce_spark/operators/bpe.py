@@ -235,6 +235,40 @@ def bpe_train(
     return merges
 
 
+def corpus_fertility(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, fertility_ppm): corpus-scale
+    tokenization statistics under a learned merge list — THE metric a
+    tokenizer is judged by (pieces per word; Sennrich 2016 reports it
+    as subwords/token).
+
+    The scale shape this module promises, delivered: the corpus is
+    never re-encoded per occurrence — the DISTINCT vocabulary is
+    encoded once (:func:`bpe_encode_words`, model-sized) and BROADCAST
+    back onto the exploded (doc_id, word) relation, so the join adds
+    no shuffle on the corpus side and per-doc stats fall out of one
+    partial-aggregated groupBy.  fertility_ppm is exact integer
+    arithmetic (1e6 * pieces div words), engine-portable for the
+    DuckDB oracle."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    enc = bpe_encode_words(word_counts(docs, text_col), merges).select(
+        "word", F.size("pieces").cast("long").alias("__n_pieces_w")
+    )
+    docw = docs.select("doc_id", F.explode(toks).alias("word"))
+    return (
+        docw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__n_pieces_w").alias("n_pieces"),
+        )
+        .withColumn(
+            "fertility_ppm", F.expr("(1000000 * n_pieces) div n_words")
+        )
+    )
+
+
 def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """(word, pieces): segment each distinct word with a learned merge
     list — replaying the merges in rank order over the vocabulary

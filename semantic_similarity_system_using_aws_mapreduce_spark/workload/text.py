@@ -349,6 +349,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, left string, right string")
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale tokenization statistics under the learned
+    {BPE_MERGE_ROUNDS}-merge model (operators/bpe.corpus_fertility):
+    the distinct vocabulary is encoded ONCE and broadcast back onto
+    the exploded corpus — never re-encoding per occurrence — and each
+    doc reports words, pieces, and exact-integer fertility (the
+    pieces-per-word metric tokenizers are judged by).  Oracle = the
+    same unrolled CTE chain as q_bpe_merges, its final symbol state
+    joined back to the per-doc word relation."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import bpe_train, corpus_fertility
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=BPE_MERGE_ROUNDS, min_count=2)
+    return corpus_fertility(docs, merges)
+
+
 def q_bpe_vocab_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary segmentation under the learned tokenizer — trains
     the {BPE_MERGE_ROUNDS}-merge model, then replays the merges over
@@ -817,6 +833,7 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_gopher_rules": q_gopher_rules,
     "q_main_content": q_main_content,
+    "q_bpe_fertility": q_bpe_fertility,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_vocab_pieces": q_bpe_vocab_pieces,
@@ -911,6 +928,28 @@ def _bpe_unrolled(rounds: int) -> str:
                  FROM r{k - 1} CROSS JOIN m{k})"""
         )
     return "WITH " + "".join(parts)
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Per-doc fertility off the same unrolled training chain: the
+    final round's symbol state gives pieces-per-word; joined back to
+    the exploded (doc_id, word) relation; exact integer ppm."""
+    return (
+        _bpe_unrolled(rounds)
+        + f"""
+        , pieces AS (SELECT word,
+                 len(list_filter(string_split(syms, chr(31)),
+                                 s -> s <> ''))::BIGINT AS n_pieces_w
+             FROM r{rounds}),
+        docw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(n_pieces_w)::BIGINT AS n_pieces,
+               ((1000000 * sum(n_pieces_w)) // count(*))::BIGINT
+                   AS fertility_ppm
+        FROM docw JOIN pieces USING (word)
+        GROUP BY doc_id"""
+    )
 
 
 def _bpe_merges_oracle(rounds: int) -> str:
@@ -1206,5 +1245,6 @@ ORACLES = {
         ORDER BY weight DESC, pair LIMIT 40
     """,
     "q_bpe_merges": _bpe_merges_oracle(BPE_MERGE_ROUNDS),
+    "q_bpe_fertility": _bpe_fertility_oracle(BPE_MERGE_ROUNDS),
     "q_bpe_vocab_pieces": _bpe_vocab_pieces_oracle(BPE_MERGE_ROUNDS),
 }

@@ -178,3 +178,27 @@ def test_bpe_train_local_early_stops_on_min_count(spark):
     stats = {}
     assert bpe_train(docs, n_merges=5, min_count=2, stats=stats) == []
     assert stats["mode"] == "local"
+
+
+def test_corpus_fertility_matches_reference_and_broadcasts(spark):
+    """corpus_fertility: per-doc words/pieces under the learned model
+    must equal the pure-Python reference segmentation applied per
+    occurrence — proving the encode-once-per-distinct-word broadcast
+    join is equivalent to re-encoding the corpus — and the join must
+    BE a broadcast (no shuffle on the corpus side)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.bpe import corpus_fertility
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    _, ref_syms = _ref_bpe(_CORPUS, 8)
+    got = {r.doc_id: r for r in corpus_fertility(docs, merges).collect()}
+    for i, t in enumerate(_CORPUS):
+        words = [w for w in t.split(" ") if w]
+        n_pieces = sum(len(ref_syms[w]) for w in words)
+        assert got[i].n_words == len(words)
+        assert got[i].n_pieces == n_pieces
+        assert got[i].fertility_ppm == 1_000_000 * n_pieces // len(words)
+    plan = corpus_fertility(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
