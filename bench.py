@@ -237,10 +237,91 @@ def _bench_bpe_train_256(spark, sf_dir: str) -> None:
     assert len(merges) >= 256, f"expected 256 merges, learned {len(merges)}"
 
 
+def _synth_crawl(tmp_dir: str, n_archives: int = 8, pages_each: int = 1250,
+                 seed: int = 17) -> str:
+    """Deterministic synthetic raw-crawl WARC archives (written once,
+    reused): HTML response records with nav/footer furniture, rotating
+    through identity / chunked / gzip / chunked+gzip HTTP codings and
+    UTF-8 / windows-1252 / Shift_JIS charsets — the decode work a real
+    crawl ingest pays."""
+    import gzip as _gz
+    import random
+
+    out_dir = os.path.join(tmp_dir, f"bench_crawl_{n_archives}x{pages_each}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+    words = ["data", "spark", "query", "table", "merge", "stream", "batch",
+             "window", "filter", "join", "sort", "group", "row", "key"]
+    for a in range(n_archives):
+        recs = []
+        for i in range(pages_each):
+            body_text = " ".join(rng.choice(words) for _ in range(120))
+            charset = ("utf-8", "windows-1252", "shift_jis")[i % 3]
+            extra = {"utf-8": "naïve café", "windows-1252": "résumé",
+                     "shift_jis": "日本語"}[charset]
+            html = (
+                '<html><head><meta charset="%s"><title>Page %d</title></head>'
+                '<body><nav><a href="/">Home</a> <a href="/c">Cat</a></nav>'
+                "<p>%s %s</p>"
+                '<footer><a href="/tos">Terms</a></footer></body></html>'
+                % (charset, i, body_text, extra)
+            ).encode(charset)
+            headers = [b"HTTP/1.1 200 OK",
+                       b"Content-Type: text/html; charset=" + charset.encode()]
+            body = html
+            coding = i % 4
+            if coding in (2, 3):
+                body = _gz.compress(body)
+                headers.append(b"Content-Encoding: gzip")
+            if coding in (1, 3):
+                chunks, j = [], 0
+                while j < len(body):
+                    n = min(997, len(body) - j)
+                    chunks.append(b"%x\r\n%s\r\n" % (n, body[j : j + n]))
+                    j += n
+                body = b"".join(chunks) + b"0\r\n\r\n"
+                headers.append(b"Transfer-Encoding: chunked")
+            payload = b"\r\n".join(headers) + b"\r\n\r\n" + body
+            rec_headers = b"\r\n".join([
+                b"WARC/1.0",
+                b"WARC-Type: response",
+                b"WARC-Record-ID: <urn:uuid:a%db%d>" % (a, i),
+                b"WARC-Date: 2026-01-01T00:00:00Z",
+                b"WARC-Target-URI: http://site%d.example/p%d" % (i % 50, i),
+                b"Content-Type: application/http; msgtype=response",
+                b"Content-Length: " + str(len(payload)).encode(),
+            ])
+            recs.append(rec_headers + b"\r\n\r\n" + payload + b"\r\n\r\n")
+        with open(os.path.join(out_dir, f"crawl_{a}.warc.gz"), "wb") as f:
+            f.write(_gz.compress(b"".join(recs)))
+    open(done, "w").write("ok")
+    return out_dir
+
+
+def _bench_warc_ingest(spark, sf_dir: str) -> None:
+    """Raw-crawl ingestion throughput: 10k HTML response records
+    across 8 gzipped archives (one scan task each) -> record parse ->
+    HTTP coding removal -> charset sniff/decode -> main-content +
+    metadata extraction -> documents shape, forced via noop sink.
+    Exercises the whole sources/warc.py chain the curation CLI's
+    --format warc path runs."""
+    import tempfile
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import read_warc, warc_text_documents
+
+    path = _synth_crawl(tempfile.gettempdir())
+    docs, _ = warc_text_documents(read_warc(spark, path))
+    docs.write.format("noop").mode("overwrite").save()
+
+
 # bench-only timed callables (not registry queries — no tractable SQL
 # oracle at this scale; correctness is pinned by pytest instead)
 EXTRA_FNS = {
     "bpe_train_256_merges": _bench_bpe_train_256,
+    "warc_ingest_10k_pages": _bench_warc_ingest,
 }
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

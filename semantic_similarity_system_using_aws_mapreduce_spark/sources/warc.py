@@ -632,8 +632,14 @@ def response_bodies(records: DataFrame) -> DataFrame:
         F.split(F.substring(probe, 1, 64), " ").getItem(1).cast("int"),
     )
     body, used = _decoded_body(body_bin, _sniffed_charset(header_probe, body_probe))
-    n_repl = F.length(body) - F.length(F.replace(body, F.lit(_REPL), F.lit("")))
-    return records.filter(
+    # TWO projections, deliberately: `body` is a ~25-branch decode
+    # CASE, and deriving n_chars/n_repl from it in the SAME select
+    # would inline that tree once per use — the fused stage then
+    # overflows Janino's 64 KB method limit and the whole projection
+    # falls back to interpreted eval.  A multi-use non-cheap alias is
+    # not collapsed by CollapseProject, so the split keeps the decode
+    # computed once AND the generated code within codegen limits.
+    decoded = records.filter(
         (~F.col("corrupt")) & (F.col("warc_type") == "response")
     ).select(
         "record_id",
@@ -641,8 +647,18 @@ def response_bodies(records: DataFrame) -> DataFrame:
         "warc_date",
         status.alias("http_status"),
         body.alias("body"),
-        F.length(body).cast("long").alias("n_chars"),
         used.alias("charset"),
+    )
+    b = F.col("body")
+    n_repl = F.length(b) - F.length(F.replace(b, F.lit(_REPL), F.lit("")))
+    return decoded.select(
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "body",
+        F.length(b).cast("long").alias("n_chars"),
+        "charset",
         n_repl.cast("long").alias("n_repl"),
     )
 
