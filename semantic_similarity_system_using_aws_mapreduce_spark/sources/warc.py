@@ -228,7 +228,7 @@ def decode_http_payload(payload: bytes) -> tuple[bytes, bool]:
     te = [
         t.strip()
         for t in headers.get("transfer-encoding", "").lower().split(",")
-        if t.strip()
+        if t.strip() and t.strip() != "identity"
     ]
     ce = [
         c.strip()

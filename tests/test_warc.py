@@ -688,6 +688,10 @@ def test_decode_http_payload_unit_edges():
 
     ident = _http_coded(b"plain body", [])
     assert W.decode_http_payload(ident) == (ident, True)
+    # "identity" is a no-op in BOTH header positions, never a quarantine
+    for hdr in (b"Transfer-Encoding: identity", b"Content-Encoding: identity"):
+        p = _http_coded(b"plain body", [hdr])
+        assert W.decode_http_payload(p) == (p, True), hdr
     # non-HTTP payloads pass through untouched
     assert W.decode_http_payload(b"\x89PNG...") == (b"\x89PNG...", True)
     # bare-LF chunk framing tolerated
