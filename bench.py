@@ -202,6 +202,7 @@ EXTRA = [
     "q_quantile_sketch",
     "q_main_content",
     "q_bpe_fertility",
+    "q_lsh_recall",
 ]
 
 

@@ -151,9 +151,11 @@ LOCAL_ONLY = [
 _PRIORITY = [
     # new in round 8 — never driver-verified (each makes window room
     # by an explicit middle demotion noted in _LAST below:
-    # q_tfidf_top_terms and q_minhash_lsh_candidates move to _LAST):
+    # q_tfidf_top_terms, q_minhash_lsh_candidates and q_ann_lsh_topk
+    # move to _LAST):
     "q_main_content",
     "q_bpe_fertility",
+    "q_lsh_recall",
     # the round-7 _LAST tail rotating back in (green r6, skipped r7):
     "q_unpivot",
     "q_user_event_pivot",
@@ -196,11 +198,11 @@ _PRIORITY = [
     "q_simhash_near_dups",
 ]
 
-# Exported last: with 91 exported queries and a 50-row driver cap,
-# exactly these 41 fall off this round.  Every one is fully green in
+# Exported last: with 92 exported queries and a 50-row driver cap,
+# exactly these 42 fall off this round.  Every one is fully green in
 # CORRECTNESS_r07 (round 7's 39 _PRIORITY entries plus the demoted
-# middle entries q_tfidf_top_terms and q_minhash_lsh_candidates —
-# rows, schema, AND hash), so the
+# middle entries q_tfidf_top_terms, q_minhash_lsh_candidates and
+# q_ann_lsh_topk — rows, schema, AND hash), so the
 # rotation keeps every export driver-green within two consecutive
 # rounds, AND each is coverage-subsumed by queries that keep a slot:
 #   q_domain_quota        - two-phase salted per-group top-k; the
@@ -309,20 +311,29 @@ _PRIORITY = [
 #                           q_bpe_fertility) the LSH-candidate
 #                           relation is a strict subplan of the
 #                           rotating-in q_ngram_jaccard_dups (its
-#                           candidate source) and of
-#                           q_simhash_near_dups' sibling family;
-#                           minhash arithmetic stays mirror-verified
+#                           candidate source) and of the new
+#                           q_lsh_recall (whose cands arm is this
+#                           query verbatim); minhash arithmetic stays
+#                           mirror-verified
+#   q_ann_lsh_topk        - (middle demotion for the new q_lsh_recall)
+#                           the SRP hash family + bucket join is also
+#                           the core of the rotating-in
+#                           q_semantic_dedup, and the bucketed dense
+#                           retrieval arm rides the rotating-in
+#                           q_hybrid_rrf; stays in the bench HEADLINE
+#                           set and mirror-verified
 # All remain verified by the local mirror test either way.
 # ROUND-9 NOTE: rotate this tail back into _PRIORITY next round (and
 # demote the then-green round-8 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 # Every entry below is green in CORRECTNESS_r07, so each tolerates
-# exactly the round-8 skip; all 41 must re-enter the round-9 window
-# (41 ≤ 50, leaving exactly the 9 then-current middle slots — no
+# exactly the round-8 skip; all 42 must re-enter the round-9 window
+# (42 ≤ 50, leaving exactly the 8 then-current middle slots — no
 # staging is needed and no new-query slots remain free: a round-9
 # addition must demote a then-green middle entry, as rounds 7 and 8
 # did).
 _LAST = [
+    "q_ann_lsh_topk",
     "q_minhash_lsh_candidates",
     "q_domain_quota",
     "q_gopher_rules",

@@ -73,6 +73,43 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cands)
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AUDIT of the banded-minhash candidate generator against
+    the EXACT prefix-filtered jaccard join at the same threshold — the
+    text-dedup analog of q_ann_ivf_recall (and the empirical check on
+    the lsh_plan S-curve arithmetic: {N_BANDS} bands x 2 rows at
+    t={JACCARD_THRESHOLD} predicts ~98% pair recall).  One row:
+    true-pair / candidate-pair / hit counts plus exact-integer recall
+    ppm — the number that tells you whether an LSH configuration is
+    safe to dedup 100 TB with BEFORE you run it.  The shingle relation
+    is persisted so both arms (truth and candidates) share one
+    explode+hash pass."""
+    from pyspark import StorageLevel
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import prefix_jaccard_join
+
+    sh = shingle_hashes(_docs(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = prefix_jaccard_join(
+        sh, threshold_permille=int(JACCARD_THRESHOLD * 1000)
+    ).select("doc_a", "doc_b")
+    cands = lsh_candidates(
+        minhash_signatures(sh, N_HASHES), N_BANDS, N_HASHES // N_BANDS
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    row = (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+    )
+    return row.withColumn(
+        "recall_ppm",
+        F.expr(
+            "case when n_true > 0 then (1000000 * n_hit) div n_true"
+            " else 1000000 end"
+        ),
+    )
+
+
 def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT jaccard >= {JACCARD_THRESHOLD} similarity self-join via
     prefix filtering — no LSH recall loss; the oracle is the plain
@@ -363,6 +400,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_exact_jaccard_join": q_exact_jaccard_join,
+    "q_lsh_recall": q_lsh_recall,
     "q_containment_dups": q_containment_dups,
     "q_edit_similarity_dups": q_edit_similarity_dups,
     "q_leakage_safe_split": q_leakage_safe_split,
@@ -489,6 +527,41 @@ ORACLES = {
     """,
     # the EXACT all-pairs form — deliberately index-free: matching it
     # proves the engine's prefix filter finds every qualifying pair
+    # recall audit: truth = the all-pairs exact join, candidates = the
+    # banded buckets — both CTEs verbatim from their own oracles; the
+    # three counts + exact integer ppm are the whole result
+    "q_lsh_recall": f"""
+        WITH {_SIGS_CTE.strip()},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id),
+        agg AS (
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cands)::BIGINT AS n_candidates,
+                   (SELECT count(*) FROM truth
+                    JOIN cands USING (doc_a, doc_b))::BIGINT AS n_hit)
+        SELECT n_true, n_candidates, n_hit,
+               (CASE WHEN n_true > 0 THEN (1000000 * n_hit) // n_true
+                     ELSE 1000000 END)::BIGINT AS recall_ppm
+        FROM agg
+    """,
     "q_exact_jaccard_join": f"""
         WITH {_SH_CTE},
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

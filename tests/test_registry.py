@@ -27,11 +27,13 @@ def test_export_ordered_for_the_driver_cap():
     assert exported[50:] == _LAST
     assert exported[: len(_PRIORITY)] == _PRIORITY
     # round-8 rotation (VERDICT r7 #1): the full 39-entry round-7
-    # _LAST tail (last green in r6) plus the new q_main_content and
-    # q_bpe_fertility must sit inside the driver's 50-row window
+    # _LAST tail (last green in r6) plus the new q_main_content,
+    # q_bpe_fertility and q_lsh_recall must sit inside the driver's
+    # 50-row window
     for q in (
         "q_main_content",
         "q_bpe_fertility",
+        "q_lsh_recall",
         "q_unpivot",
         "q_user_event_pivot",
         "q_array_agg",
