@@ -1217,10 +1217,16 @@ def _jpeg_next_marker(data: bytes, pos: int) -> int:
     after an entropy-coded scan."""
     p = pos
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
-            0xD0 <= data[p + 1] <= 0xD7
-        ):
-            return p
+        if data[p] == 0xFF:
+            # T.81 §B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — skip the run so the next byte examined
+            # is the marker code, not another 0xFF
+            while p + 1 < len(data) and data[p + 1] == 0xFF:
+                p += 1
+            if p + 1 >= len(data):
+                break
+            if data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+                return p
         p += 1
     raise ValueError("truncated JPEG stream after scan")
 
@@ -1258,6 +1264,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
+        # skip 0xFF fill bytes (T.81 §B.1.1.2: legal padding before
+        # any marker; third-party encoders emit them for alignment)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

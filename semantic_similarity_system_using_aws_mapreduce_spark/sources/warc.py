@@ -67,14 +67,24 @@ _MARKER = b"WARC/"
 _BATCH_RECORDS = 256
 
 
+#: headers whose value is a #-list (RFC 9110 §5.3): repeated field
+#: lines are equivalent to one comma-joined line, so keep-last would
+#: silently drop a coding ("Transfer-Encoding: gzip" + "Transfer-
+#: Encoding: chunked" must decode BOTH)
+_LIST_HEADERS = frozenset({"transfer-encoding", "content-encoding"})
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(b"\r\n"):
         if b":" in line:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1", "replace"
-            )
+            key = k.strip().decode("latin-1").lower()
+            val = v.strip().decode("latin-1", "replace")
+            if key in _LIST_HEADERS and key in headers:
+                headers[key] = headers[key] + ", " + val
+            else:
+                headers[key] = val
     return headers
 
 
@@ -243,9 +253,15 @@ def decode_http_payload(payload: bytes) -> tuple[bytes, bool]:
         if new is None:
             return payload, False
         body, changed = new, True
-    # remaining transfer codings (e.g. "gzip, chunked"), then content
-    # codings — innermost-last applied, so removed in reverse
-    for enc in reversed([t for t in te if t != "chunked"] + ce):
+    # Codings are applied content-first (CE innermost), transfer-last
+    # (TE outermost), each list in declared order — so removal walks
+    # outermost-in: remaining transfer codings in reverse, THEN
+    # content codings in reverse.  reversed(ce + te_rest) yields
+    # exactly that order (reversed te_rest, then reversed ce); the
+    # prior reversed(te_rest + ce) undid CE before TE and falsely
+    # quarantined any record carrying both (e.g. TE "gzip, chunked"
+    # with CE "deflate").
+    for enc in reversed(ce + [t for t in te if t != "chunked"]):
         new = _decompress_http(body, enc)
         if new is None:
             return payload, False
@@ -322,13 +338,20 @@ def _open_archive(content: bytes):
 
 def _ensure_charset_confs(spark: SparkSession) -> None:
     """The WARC surface must never throw on crawl bytes: REPLACE
-    coding-error action + the full JVM charset set.  Set HERE, reader
-    -locally, and nowhere else (both are runtime SQL confs, so this
-    works under a SparkSession built by any factory): `decode` on a
-    malformed payload THROWS in Spark 4 by default, so one bad byte in
-    a 1 GB archive would abort the whole scan — but only the crawl
-    surface wants REPLACE semantics (U+FFFD, counted into the n_repl
-    quality column); non-WARC decode() callers keep fail-fast."""
+    coding-error action + the full JVM charset set.  Set HERE and
+    nowhere else (both are runtime SQL confs, so this works under a
+    SparkSession built by any factory): `decode` on a malformed
+    payload THROWS in Spark 4 by default, so one bad byte in a 1 GB
+    archive would abort the whole scan.
+
+    SCOPE — session-wide once triggered, by design: these are session
+    runtime confs, so after the FIRST WARC reader call every decode()
+    in that SparkSession — including non-WARC callers — switches from
+    Spark 4 fail-fast to REPLACE for the session's remaining lifetime
+    (there is no expression-local error-action override for decode in
+    Spark 4).  The engine's own factory (session.get_spark) does NOT
+    set them, so sessions that never touch crawl bytes keep fail-fast
+    semantics; test_warc pins both halves of this contract."""
     spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 

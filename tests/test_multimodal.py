@@ -670,6 +670,27 @@ def test_jpeg_progressive_cross_format_property():
     check()
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker are legal padding (T.81
+    §B.1.1.2) — third-party encoders emit them for alignment; the
+    marker walk must skip the run, not read marker=0xFF and a garbage
+    length.  Safe to inject by byte-pair replace: inside entropy data
+    0xFF is always stuffed (followed by 0x00) or an RST, so the pairs
+    below only occur at real segment markers."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    fn = lambda x, y: (x * 7 % 256, y * 5 % 256, (x + y) * 3 % 256)  # noqa: E731
+    for prog in (False, True):
+        for kw in ({}, {"gray": True}, {"subsample": True}):
+            data = make_jpeg(21, 14, fn, progressive=prog, **kw)
+            want = _decode_jpeg(data)
+            padded = data
+            for mk in (b"\xdb", b"\xc4", b"\xc0", b"\xc2", b"\xda", b"\xd9"):
+                padded = padded.replace(b"\xff" + mk, b"\xff\xff\xff" + mk)
+            assert padded != data
+            assert _decode_jpeg(padded) == want, (prog, kw)
+
+
 def test_jpeg_progressive_garbage_never_hangs():
     """Truncation and bit-flip fuzz over a progressive stream: decode
     deterministically or reject — never hang, never return different

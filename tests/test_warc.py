@@ -516,12 +516,17 @@ def test_warc_text_documents_main_content_columns(spark, tmp_path):
 
 
 def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
-    """The legacy REPLACE-decode confs are set reader-locally, not
-    session-globally: get_spark() leaves Spark 4 fail-fast decode
-    semantics for non-WARC callers, and a WARC read on a bare session
-    (neither conf set — e.g. a SparkSession built by a foreign
-    factory) still survives mojibake bytes because the reader sets
-    both runtime confs itself."""
+    """The legacy REPLACE-decode confs are set by the WARC readers,
+    never by the session factory: get_spark() leaves Spark 4
+    fail-fast decode semantics (sessions that never touch crawl bytes
+    keep it), and a WARC read on a bare session (neither conf set —
+    e.g. a SparkSession built by a foreign factory) still survives
+    mojibake bytes because the reader sets both runtime confs itself.
+    The trade, pinned here because it is the documented contract
+    (warc._ensure_charset_confs): once any WARC reader has run, the
+    confs are SESSION-WIDE — every later decode() in the session,
+    WARC or not, uses REPLACE semantics (Spark 4 has no
+    expression-local error-action override for decode)."""
     from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
 
     spark.conf.unset("spark.sql.legacy.codingErrorAction")
@@ -541,6 +546,20 @@ def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
     )
     row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
     assert row.n_repl >= 1 and "good text then" in row.body
+    # ... and having run a WARC reader, the confs are now session-wide
+    # (the documented scope): non-WARC decode() in THIS session is
+    # REPLACE, not fail-fast, for the session's remaining lifetime
+    assert spark.conf.get("spark.sql.legacy.codingErrorAction") == "true"
+    assert spark.conf.get("spark.sql.legacy.javaCharsets") == "true"
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.range(1)
+        .select(F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert got.startswith("ok ") and "�" in got
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +749,72 @@ def test_decode_http_payload_unit_edges():
     assert ok and out.endswith(b"layered body")
 
 
+def test_decode_http_payload_mixed_te_and_ce():
+    """Transfer AND content codings together: the sender applies CE
+    innermost (entity coding), TE outermost (hop coding), so removal
+    must walk TE before CE.  A body layered chunked(te_gzip(
+    ce_deflate(text))) is decodable — the old reversed(te+ce) order
+    falsely quarantined it."""
+    import zlib as _zl
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import warc as W
+
+    body = b"entity text that was deflated then transfer-gzipped"
+    ce = _zl.compress(body)  # Content-Encoding: deflate (innermost)
+    te = gzip.compress(ce)  # Transfer-Encoding: gzip
+    p = _http_coded(
+        _chunked(te),  # Transfer-Encoding: chunked (outermost)
+        [b"Transfer-Encoding: gzip, chunked", b"Content-Encoding: deflate"],
+    )
+    out, ok = W.decode_http_payload(p)
+    assert ok and out.endswith(b"\r\n\r\n" + body)
+    # CE-only multi-coding: "deflate, gzip" means deflate applied
+    # first, gzip last -> remove gzip, then deflate
+    p2 = _http_coded(
+        gzip.compress(_zl.compress(body)),
+        [b"Content-Encoding: deflate, gzip"],
+    )
+    out2, ok2 = W.decode_http_payload(p2)
+    assert ok2 and out2.endswith(b"\r\n\r\n" + body)
+
+
+def test_decode_http_payload_repeated_coding_headers():
+    """Repeated Transfer-Encoding/Content-Encoding field lines are a
+    #-list split across lines (RFC 9110 §5.3) — both codings must be
+    removed; keep-last parsing shipped half-decoded bytes as ok=True."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import warc as W
+
+    body = b"repeated header lines body"
+    p = _http_coded(
+        _chunked(gzip.compress(body)),
+        [b"Transfer-Encoding: gzip", b"Transfer-Encoding: chunked"],
+    )
+    out, ok = W.decode_http_payload(p)
+    assert ok and out.endswith(b"\r\n\r\n" + body)
+    import zlib as _zl
+
+    p2 = _http_coded(
+        gzip.compress(_zl.compress(body)),
+        [b"Content-Encoding: deflate", b"Content-Encoding: gzip"],
+    )
+    out2, ok2 = W.decode_http_payload(p2)
+    assert ok2 and out2.endswith(b"\r\n\r\n" + body)
+
+
+def test_br_without_library_quarantines(monkeypatch):
+    """A br-coded record with NO importable brotli module quarantines
+    (ok=False) instead of shipping compressed bytes as text — forced
+    by masking the module, so the drill runs regardless of what the
+    host has installed (mirrors the chunk-corruption drill)."""
+    import sys
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources import warc as W
+
+    monkeypatch.setitem(sys.modules, "brotli", None)  # import -> ImportError
+    p = _http_coded(b"\x0b\x02\x80hi\x03", [b"Content-Encoding: br"])
+    assert W.decode_http_payload(p) == (p, False)
+
+
 def test_page_metadata_columns(spark, tmp_path):
     """Crawl docs carry the page-metadata priors: <title> text
     (entity-decoded), the <html lang=...> declaration, and the
@@ -791,13 +876,21 @@ def test_decode_http_payload_roundtrip_property():
         sizes=st.lists(st.integers(1, 300), min_size=1, max_size=6),
         stack=st.sampled_from(
             ["identity", "chunked", "gzip", "deflate", "deflate_raw",
-             "chunked+gzip"]
+             "chunked+gzip", "te_gzip+chunked+ce_deflate"]
         ),
     )
     def check(body, sizes, stack):
         coded = body
         headers = [b"Content-Type: text/html"]
-        if "gzip" in stack:
+        if stack == "te_gzip+chunked+ce_deflate":
+            # mixed transfer + content codings, correctly layered:
+            # CE deflate innermost, TE gzip, TE chunked outermost
+            coded = _chunked(gzip.compress(_zl.compress(coded)), sizes=sizes)
+            headers += [
+                b"Content-Encoding: deflate",
+                b"Transfer-Encoding: gzip, chunked",
+            ]
+        elif "gzip" in stack:
             coded = gzip.compress(coded)
             headers.append(b"Content-Encoding: gzip")
         elif stack == "deflate":
@@ -807,7 +900,7 @@ def test_decode_http_payload_roundtrip_property():
             c = _zl.compressobj(wbits=-15)
             coded = c.compress(coded) + c.flush()
             headers.append(b"Content-Encoding: deflate")
-        if "chunked" in stack:
+        if stack in ("chunked", "chunked+gzip"):
             coded = _chunked(coded, sizes=sizes)
             headers.append(b"Transfer-Encoding: chunked")
         payload = (
