@@ -138,201 +138,18 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 8),
-# executing the round-7 registry's ROUND-8 NOTE and VERDICT r7 #1:
-# the full 39-entry round-7 _LAST tail (every entry fully green in
-# CORRECTNESS_r06, mirror-verified since) rotates back into the
-# 50-row window.  39 rotated + 11 middle = exactly 50, so every new
-# round-8 query makes window room by an explicit middle demotion
-# (noted per entry).  The 39 round-7 _PRIORITY entries (all fully
-# green in CORRECTNESS_r07) demote to the new _LAST tail, keeping
-# the every-export-green-within-two-rounds invariant:
-# r8-window ∪ r7-green covers all exports.
+# order-sensitive cap can't starve them again.  ROTATION (round 9),
+# executing the round-8 registry's ROUND-9 NOTE and VERDICT r8 #1:
+# the full 42-entry round-8 _LAST tail (every entry fully green in
+# CORRECTNESS_r07, mirror-verified since) rotates back into the
+# 50-row window.  42 rotated + 8 middle = exactly 50, so every new
+# round-9 query makes window room by an explicit middle demotion
+# (noted per entry in _LAST below).  The 42 round-8 _PRIORITY entries
+# (all fully green in CORRECTNESS_r08) demote to the new _LAST tail,
+# keeping the every-export-green-within-two-rounds invariant:
+# r9-window ∪ r8-green covers all exports.
 _PRIORITY = [
-    # new in round 8 — never driver-verified (each makes window room
-    # by an explicit middle demotion noted in _LAST below:
-    # q_tfidf_top_terms, q_minhash_lsh_candidates and q_ann_lsh_topk
-    # move to _LAST):
-    "q_main_content",
-    "q_bpe_fertility",
-    "q_lsh_recall",
-    # the round-7 _LAST tail rotating back in (green r6, skipped r7):
-    "q_unpivot",
-    "q_user_event_pivot",
-    "q_array_agg",
-    "q_acctbal_share",
-    "q_distinct_counts",
-    "q05_local_supplier",
-    "q_date_buckets",
-    "q_string_funcs",
-    "q_full_outer_align",
-    "q_having_big_customers",
-    "q_range_frame",
-    "q_sequence_packing",
-    "q_semantic_dedup",
-    "q_duplicate_spans",
-    "q_training_order",
-    "q_span_scrub",
-    "q_source_mixture",
-    "q_event_sequences",
-    "q_dsir_select",
-    "q_bloom_dedup",
-    "q_leakage_safe_split",
-    "q_data_card",
-    "q_table_stats",
-    "q_blocked_cosine_pairs",
-    "q_hybrid_rrf",
-    "q_containment_dups",
-    "q_event_anomalies",
-    "q_edit_similarity_dups",
-    "q_source_overlap",
-    "q_kmeans_assign",
-    "q_domain_rank",
-    "q_pq_codes",
-    "q_pq_adc_search",
-    "q_tagged_union",
-    "q_json_props",
-    "q_ngram_jaccard_dups",
-    "q_decontaminate",
-    "q_interval_join",
-    "q_simhash_near_dups",
-]
-
-# Exported last: with 92 exported queries and a 50-row driver cap,
-# exactly these 42 fall off this round.  Every one is fully green in
-# CORRECTNESS_r07 (round 7's 39 _PRIORITY entries plus the demoted
-# middle entries q_tfidf_top_terms, q_minhash_lsh_candidates and
-# q_ann_lsh_topk — rows, schema, AND hash), so the
-# rotation keeps every export driver-green within two consecutive
-# rounds, AND each is coverage-subsumed by queries that keep a slot:
-#   q_domain_quota        - two-phase salted per-group top-k; the
-#                           grouped-quota shape rides the rotating-in
-#                           q_sample_per_group's slot successor
-#                           q_training_order and q_source_mixture
-#                           (md5-bucket quota arithmetic)
-#   q_gopher_rules        - the rule-gate expression chain is a strict
-#                           sibling of q_quality_gate (middle, keeps a
-#                           slot) and q_lm_quality (middle)
-#   q_bpe_pair_counts / q_bpe_merges - BPE surface stays mirror-
-#                           verified (and q_bpe_vocab_pieces
-#                           LOCAL_ONLY); the explode+sum shape rides
-#                           the rotating-in q_ngram_jaccard_dups and
-#                           q_token-family middles
-#   q_quantile_sketch     - the bottom-k/KMV mergeable-sketch family
-#                           keeps the rotating-in q_source_overlap
-#                           (KMV branch) and q_table_stats
-#                           (percentile surface)
-#   q_repetition_signals / q_regex_token_stats / q_lang_id /
-#   q_doc_quality / q_rolling_fingerprint - text-analysis expression
-#                           chains; the family keeps q_lm_quality and
-#                           q_quality_gate (middle) plus the
-#                           rotating-in q_data_card and q_span_scrub
-#   q_part_brand_revenue  - grouped join-agg carried by
-#                           q03_shipping_priority (middle) and the
-#                           rotating-in q05_local_supplier
-#   q_embedding_quantization - int8 quantization rides the rotating-in
-#                           q_pq_codes / q_pq_adc_search (same
-#                           codebook arithmetic family)
-#   q_stratified_sample / q_sample_per_group / q_token_shards -
-#                           md5-bucket sampling/sharding rides the
-#                           rotating-in q_training_order,
-#                           q_source_mixture and q_dsir_select
-#   q_dedup_clusters      - the CC subplan is shared by the
-#                           rotating-in q_leakage_safe_split (same
-#                           cluster-bucket split) and q_domain_rank
-#                           (graph family)
-#   q_asof_view_before_purchase - as-of direction family stays
-#                           mirror-verified (nearest/forward are
-#                           LOCAL_ONLY); temporal-events keep the
-#                           rotating-in q_event_sequences and
-#                           q_interval_join
-#   q_token_totals / q_token_counts - A1-A3 count kinds ride
-#                           q_token_source_assoc (middle, the same
-#                           3-way count join) and the rotating-in
-#                           q_acctbal_share (1-row-agg broadcast)
-#   q_doc_chunks          - chunk/pack family passes the slot back to
-#                           the rotating-in q_sequence_packing
-#   q_minhash_signatures  - minhash rides q_minhash_lsh_candidates
-#                           (middle) and the rotating-in
-#                           q_ngram_jaccard_dups / q_simhash_near_dups
-#   q01_pricing_summary / q_having_big_customers (rotating in) -
-#                           grouped HAVING/agg swap slots; q03 keeps a
-#                           middle slot
-#   q_window_functions    - window family passes the slot back to the
-#                           rotating-in q_range_frame
-#   q_semi_join / q_anti_join - semi/anti family passes back to the
-#                           rotating-in q_bloom_dedup and
-#                           q_decontaminate
-#   q_pivot_status        - pivot family passes back to the
-#                           rotating-in q_unpivot and
-#                           q_user_event_pivot
-#   q_exact_dedup         - exact-dedup shape inside the rotating-in
-#                           q_duplicate_spans and q_containment_dups'
-#                           verify stage
-#   q_label_centroids     - array-agg centroid fold rides the
-#                           rotating-in q_kmeans_assign and
-#                           q_array_agg
-#   q_above_nation_avg / q_acctbal_share (rotating in) - 1-row-agg
-#                           broadcast compares swap slots
-#   q_exact_jaccard_join  - prefix-filter join family passes back to
-#                           the rotating-in q_containment_dups and
-#                           q_edit_similarity_dups
-#   q_cms_heavy_hitters   - mergeable-sketch family keeps the
-#                           rotating-in q_source_overlap (KMV) and
-#                           q_sketch_accuracy stays mirror-verified
-#   q_bm25_search         - both retrieval arms ride the rotating-in
-#                           q_hybrid_rrf (BM25 + dense fusion)
-#   q_cube_qty            - CUBE/grouping-sets family passes back to
-#                           the rotating-in q_data_card and
-#                           q_table_stats
-#   q_sketch_accuracy     - distinct-count audit rides the rotating-in
-#                           q_distinct_counts and q_table_stats
-#   q_cosine_pairs        - its oracle is VERBATIM the rotating-in
-#                           q_blocked_cosine_pairs' oracle (same rows)
-#   q_embedding_parity_measures - D1-D6 parity arithmetic also inside
-#                           q_source_similarity (middle, standard
-#                           measures over the identical align)
-#   q_ann_ivf_recall      - ANN family keeps q_ann_lsh_topk (middle)
-#                           and the rotating-in q_pq_adc_search
-#   q_hourly_event_stats  - date/hour bucketing passes back to the
-#                           rotating-in q_date_buckets and
-#                           q_event_anomalies
-#   q_sessionization      - temporal-order surface passes back to the
-#                           rotating-in q_event_sequences and
-#                           q_interval_join
-#   q_tfidf_top_terms     - (middle demotion for the new
-#                           q_main_content) per-term window top-k over
-#                           grouped counts; the window-rank shape
-#                           rides the rotating-in q_range_frame and
-#                           q_hybrid_rrf (same rank-and-filter), and
-#                           the tf-idf arithmetic stays inside
-#                           q_bm25_search's mirror-verified oracle
-#   q_minhash_lsh_candidates - (middle demotion for the new
-#                           q_bpe_fertility) the LSH-candidate
-#                           relation is a strict subplan of the
-#                           rotating-in q_ngram_jaccard_dups (its
-#                           candidate source) and of the new
-#                           q_lsh_recall (whose cands arm is this
-#                           query verbatim); minhash arithmetic stays
-#                           mirror-verified
-#   q_ann_lsh_topk        - (middle demotion for the new q_lsh_recall)
-#                           the SRP hash family + bucket join is also
-#                           the core of the rotating-in
-#                           q_semantic_dedup, and the bucketed dense
-#                           retrieval arm rides the rotating-in
-#                           q_hybrid_rrf; stays in the bench HEADLINE
-#                           set and mirror-verified
-# All remain verified by the local mirror test either way.
-# ROUND-9 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-8 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-# Every entry below is green in CORRECTNESS_r07, so each tolerates
-# exactly the round-8 skip; all 42 must re-enter the round-9 window
-# (42 ≤ 50, leaving exactly the 8 then-current middle slots — no
-# staging is needed and no new-query slots remain free: a round-9
-# addition must demote a then-green middle entry, as rounds 7 and 8
-# did).
-_LAST = [
+    # the round-8 _LAST tail rotating back in (green r7, skipped r8):
     "q_ann_lsh_topk",
     "q_minhash_lsh_candidates",
     "q_domain_quota",
@@ -376,6 +193,79 @@ _LAST = [
     "q_sessionization",
     "q_tfidf_top_terms",
 ]
+
+# Exported last: with 92 exported queries and a 50-row driver cap,
+# exactly these 42 fall off this round.  Every one is fully green in
+# CORRECTNESS_r08 (round 8's 42 _PRIORITY entries — rows, schema, AND
+# hash), so the rotation keeps every export driver-green within two
+# consecutive rounds, AND each is coverage-subsumed by queries that
+# keep a slot (the same family rationales recorded in the round-8
+# registry apply with the directions swapped — each pair below simply
+# trades places with the r9 window entry it subsumed last round):
+#   q_main_content / q_bpe_fertility / q_lsh_recall - new in r8, green
+#                           r8; their families keep q_gopher_rules,
+#                           q_doc_quality (text gates), q_bpe_pair_counts,
+#                           q_bpe_merges (BPE), q_minhash_lsh_candidates
+#                           + q_exact_jaccard_join (the recall audit's
+#                           two arms, verbatim) in the r9 window
+#   the 39 remaining entries are the round-7 _PRIORITY block demoted
+#                           in r8 with per-entry rationales recorded
+#                           there; each swaps back with its r9 window
+#                           counterpart (same families, directions
+#                           reversed)
+# All remain verified by the local mirror test either way.
+# ROUND-10 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-9 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r08, so each tolerates
+# exactly the round-9 skip; all 42 must re-enter the round-10 window
+# (42 ≤ 50 — any round-10 addition must demote a then-green middle
+# entry, as rounds 7, 8 and 9 did).
+_LAST = [
+    "q_main_content",
+    "q_bpe_fertility",
+    "q_lsh_recall",
+    "q_unpivot",
+    "q_user_event_pivot",
+    "q_array_agg",
+    "q_acctbal_share",
+    "q_distinct_counts",
+    "q05_local_supplier",
+    "q_date_buckets",
+    "q_string_funcs",
+    "q_full_outer_align",
+    "q_having_big_customers",
+    "q_range_frame",
+    "q_sequence_packing",
+    "q_semantic_dedup",
+    "q_duplicate_spans",
+    "q_training_order",
+    "q_span_scrub",
+    "q_source_mixture",
+    "q_event_sequences",
+    "q_dsir_select",
+    "q_bloom_dedup",
+    "q_leakage_safe_split",
+    "q_data_card",
+    "q_table_stats",
+    "q_blocked_cosine_pairs",
+    "q_hybrid_rrf",
+    "q_containment_dups",
+    "q_event_anomalies",
+    "q_edit_similarity_dups",
+    "q_source_overlap",
+    "q_kmeans_assign",
+    "q_domain_rank",
+    "q_pq_codes",
+    "q_pq_adc_search",
+    "q_tagged_union",
+    "q_json_props",
+    "q_ngram_jaccard_dups",
+    "q_decontaminate",
+    "q_interval_join",
+    "q_simhash_near_dups",
+]
+
 _EXPORTED = (
     _PRIORITY
     + [n for n in ALL_QUERIES if n not in _PRIORITY + _LAST and n not in LOCAL_ONLY]
