@@ -593,7 +593,7 @@ def main() -> None:
     _run_queries([(n, extra_queries) for n in EXTRA_FNS])
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline query wall-clock, noop sink",
         "value": total,
         "unit": "sec",
@@ -611,8 +611,63 @@ def main() -> None:
         "sf": float(sf),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    # The COMPLETE result always lands next to bench.py — the harness
+    # that invokes the bench captures only the TAIL of stdout (~2000
+    # chars, observed: BENCH_r08's final line outgrew the window and
+    # arrived headless), so the one printed line below is kept compact
+    # by construction and this file carries everything else.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # unwritable checkout: the line still prints
+        print(f"  BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
+    print(_compact_line(full))
+
+
+def _compact_line(full: dict) -> str:
+    """One JSON line guaranteed to fit a ~2000-char tail capture:
+    start from the full result, drop the bulkiest evidence first
+    (run lists, env snapshots -> 1-minute loadavg, error texts ->
+    names), then progressively fold per-query detail into totals until
+    the line fits.  Every dropped field remains in BENCH_LOCAL.json
+    (referenced by the `full` key)."""
+    cap = 1900  # observed driver window is 2000; leave margin
+    out = {k: v for k, v in full.items() if k not in ("pipeline_runs", "pipeline_env")}
+    for k in ("load_start", "load_end"):
+        la = (full.get(k) or {}).get("loadavg_1m")
+        if la is not None:
+            out[k] = {"loadavg_1m": la}
+        else:
+            out.pop(k, None)
+    if "errors" in out:
+        out["errors"] = {n: m[:60] for n, m in out["errors"].items()}
+    out["full"] = "BENCH_LOCAL.json"
+    line = json.dumps(out)
+    if len(line) <= cap:
+        return line
+    # fold the (ever-growing) extras into a total; per-query extras
+    # stay in BENCH_LOCAL.json
+    eq = out.pop("extra_queries", {}) or {}
+    out["extra_total"] = round(sum(eq.values()), 3)
+    out["n_extra"] = len(eq)
+    line = json.dumps(out)
+    if len(line) <= cap:
+        return line
+    out.pop("pipeline_median", None)
+    line = json.dumps(out)
+    if len(line) <= cap:
+        return line
+    # last resort: keep only the slowest headline queries itemized
+    q = out.get("queries", {}) or {}
+    keep = dict(sorted(q.items(), key=lambda kv: -kv[1])[:10])
+    out["queries"] = keep
+    out["n_queries_omitted"] = len(q) - len(keep)
+    return json.dumps(out)
 
 
 if __name__ == "__main__":
