@@ -202,7 +202,9 @@ EXTRA = [
     "q_quantile_sketch",
     "q_main_content",
     "q_bpe_fertility",
-    "q_lsh_recall",
+    # q_lsh_recall's FULL form (6.2 s at sf0.1 — the exact truth arm
+    # dominates) left the bench in r9 for the sampled EXTRA_FNS row
+    # below; the full form remains the driver's sf0.01 oracle row.
 ]
 
 
@@ -320,9 +322,22 @@ def _bench_warc_ingest(spark, sf_dir: str) -> None:
 
 # bench-only timed callables (not registry queries — no tractable SQL
 # oracle at this scale; correctness is pinned by pytest instead)
+def _bench_lsh_recall_sampled(spark, sf_dir: str) -> None:
+    """The corpus-scale form of the LSH recall audit (VERDICT r8 #4):
+    a 250‰ deterministic md5 doc-bucket sample feeds BOTH arms, so the
+    expensive exact-truth join runs on the sample while estimating the
+    full-set recall ratio (test_dedup pins sampled ≈ full at fixture
+    scale).  The full-set form stays the driver's oracle row."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.dedup import q_lsh_recall
+
+    row = q_lsh_recall(spark, sf_dir, sample_permille=250).collect()[0]
+    assert row.n_true >= 0 and 0 <= row.recall_ppm <= 1_000_000
+
+
 EXTRA_FNS = {
     "bpe_train_256_merges": _bench_bpe_train_256,
     "warc_ingest_10k_pages": _bench_warc_ingest,
+    "lsh_recall_sampled_250": _bench_lsh_recall_sampled,
 }
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

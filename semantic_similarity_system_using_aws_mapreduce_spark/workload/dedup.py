@@ -73,7 +73,9 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cands)
 
 
-def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_recall(
+    spark: SparkSession, sf_dir: str, sample_permille: int | None = None
+) -> DataFrame:
     """Recall AUDIT of the banded-minhash candidate generator against
     the EXACT prefix-filtered jaccard join at the same threshold — the
     text-dedup analog of q_ann_ivf_recall (and the empirical check on
@@ -83,12 +85,30 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm — the number that tells you whether an LSH configuration is
     safe to dedup 100 TB with BEFORE you run it.  The shingle relation
     is persisted so both arms (truth and candidates) share one
-    explode+hash pass."""
+    explode+hash pass.
+
+    ``sample_permille`` (VERDICT r8 #4) runs the audit on a
+    deterministic md5 doc-bucket sample — the engine's own sampling
+    idiom (operators/sampling.hash_bucket) applied BEFORE shingling,
+    so BOTH arms see the identical sub-corpus.  This is how the audit
+    runs at corpus scale: the exact truth arm is the expensive side,
+    and a pair's LSH hit/miss is a property of its two signatures —
+    independent of which other docs were sampled — so the sampled
+    recall ratio estimates the full ratio (pairs enter the sample iff
+    both endpoints do; the fixture-scale test pins sampled ≈ full).
+    ``None`` (the oracle row and the exported default) audits the full
+    document set."""
     from pyspark import StorageLevel
 
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import prefix_jaccard_join
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import hash_bucket
 
-    sh = shingle_hashes(_docs(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = _docs(spark, sf_dir)
+    if sample_permille is not None:
+        docs = docs.filter(
+            hash_bucket(F.col("doc_id"), "lshaudit") < sample_permille
+        )
+    sh = shingle_hashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
     truth = prefix_jaccard_join(
         sh, threshold_permille=int(JACCARD_THRESHOLD * 1000)
     ).select("doc_a", "doc_b")

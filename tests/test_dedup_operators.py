@@ -665,3 +665,23 @@ def test_lsh_plan_picks_sane_bandings():
     assert lsh_plan(0.45, n_hashes=8) == mid
     with _pytest.raises(ValueError):
         lsh_plan(1.5)
+
+
+def test_lsh_recall_audit_sampled_tracks_full(spark):
+    """The corpus-scale sampling knob on the LSH recall audit (the
+    pre-flight check for a 100 TB dedup): a deterministic md5
+    doc-bucket sample feeds BOTH arms, and because a pair's LSH
+    hit/miss depends only on its own two signatures, the sampled
+    recall ratio estimates the full-set ratio.  Everything here is
+    deterministic (md5 buckets, fixed fixture), so the tolerance is a
+    correctness pin, not a flake guard."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.workload.dedup import q_lsh_recall
+
+    sf_dir = "/root/testdata/sf0.01"
+    full = q_lsh_recall(spark, sf_dir).collect()[0]
+    sampled = q_lsh_recall(spark, sf_dir, sample_permille=500).collect()[0]
+    # the sample genuinely shrinks the expensive exact arm ...
+    assert 0 < sampled.n_true < full.n_true
+    assert sampled.n_candidates < full.n_candidates
+    # ... while estimating the same recall ratio
+    assert abs(sampled.recall_ppm - full.recall_ppm) <= 100_000
