@@ -92,6 +92,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def exact_dedup_keep_newest(
+    df: DataFrame,
+    ts_col: str = "fetched_at",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(digest, keep_doc_id, keep_fetched, n_copies): exact content
+    dedup with CRAWL semantics — the survivor per digest is the NEWEST
+    fetch (ties on the timestamp broken by the greatest id), not the
+    smallest id.  Re-crawls re-fetch the same page over months; a
+    training corpus wants the most recent copy's metadata while the
+    content digest proves they are the same bytes.  Keyed on the WARC
+    readers' ``fetched_at`` (sources/warc.py, from WARC-Date).
+
+    One combiner-friendly groupBy, like :func:`exact_dedup`: the
+    survivor rides a ``max(struct(ts, id))`` aggregate — lexicographic
+    struct comparison is identical in Spark and DuckDB
+    (``max(struct_pack(...))``), and partial aggregation collapses a
+    hot digest's copies map-side, so the shape scales exactly like the
+    min-id variant."""
+    pick = F.max(
+        F.struct(F.col(ts_col).alias("f"), F.col(id_col).alias("d"))
+    ).alias("_s")
+    return (
+        df.groupBy(F.md5(text_col).alias("digest"))
+        .agg(pick, F.count("*").alias("n_copies"))
+        .select(
+            "digest",
+            F.col("_s.d").alias("keep_doc_id"),
+            F.col("_s.f").alias("keep_fetched"),
+            "n_copies",
+        )
+    )
+
+
 def minhash_signatures(hashes: DataFrame, n_hashes: int = 8) -> DataFrame:
     """(doc_id, h0..h{k-1}) from a shingle_hashes relation."""
     if n_hashes > len(A):

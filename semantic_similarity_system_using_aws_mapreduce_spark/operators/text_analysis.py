@@ -34,11 +34,13 @@ ROLL_BASE = 31
 ROLL_MOD = (1 << 42) - 3
 
 
-def lang_scores(toks: Column) -> dict[str, Column]:
-    """Per-language stopword hit ratio over a token-array column.
-    Pass a MATERIALIZED column (not an inline split expression): the
-    scores reference it 2x per language, and interpreted HOFs would
-    re-tokenize per use."""
+def lang_hits(toks: Column) -> dict[str, Column]:
+    """Per-language integer stopword hit COUNT over a token-array
+    column — the comparison-safe form (shared denominator, so argmax
+    over counts == argmax over ratios, and integer margins can't
+    disagree across engines).  Pass a MATERIALIZED column (not an
+    inline split expression): the counts reference it per language,
+    and interpreted HOFs would re-tokenize per use."""
 
     def hits(words):
         arr = F.array(*[F.lit(w) for w in words])
@@ -47,32 +49,82 @@ def lang_scores(toks: Column) -> dict[str, Column]:
         return F.filter(toks, lambda t: F.array_contains(arr, t))
 
     return {
-        lang: F.size(hits(words)) / F.greatest(F.size(toks), F.lit(1))
-        for lang, words in LANG_PROFILES.items()
+        lang: F.size(hits(words)) for lang, words in LANG_PROFILES.items()
     }
 
 
-def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio over a token-array column (see
+    :func:`lang_hits` for the materialization caveat)."""
+    denom = F.greatest(F.size(toks), F.lit(1))
+    return {lang: h / denom for lang, h in lang_hits(toks).items()}
+
+
+#: declared-language override margin: the statistical heuristic beats
+#: a declared <html lang=...> prior only when its best profile has at
+#: least PRIOR_MARGIN_MULT x the prior language's hits plus
+#: PRIOR_MARGIN_ADD more — integer, so the boundary can't flip
+#: cross-engine.  One stray stopword never overrides a declaration;
+#: a page whose text is unambiguously another language does.
+PRIOR_MARGIN_MULT = 2
+PRIOR_MARGIN_ADD = 2
+
+
+def identify_language(
+    df: DataFrame, text_col: str = "text", prior_col: str | None = None
+) -> DataFrame:
     """Append (lang_pred, lang_score): argmax over the language
     profiles (ties broken toward the lexicographically greatest code —
     the natural (score, lang) struct-max), 'und' when no profile
-    matches at all."""
+    matches at all.
+
+    ``prior_col`` names a declared-language column (the crawl path's
+    ``html_lang`` from the ``<html lang=...>`` attribute — the
+    standard prior beside statistical lang-ID): normalized to its
+    2-letter code, a declared PROFILED language wins unless the
+    heuristic strongly disagrees (best-profile hits >=
+    ``PRIOR_MARGIN_MULT * prior_hits + PRIOR_MARGIN_ADD`` — integer
+    margins, deterministic for the oracle).  Short ambiguous documents
+    — too few stopwords for the statistics to mean anything — keep
+    their declaration; an en-declared page full of German function
+    words is overridden.  Null/unprofiled declarations fall back to
+    the pure heuristic; ``lang_score`` is always the CHOSEN language's
+    hit ratio."""
     df = df.withColumn("__toks", tokens(F.col(text_col)))
-    scores = lang_scores(F.col("__toks"))
-    langs = sorted(scores)
+    hitsd = lang_hits(F.col("__toks"))
+    langs = sorted(hitsd)
+    denom = F.greatest(F.size("__toks"), F.lit(1))
     pairs = F.array(
         *[
-            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            F.struct(hitsd[lang].alias("h"), F.lit(lang).alias("lang"))
             for lang in langs
         ]
     )
-    best = F.array_max(pairs)  # struct compare: score first, then lang
-    return (
-        df.withColumn(
-            "lang_pred",
-            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    heur_pred = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    if prior_col is None:
+        return (
+            df.withColumn("lang_pred", heur_pred)
+            .withColumn("lang_score", F.round(best["h"] / denom, 6))
+            .drop("__toks")
         )
-        .withColumn("lang_score", F.round(best["score"], 6))
+    prior = F.lower(F.substring(F.col(prior_col), 1, 2))
+    prior_known = prior.isin(langs)
+    prior_h: Column = F.lit(0)
+    for lang in langs:
+        prior_h = F.when(prior == lang, hitsd[lang]).otherwise(prior_h)
+    override = (best["lang"] != prior) & (
+        best["h"] >= prior_h * PRIOR_MARGIN_MULT + PRIOR_MARGIN_ADD
+    )
+    pred = F.when(
+        prior_known, F.when(override, best["lang"]).otherwise(prior)
+    ).otherwise(heur_pred)
+    chosen_h = F.when(
+        prior_known & ~override, prior_h
+    ).otherwise(F.when(pred == F.lit("und"), F.lit(0)).otherwise(best["h"]))
+    return (
+        df.withColumn("lang_pred", pred)
+        .withColumn("lang_score", F.round(chosen_h / denom, 6))
         .drop("__toks")
     )
 

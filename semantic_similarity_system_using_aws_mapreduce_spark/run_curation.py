@@ -93,8 +93,29 @@ def curate(
     gopher: bool = False,
     main_content: bool = False,
     mojibake_max_permille: int | None = MOJIBAKE_MAX_PERMILLE,
+    lang_id: bool = False,
 ) -> dict:
     os.makedirs(outdir, exist_ok=True)
+
+    # optional language identification filling the docs shape's lang
+    # column where the reader left it null (the WET/WARC readers do —
+    # sources/warc.py): the stopword-profile heuristic, consuming the
+    # crawl path's declared <html lang=...> prior when the column is
+    # present (operators/text_analysis.identify_language: declaration
+    # wins unless the statistics strongly disagree).  Map-side column
+    # expressions; labeled rows keep their label.
+    if lang_id:
+        from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import identify_language
+
+        prior = "html_lang" if "html_lang" in docs.columns else None
+        had_lang = "lang" in docs.columns
+        docs = identify_language(docs, prior_col=prior)
+        filled = (
+            F.coalesce(F.col("lang"), F.col("lang_pred"))
+            if had_lang
+            else F.col("lang_pred")
+        )
+        docs = docs.withColumn("lang", filled).drop("lang_pred", "lang_score")
 
     # optional block-level boilerplate strip (operators/text_analysis.
     # main_content, jusText-shaped) BEFORE every gate: substitute the
@@ -319,6 +340,14 @@ def main() -> None:
         "this; -1 disables; no-op for inputs without an n_repl column",
     )
     ap.add_argument(
+        "--lang-id",
+        action="store_true",
+        help="fill null lang labels via stopword-profile language "
+        "identification, consuming the crawl path's declared <html "
+        "lang=...> prior when present (declaration wins unless the "
+        "statistics strongly disagree)",
+    )
+    ap.add_argument(
         "--main-content",
         action="store_true",
         help="strip per-page template furniture (jusText-shaped block "
@@ -344,6 +373,7 @@ def main() -> None:
         domain_quota_k=args.domain_quota,
         gopher=args.gopher,
         main_content=args.main_content,
+        lang_id=args.lang_id,
         mojibake_max_permille=(
             None
             if args.mojibake_max_permille < 0

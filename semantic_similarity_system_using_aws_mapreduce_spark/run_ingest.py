@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     p_srch.add_argument("--query", required=True, action="append",
                         help="query string (repeatable; q_id = position)")
     p_srch.add_argument("--topk", type=int, default=5)
+    p_srch.add_argument(
+        "--snippets",
+        action="store_true",
+        help="surface each hit's page title (crawl ingests) and a "
+        "text snippet alongside the score",
+    )
 
     p_aso = sub.add_parser("asof", help="materialize the corpus as of a watermark")
     p_aso.add_argument("outdir")
@@ -166,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             corpus_path,
             list(enumerate(args.query)),
             topk=args.topk,
+            snippets=args.snippets,
         )
         if res is None:
             print(json.dumps({
@@ -173,10 +180,7 @@ def main(argv: list[str] | None = None) -> int:
             }))
             return 1
         print(json.dumps({
-            "results": [
-                {"q_id": r.q_id, "rank": r.rank, "doc_id": r.doc_id, "bm25": r.bm25}
-                for r in res.collect()
-            ]
+            "results": [r.asDict() for r in res.collect()]
         }))
         return 0
     if args.cmd == "forget":

@@ -62,13 +62,23 @@ def bm25_search_postings(
     topk: int = 5,
     k1: float | None = None,
     b: float | None = None,
+    snippets: bool = False,
+    snippet_chars: int = 160,
 ) -> DataFrame | None:
     """Rank the ingested corpus for each (q_id, query_text) — Okapi
     BM25 from the streamed postings/doclens tables, arithmetic
     bit-identical to workload/text.q_bm25_search (same constants by
     default, same op order, int64 micro-quantized contributions,
     doc_id rank tie-break).  Returns (q_id, rank, doc_id, bm25) or
-    None if nothing has been ingested."""
+    None if nothing has been ingested.
+
+    ``snippets=True`` additionally surfaces each hit's page ``title``
+    (the crawl path's ``<title>`` prior — null for corpora ingested
+    without one) and the text's first ``snippet_chars`` characters.
+    The corpus is touched ONLY for the ranked ids: a broadcast
+    semi-filter of the ~``topk * n_queries`` winner set reaches the
+    corpus scan before any wide column is read, so at 100 TB the
+    snippet join reads a handful of rows, never re-scans the text."""
     from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import BM25_B, BM25_K1
 
     k1 = BM25_K1 if k1 is None else k1
@@ -111,7 +121,7 @@ def bm25_search_postings(
         F.sum("c_micro").alias("s_micro")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("s_micro").desc(), F.col("doc_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(
@@ -120,6 +130,33 @@ def bm25_search_postings(
             "doc_id",
             F.round(F.col("s_micro") / 1_000_000.0, 6).alias("bm25"),
         )
+    )
+    if not snippets:
+        return ranked
+    corpus = read_parquet_recovering(spark, corpus_path)
+    if corpus is None:
+        return ranked.select(
+            "*",
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("snippet"),
+        )
+    title = (
+        F.col("title")
+        if "title" in corpus.columns
+        else F.lit(None).cast("string")
+    )
+    # winners first (broadcast semi-filter, map-side on the corpus
+    # scan), THEN the wide text column is substring'd — only the
+    # ranked rows' text ever leaves the scan
+    meta = corpus.join(
+        F.broadcast(ranked.select("doc_id").distinct()), "doc_id"
+    ).select(
+        "doc_id",
+        title.alias("title"),
+        F.substring("text", 1, snippet_chars).alias("snippet"),
+    )
+    return ranked.join(meta, "doc_id", "left").select(
+        "q_id", "rank", "doc_id", "bm25", "title", "snippet"
     )
 
 

@@ -149,6 +149,11 @@ LOCAL_ONLY = [
 # keeping the every-export-green-within-two-rounds invariant:
 # r9-window ∪ r8-green covers all exports.
 _PRIORITY = [
+    # new in round 9 — never driver-verified (each makes window room
+    # by an explicit middle demotion noted in _LAST below:
+    # q_lm_quality and q_paragraph_dedup move to _LAST):
+    "q_lang_prior",
+    "q_dedup_keep_newest",
     # the round-8 _LAST tail rotating back in (green r7, skipped r8):
     "q_ann_lsh_topk",
     "q_minhash_lsh_candidates",
@@ -222,6 +227,21 @@ _PRIORITY = [
 # (42 ≤ 50 — any round-10 addition must demote a then-green middle
 # entry, as rounds 7, 8 and 9 did).
 _LAST = [
+    # middle demotions making room for the round-9 additions (both
+    # green in CORRECTNESS_r08, both staying coverage-subsumed):
+    #   q_lm_quality    - (demotion for the new q_lang_prior) the
+    #                     text-quality expression family keeps
+    #                     q_quality_gate (middle), q_doc_quality and
+    #                     q_gopher_rules (both in the r9 window), and
+    #                     the self-trained bigram model's arithmetic
+    #                     stays mirror-verified
+    #   q_paragraph_dedup - (demotion for the new q_dedup_keep_newest)
+    #                     the dedup family keeps q_exact_dedup,
+    #                     q_dedup_clusters and q_minhash_signatures in
+    #                     the r9 window; the segment-level path stays
+    #                     mirror-verified and streaming-tested
+    "q_lm_quality",
+    "q_paragraph_dedup",
     "q_main_content",
     "q_bpe_fertility",
     "q_lsh_recall",

@@ -49,6 +49,23 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with crawl semantics: survivor per content digest =
+    the NEWEST fetch (operators/dedup.exact_dedup_keep_newest — the
+    re-crawl variant keyed on the WARC path's ``fetched_at``; VERDICT
+    r8 #5's time-sliced corpus consumption).  The documents table has
+    no timestamp, so a deterministic fetch date derives from doc_id —
+    the arithmetic under audit is the max(struct(ts, id)) survivor
+    pick, identical on both engines."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import exact_dedup_keep_newest
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "fetched_at",
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 360).cast("int")),
+    )
+    return exact_dedup_keep_newest(docs)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
 
@@ -431,6 +448,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
+    "q_dedup_keep_newest": q_dedup_keep_newest,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
     "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -795,6 +813,18 @@ ORACLES = {
     "q_exact_dedup": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    "q_dedup_keep_newest": """
+        WITH d AS (SELECT *, DATE '2025-01-01'
+                             + ((doc_id % 360)::INT) AS fetched_at
+                   FROM documents),
+        g AS (SELECT md5(text) AS digest,
+                     max(struct_pack(f := fetched_at, d := doc_id)) AS s,
+                     count(*) AS n_copies
+              FROM d GROUP BY md5(text))
+        SELECT digest, (s).d AS keep_doc_id, (s).f AS keep_fetched,
+               n_copies
+        FROM g
     """,
     "q_minhash_signatures": f"""
         WITH {_SIGS_CTE}

@@ -451,6 +451,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification WITH a declared-language prior — the
+    crawl path's ``<html lang=...>`` consumption (VERDICT r8 #5;
+    sources/warc.py emits the column, run_curation --lang-id feeds it
+    through this exact operator): a declared PROFILED language wins
+    unless the stopword statistics strongly disagree (integer margin,
+    operators/text_analysis.identify_language).  The documents table
+    has no declaration column, so the query derives one
+    deterministically — a correct declaration, a wrong-but-plausible
+    region-subtagged one, an unprofiled code, and none — exercising
+    every branch of the prior logic under the oracle."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import identify_language
+
+    declared = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("lang"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("FR-ca"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("xx"))
+    )
+    staged = _docs(spark, sf_dir).withColumn("declared", declared)
+    out = identify_language(staged, prior_col="declared")
+    return out.select(
+        "doc_id",
+        "declared",
+        "lang_pred",
+        "lang_score",
+        (F.col("lang_pred") == F.lower(F.substring("declared", 1, 2))).alias(
+            "kept_prior"
+        ),
+    )
+
+
 def q_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish regex piece counts."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import token_stats
@@ -824,6 +855,7 @@ QUERIES = {
     "q_repetition_signals": q_repetition_signals,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_lang_id": q_lang_id,
+    "q_lang_prior": q_lang_prior,
     "q_regex_token_stats": q_regex_token_stats,
     "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_token_counts": q_token_counts,
@@ -846,6 +878,8 @@ _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.text_analysis import (  # noqa: E402
     BPE_ISH_PATTERN,
     LANG_PROFILES,
+    PRIOR_MARGIN_ADD,
+    PRIOR_MARGIN_MULT,
     ROLL_BASE,
     ROLL_MOD,
 )
@@ -856,6 +890,22 @@ _LANG_SCORE_COLS = ",\n               ".join(
     + f"], t))) * 1.0 / greatest(len(toks), 1) AS s_{lang}"
     for lang in sorted(LANG_PROFILES)
 )
+
+# integer hit-count twins of the score columns (the prior arithmetic
+# compares integer margins, never ratios)
+_LANG_HIT_COLS = ",\n               ".join(
+    "len(list_filter(toks, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    + f"], t))) AS h_{lang}"
+    for lang in sorted(LANG_PROFILES)
+)
+_LANG_HPICK = "CASE " + " ".join(
+    f"WHEN h_{lang} = besth THEN '{lang}'"
+    for lang in sorted(LANG_PROFILES, reverse=True)
+) + " END"
+_LANG_PRIOR_H = "CASE prior " + " ".join(
+    f"WHEN '{lang}' THEN h_{lang}" for lang in sorted(LANG_PROFILES)
+) + " ELSE 0 END"
 # Spark side picks max (score, lang) struct => on score ties the
 # lexicographically GREATEST language code wins; the reverse-order CASE
 # chain below reproduces that.
@@ -1095,6 +1145,42 @@ ORACLES = {
                round(best, 6) AS lang_score,
                (CASE WHEN best > 0 THEN {_LANG_PICK} ELSE 'und' END) = lang AS agrees
         FROM best
+    """,
+    "q_lang_prior": f"""
+        WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks,
+                          CASE WHEN doc_id % 4 = 0 THEN lang
+                               WHEN doc_id % 4 = 1 THEN 'FR-ca'
+                               WHEN doc_id % 4 = 2 THEN 'xx' END AS declared
+                   FROM documents),
+        h AS (SELECT doc_id, declared, greatest(len(toks), 1) AS n,
+               {_LANG_HIT_COLS}
+               FROM d),
+        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS besth,
+                     lower(substr(declared, 1, 2)) AS prior
+              FROM h),
+        p AS (SELECT *, {_LANG_HPICK} AS bestlang,
+                     {_LANG_PRIOR_H} AS prior_h,
+                     prior IN ('de','en','es','fr','zh') AS known
+              FROM b),
+        c AS (SELECT *,
+                     known AND bestlang <> prior
+                       AND besth >= prior_h * {PRIOR_MARGIN_MULT}
+                                    + {PRIOR_MARGIN_ADD} AS override,
+                     CASE WHEN known
+                          THEN CASE WHEN bestlang <> prior
+                                     AND besth >= prior_h * {PRIOR_MARGIN_MULT}
+                                                  + {PRIOR_MARGIN_ADD}
+                                    THEN bestlang ELSE prior END
+                          ELSE CASE WHEN besth > 0 THEN bestlang
+                                    ELSE 'und' END END AS lang_pred
+              FROM p)
+        SELECT doc_id, declared, lang_pred,
+               round(CASE WHEN coalesce(known, FALSE) AND NOT override
+                          THEN prior_h
+                          WHEN lang_pred = 'und' THEN 0
+                          ELSE besth END * 1.0 / n, 6) AS lang_score,
+               lang_pred = prior AS kept_prior
+        FROM c
     """,
     "q_regex_token_stats": f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS ws,

@@ -461,6 +461,61 @@ def test_curation_main_content_strip(spark, tmp_path):
     assert any("Sponsored" in r.text for r in kept2)
 
 
+def test_curation_lang_id_stage_consumes_html_lang_prior(spark, tmp_path):
+    """--lang-id: null lang labels are filled by identify_language,
+    consuming the crawl path's declared html_lang prior when the
+    column exists (declaration wins on weak statistics, strong
+    statistics override); labeled rows keep their label."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_curation import curate
+
+    # per-doc filler: sharing one filler would make the docs near-dups
+    # of each other and the funnel would (correctly) keep one rep
+    def filler(i):
+        return " ".join(f"w{i}x{j} u{i}y{j} v{i}z{j}" for j in range(12))
+
+    rows = [
+        # weak stats ('le' once) + declared en -> prior wins
+        (1, f"le weekend shopping list {filler(1)}", None, "s0", "en-US"),
+        # unambiguous German declared en -> statistics override
+        (2, "der hund ist ein tier und das ist gut " * 4 + filler(2),
+         None, "s0", "en"),
+        # labeled row: the label survives untouched
+        (3, f"the cat is on the mat {filler(3)}", "zh", "s1", "en"),
+        # no declaration -> pure heuristic
+        (4, "le chat est dans la maison pour que " * 3 + filler(4),
+         None, "s1", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " html_lang string",
+    )
+    out = str(tmp_path / "langid")
+    report = curate(spark, docs, out, shards=False, min_ttr=0.1, lang_id=True)
+    assert report["n_kept"] == 4
+    kept = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{out}/curated.parquet").collect()
+    }
+    assert kept[1] == "en"  # declaration beats one stray stopword
+    assert kept[2] == "de"  # strong statistics override declaration
+    assert kept[3] == "zh"  # labels are never overwritten
+    assert kept[4] == "fr"  # heuristic fallback without a declaration
+    # without a prior column the flag still fills labels (pure
+    # heuristic) — the stage doesn't require crawl-shaped input
+    out2 = str(tmp_path / "langid_noprior")
+    curate(
+        spark, docs.drop("html_lang"), out2, shards=False, min_ttr=0.1,
+        lang_id=True,
+    )
+    kept2 = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{out2}/curated.parquet").collect()
+    }
+    assert kept2[1] == "fr" and kept2[2] == "de" and kept2[3] == "zh"
+
+
 def test_curation_mojibake_gate(spark, tmp_path):
     """The n_repl column the WARC charset decode emits is actually
     CONSUMED: a page whose U+FFFD density exceeds the threshold lands

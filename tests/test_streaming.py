@@ -1335,6 +1335,17 @@ def test_streaming_postings_index_and_bm25_search(spark, tmp_path):
     assert rows[(0, 1)] == 1 and rows[(0, 2)] == 11
     assert rows[(1, 1)] == 11 and (1, 2) not in rows
 
+    # snippets=True surfaces the page title prior (null here — the
+    # JSONL-shaped corpus carries none) and a text snippet, joined via
+    # the broadcast winner-set filter, same ranking rows
+    snip = bm25_search_postings(
+        spark, corpus_path, [(1, "beta0")], topk=3, snippets=True,
+        snippet_chars=12,
+    ).collect()
+    assert [(r.q_id, r.rank, r.doc_id) for r in snip] == [(1, 1, 11)]
+    assert snip[0].title is None
+    assert snip[0].snippet == _long_text("beta")[:12]
+
     # crash-replay of the last non-empty batch: remove its commit and
     # re-run — the partition rewrite must leave the tables identical
     before = table_rows(corpus_path + POSTINGS_SUFFIX, ["doc_id", "term", "tf"])

@@ -26,6 +26,48 @@ def test_identify_language(spark):
     assert out[4] == ("und", 0.0)
 
 
+def test_identify_language_with_declared_prior(spark):
+    """The <html lang=...> prior (VERDICT r8 #5): a declared profiled
+    language WINS on short/ambiguous documents, is OVERRIDDEN when the
+    stopword statistics strongly disagree (integer margin), and
+    null/unprofiled declarations fall back to the pure heuristic."""
+    df = spark.createDataFrame(
+        [
+            # short + ambiguous (one weak 'le' hit -> heuristic says
+            # fr): the declared 'en' prior flips it
+            (1, "le weekend shopping list", "en"),
+            # zero hits anywhere ('und' without a prior): declaration
+            # wins outright
+            (2, "xyzzy qwerty plugh", "de"),
+            # unambiguous German text declared 'en': 6 de hits >=
+            # 2*0 + 2 -> the heuristic overrides the declaration
+            (3, "der hund ist ein tier und das ist gut", "en"),
+            # region subtag + case noise normalizes to the bare code
+            (4, "the cat is on the mat", "EN-us"),
+            # unprofiled declaration -> pure heuristic
+            (5, "the cat is on the mat", "xx"),
+            # no declaration -> pure heuristic
+            (6, "le chat est dans la maison pour que", None),
+        ],
+        ["doc_id", "text", "declared"],
+    )
+    out = {
+        r.doc_id: (r.lang_pred, r.lang_score)
+        for r in identify_language(df, prior_col="declared").collect()
+    }
+    base = {
+        r.doc_id: r.lang_pred for r in identify_language(df).collect()
+    }
+    assert base[1] == "fr" and out[1][0] == "en"  # prior flips it
+    assert base[2] == "und" and out[2] == ("de", 0.0)
+    assert base[3] == "de" and out[3][0] == "de"  # strong stats win
+    assert out[4][0] == "en" and out[4][1] > 0.3
+    assert out[5][0] == base[5] == "en"
+    assert out[6][0] == base[6] == "fr"
+    # the score is always the CHOSEN language's hit ratio
+    assert out[1][1] == 0.0  # 'en' has no hits in doc 1
+
+
 def test_token_stats(spark):
     df = spark.createDataFrame([(1, "hello world, antidisestablishment!")], ["doc_id", "text"])
     r = token_stats(df).collect()[0]
