@@ -57,6 +57,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ing = sub.add_parser("ingest", help="drain SRC_DIR into the curated corpus")
     p_ing.add_argument("src_dir")
     p_ing.add_argument("outdir")
+    p_ing.add_argument(
+        "--format",
+        default="parquet",
+        choices=("parquet", "warc", "wet"),
+        dest="source_format",
+        help="SRC_DIR contents: documents-shaped parquet (default), "
+        "raw crawl archives (.warc[.gz] — HTTP coding removal, "
+        "charset decode, HTML extraction per micro-batch), or WET "
+        "text extracts; crawl docs feed the mojibake-aware quality "
+        "gate, incremental dedup, and RTBF unchanged",
+    )
     p_ing.add_argument("--min-tokens", type=int, default=24)
     p_ing.add_argument("--min-ttr", type=float, default=0.35)
     p_ing.add_argument("--min-agree", type=int, default=6)
@@ -161,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             stats=args.stats,
             postings=args.postings,
             paragraphs=args.paragraphs,
+            source_format=args.source_format,
         )
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
         return 0

@@ -356,13 +356,16 @@ def _ensure_charset_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """One row per WARC record under ``path`` (plain or .gz archives;
-    glob patterns work).  Corrupt records surface as quarantine rows
-    (``corrupt = true``) rather than failing the archive — filter on
-    the flag for the ingest/reject split, same contract as the JSONL
-    and CSV readers."""
-    _ensure_charset_confs(spark)
+def warc_records(files: DataFrame) -> DataFrame:
+    """Archive bytes -> one row per WARC record: the bounded
+    ``mapInPandas`` parse over a ``(path, content)`` relation — shared
+    by the batch reader (:func:`read_warc`, binaryFile load) and the
+    STREAMING ingest (streaming/documents.read_document_stream with a
+    binaryFile file-source: the same parse applied per micro-batch).
+    All downstream projections (wet_documents / warc_text_documents /
+    response_bodies) are stateless column expressions, so the whole
+    chain is legal on a streaming DataFrame."""
+    _ensure_charset_confs(files.sparkSession)
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -378,8 +381,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 if buf:
                     yield pd.DataFrame(buf, columns=cols)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record under ``path`` (plain or .gz archives;
+    glob patterns work).  Corrupt records surface as quarantine rows
+    (``corrupt = true``) rather than failing the archive — filter on
+    the flag for the ingest/reject split, same contract as the JSONL
+    and CSV readers."""
+    return warc_records(spark.read.format("binaryFile").load(path))
 
 
 def canonical_url(url: Column) -> Column:

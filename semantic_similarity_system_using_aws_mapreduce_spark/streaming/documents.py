@@ -68,11 +68,58 @@ SIG_SCHEMA = "doc_id long, " + ", ".join(f"h{k} long" for k in range(8))
 COMPACTED_BATCH = -1
 
 
-def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream over a directory of documents parquet files
-    (the local test harness; swap for Kafka/auto-loader in
-    production).  One file per micro-batch, in file order, so ingest
-    is deterministic and replayable."""
+#: binaryFile's FIXED source schema (Spark's binary file data source)
+#: — declared literally so the streaming reader needs no priming batch
+#: read of a possibly-empty crawl drop directory
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, source_format: str = "parquet"
+) -> DataFrame:
+    """File-source stream over a directory of document files (the
+    local test harness; swap for Kafka/auto-loader in production).
+    One file per micro-batch, in file order, so ingest is
+    deterministic and replayable.
+
+    ``source_format``:
+
+    * ``parquet`` — documents-shaped parquet (the default).
+    * ``warc`` / ``wet`` — raw crawl archives (.warc[.gz] / WET
+      extracts): each micro-batch is ONE archive read as binary,
+      parsed by the same bounded ``mapInPandas`` record pass as the
+      batch reader (sources/warc.warc_records — HTTP coding removal
+      and charset decode included), projected onto the documents
+      shape (``warc_text_documents`` / ``wet_documents``).  Every
+      stage is a stateless projection/filter, so the chain is legal
+      on the streaming DataFrame, and the docs carry
+      ``n_repl``/``n_chars`` — the streaming quality gate's mojibake
+      reject fires on crawl input with no extra wiring.  doc_ids are
+      md5(record_id), so a replayed archive reproduces its rows
+      bit-identically (the replay-idempotence contract)."""
+    if source_format in ("warc", "wet"):
+        from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import (
+            warc_records,
+            warc_text_documents,
+            wet_documents,
+        )
+
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(source_dir)
+        )
+        records = warc_records(files)
+        if source_format == "wet":
+            docs, _rejects = wet_documents(records)
+        else:
+            docs, _rejects = warc_text_documents(records)
+        return docs
+    if source_format != "parquet":
+        raise ValueError(f"unknown source_format: {source_format!r}")
     schema = spark.read.parquet(source_dir).schema
     return (
         spark.readStream.schema(schema)
@@ -442,6 +489,7 @@ def run_streaming_curation(
     stats: bool = False,
     postings: bool = False,
     paragraphs: bool = False,
+    source_format: str = "parquet",
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -732,7 +780,7 @@ def run_streaming_curation(
                 batch.unpersist()
 
     (
-        read_document_stream(spark, source_dir)
+        read_document_stream(spark, source_dir, source_format)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", corpus_path + "_ckpt")
         .trigger(availableNow=True)

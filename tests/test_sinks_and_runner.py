@@ -349,6 +349,46 @@ def test_run_ingest_cli_search(spark, tmp_path, capsys):
     assert "error" in err
 
 
+def test_run_ingest_cli_warc_format_and_titled_search(spark, tmp_path, capsys):
+    """The full round-9 crawl story at the CLI: ingest --format warc
+    drains a .warc.gz archive through the streaming curation funnel
+    (HTTP decode, extraction, gates, dedup), --postings maintains the
+    retrieval index over the crawl docs, and search --snippets
+    surfaces the page's <title> prior next to the score."""
+    import gzip as _gz
+    import json as _json
+
+    from test_streaming import _crawl_doc_id, _http_html, _long_text, _warc_record
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.run_ingest import main
+
+    src = tmp_path / "warc_incoming"
+    src.mkdir()
+    body = (
+        "<html><head><title>Alpha &amp; Omega</title></head><body><p>"
+        + _long_text("alpha")
+        + "</p></body></html>"
+    ).encode()
+    (src / "c1.warc.gz").write_bytes(
+        _gz.compress(
+            _warc_record("cli1", _http_html(body), "http://t.example/page")
+        )
+    )
+    outdir = str(tmp_path / "warc_out")
+    assert main(
+        ["ingest", str(src), outdir, "--format", "warc", "--postings"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", outdir, "--query", "alpha0 alpha1", "--snippets"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    (hit,) = [r for r in out["results"] if r["rank"] == 1]
+    assert hit["doc_id"] == _crawl_doc_id("cli1")
+    assert hit["title"] == "Alpha & Omega"
+    assert "alpha0 alpha1" in hit["snippet"]
+
+
 def test_curation_domain_quota_stage(spark, tmp_path):
     """--domain-quota: the otherwise-kept set is capped per source,
     keeping each source's LONGEST documents; over-quota rows land in

@@ -1988,3 +1988,148 @@ def test_streaming_quality_gate_mojibake(spark):
         [(i, t) for i, t, _, _ in rows], "doc_id long, text string"
     )
     assert {r.doc_id for r in quality_gate(plain, 24, 0.35).collect()} == {1, 2, 3}
+
+
+def _warc_record(rec_id: str, payload: bytes, uri: str,
+                 warc_type: str = "response") -> bytes:
+    ctype = (
+        "application/http; msgtype=response"
+        if warc_type == "response"
+        else "text/plain"
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + rec_id.encode() + b">",
+        b"WARC-Date: 2026-02-03T04:05:06Z",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"Content-Type: " + ctype.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_html(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + body
+    )
+
+
+def _crawl_doc_id(rec_id: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"<urn:uuid:{rec_id}>".encode()).hexdigest()[:15], 16)
+
+
+def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
+    """VERDICT r8 #3: raw .warc.gz archives feed the streaming
+    curation lifecycle directly (run_ingest --format warc): one
+    archive per micro-batch through HTTP decode -> extraction ->
+    quality gate (the mojibake reject FIRES on crawl bytes) ->
+    incremental dedup; a second invocation ingests only new archives;
+    a no-new-files re-run is a no-op; forget erases the crawl doc."""
+    import gzip as _gz
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        run_streaming_curation,
+    )
+
+    def page(text: str) -> bytes:
+        return f"<html><body><p>{text}</p></body></html>".encode()
+
+    src = tmp_path / "crawl_incoming"
+    src.mkdir()
+    # archive 1: one good page + one mojibake page (varied tokens and
+    # ttr clear the basic gates — ONLY the replacement-density gate
+    # can reject it)
+    moji_body = (
+        b"<html><body><p>"
+        + b" ".join(b"w%d\xff\xfe" % i for i in range(40))
+        + b"</p></body></html>"
+    )
+    a1 = _warc_record(
+        "good1", _http_html(page(_long_text("alpha"))), "http://a.com/1"
+    ) + _warc_record("moji1", _http_html(moji_body), "http://a.com/m")
+    (src / "a1.warc.gz").write_bytes(_gz.compress(a1))
+
+    corpus_path = str(tmp_path / "crawl_corpus")
+    index_path = str(tmp_path / "crawl_index")
+    kw = dict(source_format="warc", stats=True)
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+
+    corpus = spark.read.parquet(corpus_path)
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert ids == {_crawl_doc_id("good1")}  # mojibake page rejected
+    row = corpus.collect()[0]
+    # crawl metadata priors ride into the corpus
+    assert row.html_lang is None and row.fetched_at is not None
+    assert row.n_repl == 0 and "alpha0" in row.text
+    # the stats funnel pins WHY: 2 arrived, 1 past the gate
+    stats = {
+        r.ingest_batch: (r.n_arrived, r.n_gated, r.n_kept)
+        for r in spark.read.parquet(corpus_path + "_stats").collect()
+    }
+    assert stats[0] == (2, 1, 1)
+
+    # second invocation: only the NEW archive is ingested (checkpoint
+    # skips a1), and a re-fetch of good1's content dedups away
+    a2 = _warc_record(
+        "good2", _http_html(page(_long_text("beta"))), "http://b.com/2"
+    ) + _warc_record(
+        "refetch1", _http_html(page(_long_text("alpha"))), "http://a.com/1"
+    )
+    (src / "a2.warc.gz").write_bytes(_gz.compress(a2))
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    ids = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert ids == {_crawl_doc_id("good1"), _crawl_doc_id("good2")}
+
+    # no-new-files re-run: a committed checkpoint makes it a no-op
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(corpus_path).select(
+            "doc_id", "ingest_batch"
+        ).collect()
+    )
+    run_streaming_curation(spark, str(src), corpus_path, index_path, **kw)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(corpus_path).select(
+            "doc_id", "ingest_batch"
+        ).collect()
+    )
+    assert after == before
+
+    # right-to-be-forgotten reaches the crawl doc (corpus + index)
+    forget_documents(spark, corpus_path, index_path, [_crawl_doc_id("good1")])
+    ids = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert ids == {_crawl_doc_id("good2")}
+    assert {
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    } == {_crawl_doc_id("good2")}
+
+
+def test_streaming_wet_ingest(spark, tmp_path):
+    """WET extracts stream through the same lifecycle (--format wet):
+    conversion records project onto the documents shape per
+    micro-batch and the curation gates apply unchanged."""
+    import gzip as _gz
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    src = tmp_path / "wet_incoming"
+    src.mkdir()
+    arch = _warc_record(
+        "wet1", _long_text("gamma").encode(), "http://c.org/x",
+        warc_type="conversion",
+    ) + _warc_record(
+        "short1", b"too short", "http://c.org/y", warc_type="conversion"
+    )
+    (src / "w1.warc.gz").write_bytes(_gz.compress(arch))
+    corpus_path = str(tmp_path / "wet_corpus")
+    run_streaming_curation(
+        spark, str(src), corpus_path, str(tmp_path / "wet_index"),
+        source_format="wet",
+    )
+    rows = spark.read.parquet(corpus_path).collect()
+    assert {r.doc_id for r in rows} == {_crawl_doc_id("wet1")}
+    assert rows[0].source == "c.org" and "gamma0" in rows[0].text
