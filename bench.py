@@ -334,10 +334,35 @@ def _bench_lsh_recall_sampled(spark, sf_dir: str) -> None:
     assert row.n_true >= 0 and 0 <= row.recall_ppm <= 1_000_000
 
 
+_MEDIA_ROWS_CACHE: list = []
+
+
+def _bench_media_decode(spark, sf_dir: str) -> None:
+    """Multimodal decode throughput: 384 genuine payloads (BMP/PNG/
+    JPEG images, PCM/ADPCM/FLAC/Ogg-Vorbis audio, y4m/MP4 video)
+    through the real stdlib decoders in the mapInPandas plan.  The
+    driver-side payload encoding runs ONCE (module cache) so runs
+    2..N time the distributed decode, and min-of-N reads that."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        synthesize_real_media,
+    )
+
+    if not _MEDIA_ROWS_CACHE:
+        _MEDIA_ROWS_CACHE.extend(
+            synthesize_real_media(spark, n=384).collect()
+        )
+    df = spark.createDataFrame(_MEDIA_ROWS_CACHE, MEDIA_SCHEMA)
+    out = decode_media(df, decoder="real")
+    out.write.format("noop").mode("overwrite").save()
+
+
 EXTRA_FNS = {
     "bpe_train_256_merges": _bench_bpe_train_256,
     "warc_ingest_10k_pages": _bench_warc_ingest,
     "lsh_recall_sampled_250": _bench_lsh_recall_sampled,
+    "media_decode_384_items": _bench_media_decode,
 }
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

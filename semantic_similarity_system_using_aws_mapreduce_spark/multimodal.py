@@ -3342,13 +3342,18 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
         elif kind == "audio":
             samples = [((j * 37 + i * 101) % 2048) - 1024 for j in range(400)]
             # rotate PCM16, IMA-ADPCM (both labeled "wav"; the decoder
-            # sniffs the fmt tag) and FLAC so one table exercises the
-            # uncompressed, lossy-compressed AND lossless-compressed
-            # audio paths
-            which = (i // 3) % 3
+            # sniffs the fmt tag), FLAC and Ogg Vorbis so one table
+            # exercises the uncompressed, lossy-legacy, lossless AND
+            # perceptual-codec audio paths ("flac" is the Ogg entry
+            # point — the decoder dispatches on the OggS magic)
+            which = (i // 3) % 4
             if which == 2:
                 rows.append(
                     (i, kind, make_flac(samples), "flac", None, None, 50)
+                )
+            elif which == 3:
+                rows.append(
+                    (i, kind, make_ogg_vorbis(samples), "flac", None, None, 50)
                 )
             else:
                 enc = make_wav if which == 0 else make_adpcm_wav
