@@ -90,42 +90,66 @@ def identify_language(
     words is overridden.  Null/unprofiled declarations fall back to
     the pure heuristic; ``lang_score`` is always the CHOSEN language's
     hit ratio."""
-    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    # Projection discipline (the warc.py decode-split pattern): the
+    # per-language hit counts are interpreted higher-order-function
+    # filters (CodegenFallback), and the prediction logic below
+    # references each count many times — inlined, the optimized plan
+    # evaluated every profile filter ~17x per row and the whole
+    # projection fell out of codegen.  Materializing the counts (and
+    # the argmax struct) as their own multi-use non-cheap aliases
+    # keeps each filter evaluated ONCE per row: CollapseProject does
+    # not inline a non-cheap alias with multiple consumers.
+    base = df.withColumn("__toks", tokens(F.col(text_col)))
     hitsd = lang_hits(F.col("__toks"))
     langs = sorted(hitsd)
-    denom = F.greatest(F.size("__toks"), F.lit(1))
-    pairs = F.array(
-        *[
-            F.struct(hitsd[lang].alias("h"), F.lit(lang).alias("lang"))
-            for lang in langs
-        ]
+    staged = base.select(
+        "*",
+        *[hitsd[lang].alias(f"__h_{lang}") for lang in langs],
+        F.greatest(F.size("__toks"), F.lit(1)).alias("__n"),
+    ).withColumn(
+        "__best",  # struct compare: hits first, then lang (tie-break)
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"__h_{lang}").alias("h"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for lang in langs
+                ]
+            )
+        ),
     )
-    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    helper = ["__toks", "__n", "__best"] + [f"__h_{lang}" for lang in langs]
+    best = F.col("__best")
+    denom = F.col("__n")
     heur_pred = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
     if prior_col is None:
         return (
-            df.withColumn("lang_pred", heur_pred)
+            staged.withColumn("lang_pred", heur_pred)
             .withColumn("lang_score", F.round(best["h"] / denom, 6))
-            .drop("__toks")
+            .drop(*helper)
         )
     prior = F.lower(F.substring(F.col(prior_col), 1, 2))
-    prior_known = prior.isin(langs)
     prior_h: Column = F.lit(0)
     for lang in langs:
-        prior_h = F.when(prior == lang, hitsd[lang]).otherwise(prior_h)
-    override = (best["lang"] != prior) & (
-        best["h"] >= prior_h * PRIOR_MARGIN_MULT + PRIOR_MARGIN_ADD
+        prior_h = F.when(prior == lang, F.col(f"__h_{lang}")).otherwise(prior_h)
+    staged = staged.withColumn("__prior", prior).withColumn("__ph", prior_h)
+    helper += ["__prior", "__ph"]
+    prior_known = F.col("__prior").isin(langs)
+    override = (best["lang"] != F.col("__prior")) & (
+        best["h"] >= F.col("__ph") * PRIOR_MARGIN_MULT + PRIOR_MARGIN_ADD
     )
     pred = F.when(
-        prior_known, F.when(override, best["lang"]).otherwise(prior)
+        prior_known, F.when(override, best["lang"]).otherwise(F.col("__prior"))
     ).otherwise(heur_pred)
     chosen_h = F.when(
-        prior_known & ~override, prior_h
+        prior_known & ~override, F.col("__ph")
     ).otherwise(F.when(pred == F.lit("und"), F.lit(0)).otherwise(best["h"]))
     return (
-        df.withColumn("lang_pred", pred)
+        staged.withColumn("lang_pred", pred)
         .withColumn("lang_score", F.round(chosen_h / denom, 6))
-        .drop("__toks")
+        .drop(*helper)
     )
 
 
