@@ -996,3 +996,26 @@ def test_ogg_vorbis_cross_page_and_property():
         assert abs(cs - want) <= 8 * len(sig) + 64
 
     check()
+
+
+@pytest.mark.skipif(
+    not SUPPORT.get("audio"), reason="soundfile not importable in this environment"
+)
+def test_ogg_vorbis_conformance_against_soundfile():
+    """Lights up the moment soundfile/libvorbis appears: the fixture
+    encoder's streams must decode in the REFERENCE Vorbis
+    implementation to the same samples (within the grid quantization
+    bound) — the external conformance proof that make_ogg_vorbis emits
+    spec-valid streams, not merely streams our own decoder accepts."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_ogg_vorbis
+
+    sig = [int(6000 * np.sin(i / 7)) + (i % 13) * 50 for i in range(1700)]
+    samples, rate = sf.read(io.BytesIO(make_ogg_vorbis(sig)))
+    assert rate == 8000 and len(samples) == len(sig)
+    err = np.abs(np.rint(np.asarray(samples) * 32768.0) - np.asarray(sig))
+    assert err.max() <= 8
