@@ -2957,34 +2957,57 @@ _VORBIS_FIX_DELTA = 2.0**-13
 _VORBIS_FIX_MIN = -(_VORBIS_FIX_ENTRIES // 2) * _VORBIS_FIX_DELTA
 
 
+def _vorbis_couple_forward(x: "np.ndarray", y: "np.ndarray"):
+    """Forward square-polar coupling — the exact inverse of the
+    decoder's §4.3.5 case table, with the LARGER-magnitude value in
+    the magnitude channel so a quantization sign-flip of a near-zero
+    M can only happen when both values are near zero (where every
+    branch is continuous)."""
+    x_wins = np.abs(x) >= np.abs(y)
+    m = np.where(x_wins, x, y)
+    a = np.where(m > 0, x - y, y - x)
+    return m, a
+
+
 def make_ogg_vorbis(
-    samples, rate: int = 8000, max_segs_per_page: int = 255
+    samples, rate: int = 8000, channels: int = 1, max_segs_per_page: int = 255
 ) -> bytes:
-    """A GENUINE mono Ogg Vorbis stream of the int16 ``samples``: real
-    identification/comment/setup headers, a 1-entry classbook and a
-    16384-entry scalar-grid VQ codebook, a flat floor1 at each frame's
-    peak amplitude (the codec's real floor/residue division of labor;
-    silent frames exercise the floor-unused path), residue type 1
-    carrying the (4/n)-scaled windowed-MDCT coefficients normalized by
-    the floor and quantized to the grid — decoded by ANY conformant
-    Vorbis decoder to the input within the grid's quantization bound
-    (the codec is lossy; tests use the JPEG tolerance convention
-    against the WAV twin)."""
+    """A GENUINE Ogg Vorbis stream of the int16 ``samples``
+    (channel-interleaved when ``channels=2`` — the make_wav/make_flac
+    convention): real identification/comment/setup headers, a 1-entry
+    classbook and a 16384-entry scalar-grid VQ codebook, a flat floor1
+    at each frame's peak amplitude (the codec's real floor/residue
+    division of labor; silent frames exercise the floor-unused path),
+    residue type 1 carrying the (4/n)-scaled windowed-MDCT
+    coefficients normalized by the floor and quantized to the grid —
+    decoded by ANY conformant Vorbis decoder to the input within the
+    grid's quantization bound (the codec is lossy; tests use the JPEG
+    tolerance convention against the WAV twin).  Stereo streams use
+    REAL square-polar channel coupling (one magnitude/angle step, the
+    floor amplitude sized so the angle values stay on the grid), so
+    the decoder's inverse-coupling path is honestly exercised."""
     import struct
 
+    if channels not in (1, 2):
+        raise ValueError("make_ogg_vorbis supports 1 or 2 channels")
     n = _VORBIS_FIX_N
     n2 = n // 2
-    pcm = np.asarray(list(samples), dtype=np.float64) / 32768.0
-    L = len(pcm)
-    if L % n2:
-        pcm = np.concatenate([pcm, np.zeros(n2 - L % n2)])
-    padded = np.concatenate([np.zeros(n2), pcm, np.zeros(n2)])
-    n_frames = len(pcm) // n2 + 1
+    flat = np.asarray(list(samples), dtype=np.float64) / 32768.0
+    if len(flat) % channels:
+        raise ValueError("interleaved sample count not divisible by channels")
+    chans = [flat[c::channels] for c in range(channels)]
+    L = len(chans[0])
+    pad_to = (-L) % n2
+    chans = [np.concatenate([c, np.zeros(pad_to)]) for c in chans]
+    padded = [
+        np.concatenate([np.zeros(n2), c, np.zeros(n2)]) for c in chans
+    ]
+    n_frames = len(chans[0]) // n2 + 1
 
     # --- headers ---
     ident = _VorbisBitsW()
     ident.bits(0, 32)  # version
-    ident.bits(1, 8)  # channels
+    ident.bits(channels, 8)
     ident.bits(rate, 32)
     ident.bits(0, 32), ident.bits(0, 32), ident.bits(0, 32)
     ident.bits(8, 4), ident.bits(8, 4)  # blocksizes 256/256
@@ -3030,7 +3053,13 @@ def make_ogg_vorbis(
     w.bits(1, 8)  # class 0 / pass 0 -> book 1
     w.bits(0, 6), w.bits(0, 16)  # 1 mapping, type 0
     w.bits(0, 1)  # 1 submap
-    w.bits(0, 1)  # no coupling
+    if channels == 2:
+        w.bits(1, 1)  # coupling present
+        w.bits(0, 8)  # 1 coupling step
+        w.bits(0, 1)  # magnitude channel 0 (ilog(1) = 1 bit)
+        w.bits(1, 1)  # angle channel 1
+    else:
+        w.bits(0, 1)  # no coupling
     w.bits(0, 2)  # reserved
     w.bits(0, 8)  # submap time cfg (unused)
     w.bits(0, 8), w.bits(0, 8)  # floor 0, residue 0
@@ -3045,38 +3074,57 @@ def make_ogg_vorbis(
     table = _vorbis_db_table()
     packets = []
     ybits = _vilog(_FLOOR1_RANGES[0] - 1)
+    psize = 32
+    n_parts = n2 // psize
     for f in range(n_frames):
-        x = padded[f * n2 : f * n2 + n] * win
-        coeffs = (4.0 / n) * (fwd @ x)
-        peak = float(np.abs(coeffs).max())
+        coeffs = [
+            (4.0 / n) * (fwd @ (p[f * n2 : f * n2 + n] * win))
+            for p in padded
+        ]
+        # flat floor at the smallest dB-table amplitude >= the frame's
+        # peak (over all channels AND the coupled angle |x - y|, so
+        # every residue value lands on the [-1, 1) grid): the grid
+        # then keeps full resolution however quiet the frame (the
+        # codec's real floor/residue division of labor)
+        peak = max(float(np.abs(c).max()) for c in coeffs)
+        if channels == 2:
+            peak = max(peak, float(np.abs(coeffs[0] - coeffs[1]).max()))
         pw = _VorbisBitsW()
         pw.bits(0, 1)  # audio packet
         # mode number: ilog(0) = 0 bits; blockflag 0 -> no window flags
         if peak == 0.0:
             # an all-zero frame IS the floor-unused case — exercise it
-            pw.bits(0, 1)
+            for _ in range(channels):
+                pw.bits(0, 1)
             packets.append(pw.data())
             continue
-        # flat floor at the smallest dB-table amplitude >= the frame's
-        # peak: the residue grid over [-1, 1) then keeps full
-        # resolution however quiet the frame (the codec's real
-        # floor/residue division of labor)
         y = 0
         while y < 255 and table[y] < peak:
             y += 1
         amp = table[y]
-        pw.bits(1, 1)  # floor nonzero
-        pw.bits(y, ybits), pw.bits(y, ybits)
-        idx = np.clip(
-            np.rint((coeffs / amp - _VORBIS_FIX_MIN) / _VORBIS_FIX_DELTA),
-            0,
-            _VORBIS_FIX_ENTRIES - 1,
-        ).astype(np.int64)
-        # residue pass 0: one classword (book 0, codeword '0'), then
-        # 4 partitions x 32 values through book 1 (codeword == entry)
-        pw.code(0, 1)
-        for v in idx:
-            pw.code(int(v), _VORBIS_FIX_BITS)
+        for _ in range(channels):
+            pw.bits(1, 1)  # floor nonzero
+            pw.bits(y, ybits), pw.bits(y, ybits)
+        res = [c / amp for c in coeffs]
+        if channels == 2:
+            res = list(_vorbis_couple_forward(res[0], res[1]))
+        idx = [
+            np.clip(
+                np.rint((r - _VORBIS_FIX_MIN) / _VORBIS_FIX_DELTA),
+                0,
+                _VORBIS_FIX_ENTRIES - 1,
+            ).astype(np.int64)
+            for r in res
+        ]
+        # residue pass 0: one classword per channel (book 0, codeword
+        # '0'), then per partition each channel's values through book
+        # 1 (codeword == entry) — the decoder's interleave order
+        for _ in range(channels):
+            pw.code(0, 1)
+        for part in range(n_parts):
+            for ch in range(channels):
+                for v in idx[ch][part * psize : (part + 1) * psize]:
+                    pw.code(int(v), _VORBIS_FIX_BITS)
         packets.append(pw.data())
 
     # --- paginate ---

@@ -1019,3 +1019,57 @@ def test_ogg_vorbis_conformance_against_soundfile():
     assert rate == 8000 and len(samples) == len(sig)
     err = np.abs(np.rint(np.asarray(samples) * 32768.0) - np.asarray(sig))
     assert err.max() <= 8
+
+
+def test_ogg_vorbis_stereo_coupling():
+    """Stereo streams use REAL square-polar channel coupling (one
+    magnitude/angle step), so the decoder's §4.3.5 inverse-coupling
+    path is honestly exercised — correlated channels (the case
+    coupling exists for), uncorrelated channels (stressing the
+    angle-range guard in the floor sizing), and a silent channel,
+    each within the quantization bound of the WAV twin; per-channel
+    sample counting matches the FLAC stereo convention."""
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_flac,
+        _decode_wav,
+        _vorbis_couple_forward,
+        make_ogg_vorbis,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    correlated = []
+    for i in range(1100):
+        left = int(6000 * np.sin(i / 8)) + (i % 11) * 30
+        correlated += [left, left + ((i * 7) % 101) - 50]
+    uncorrelated = [int(v) for v in rng.integers(-9000, 9000, 1600)]
+    half_silent = []
+    for i in range(800):
+        half_silent += [int(4000 * np.sin(i / 5)), 0]
+    for name, st in (
+        ("correlated", correlated),
+        ("uncorrelated", uncorrelated),
+        ("half_silent", half_silent),
+    ):
+        cs, n = _decode_flac(make_ogg_vorbis(st, channels=2))
+        want, _ = _decode_wav(make_wav(st, channels=2))
+        assert n == len(st) // 2, name  # per-channel count
+        assert abs(cs - want) <= 8 * len(st) + 64, (name, cs, want)
+    # the forward coupling is the exact inverse of the decode table
+    x = rng.uniform(-1, 1, 4096)
+    y = rng.uniform(-1, 1, 4096)
+    m, a = _vorbis_couple_forward(x, y)
+    # decode-side case table, scalarized
+    xs, ys = [], []
+    for mi, ai in zip(m, a):
+        if mi > 0:
+            xi, yi = (mi, mi - ai) if ai > 0 else (mi + ai, mi)
+        else:
+            xi, yi = (mi, mi + ai) if ai > 0 else (mi - ai, mi)
+        xs.append(xi), ys.append(yi)
+    assert np.allclose(xs, x) and np.allclose(ys, y)
+    # magnitude channel always carries the larger-|.| value, so a
+    # near-zero quantization sign flip cannot pick a wrong branch
+    assert np.all(np.abs(m) >= np.abs(np.minimum(np.abs(x), np.abs(y))) - 1e-12)
