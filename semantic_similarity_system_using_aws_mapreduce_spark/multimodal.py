@@ -2869,7 +2869,9 @@ def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int
         posts: list[list[int] | None] = [None] * channels
         no_residue = [True] * channels
         try:
-            if long_block and bs0 != bs1:
+            # spec §4.3.2: the window flags are read for EVERY long
+            # block (not only when the two blocksizes differ)
+            if long_block:
                 prev_flag = r.bit()
                 next_flag = r.bit()
             for ch in range(channels):
@@ -2926,8 +2928,16 @@ def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int
             for ch in range(channels):
                 seg = np.zeros(max(region, prev_n // 2))
                 seg[: prev_n // 2] += prev_tail[ch]
+                # align the current frame to the region: its start sits
+                # lo samples after the previous center (negative when
+                # the current frame begins INSIDE the region — the
+                # long->short transition; the window is zero outside
+                # the slopes either way, so plain adds are exact)
                 lo = n // 4 - prev_n // 4
-                seg[:region] += frames[ch][max(lo, 0) : lo + region]
+                if lo >= 0:
+                    seg[:region] += frames[ch][lo : lo + region]
+                else:
+                    seg[-lo : region] += frames[ch][: region + lo]
                 seg = seg[:region]
                 if remaining is not None:
                     seg = seg[: max(remaining, 0)]
@@ -2970,7 +2980,11 @@ def _vorbis_couple_forward(x: "np.ndarray", y: "np.ndarray"):
 
 
 def make_ogg_vorbis(
-    samples, rate: int = 8000, channels: int = 1, max_segs_per_page: int = 255
+    samples,
+    rate: int = 8000,
+    channels: int = 1,
+    max_segs_per_page: int = 255,
+    mixed_blocks: bool = False,
 ) -> bytes:
     """A GENUINE Ogg Vorbis stream of the int16 ``samples``
     (channel-interleaved when ``channels=2`` — the make_wav/make_flac
@@ -2985,24 +2999,50 @@ def make_ogg_vorbis(
     tolerance convention against the WAV twin).  Stereo streams use
     REAL square-polar channel coupling (one magnitude/angle step, the
     floor amplitude sized so the angle values stay on the grid), so
-    the decoder's inverse-coupling path is honestly exercised."""
+    the decoder's inverse-coupling path is honestly exercised.
+
+    ``mixed_blocks=True`` emits a genuine TWO-BLOCKSIZE stream
+    (256/512, two modes, per-packet mode selection, the long blocks'
+    previous/next window flags) whose frame pattern contains every
+    transition type — the block-switching geometry every real Vorbis
+    stream uses, exercising the decoder's hybrid window slopes and
+    unequal-lap overlap-add."""
     import struct
 
     if channels not in (1, 2):
         raise ValueError("make_ogg_vorbis supports 1 or 2 channels")
     n = _VORBIS_FIX_N
     n2 = n // 2
+    bs1 = 2 * n if mixed_blocks else n
     flat = np.asarray(list(samples), dtype=np.float64) / 32768.0
     if len(flat) % channels:
         raise ValueError("interleaved sample count not divisible by channels")
     chans = [flat[c::channels] for c in range(channels)]
     L = len(chans[0])
-    pad_to = (-L) % n2
-    chans = [np.concatenate([c, np.zeros(pad_to)]) for c in chans]
+    # frame-size schedule: first frame short, so the decode origin is
+    # the fixed n/2 front pad; the mixed cycle contains every
+    # transition (S->S, S->L, L->L, L->S)
+    if mixed_blocks:
+        cycle = [n, bs1, bs1, n, n, bs1]
+        sizes = [n]
+        cov, i = 0, 0
+        while cov < L:
+            nxt = cycle[i % len(cycle)]
+            i += 1
+            cov += sizes[-1] // 4 + nxt // 4
+            sizes.append(nxt)
+    else:
+        sizes = [n] * (-(-L // n2) + 1)
+    centers = [sizes[0] // 2]
+    for k in range(1, len(sizes)):
+        centers.append(centers[-1] + sizes[k - 1] // 4 + sizes[k] // 4)
+    pad_len = max(c + s // 2 for c, s in zip(centers, sizes))
+    front = sizes[0] // 2
     padded = [
-        np.concatenate([np.zeros(n2), c, np.zeros(n2)]) for c in chans
+        np.concatenate([np.zeros(front), c, np.zeros(pad_len - front - L)])
+        for c in chans
     ]
-    n_frames = len(chans[0]) // n2 + 1
+    n_frames = len(sizes)
 
     # --- headers ---
     ident = _VorbisBitsW()
@@ -3010,7 +3050,8 @@ def make_ogg_vorbis(
     ident.bits(channels, 8)
     ident.bits(rate, 32)
     ident.bits(0, 32), ident.bits(0, 32), ident.bits(0, 32)
-    ident.bits(8, 4), ident.bits(8, 4)  # blocksizes 256/256
+    ident.bits(8, 4)  # blocksize_0 = 256
+    ident.bits(9 if mixed_blocks else 8, 4)  # blocksize_1
     ident.bits(1, 1)  # framing
     id_pkt = b"\x01vorbis" + ident.data()
 
@@ -3045,7 +3086,10 @@ def make_ogg_vorbis(
     w.bits(0, 2)  # multiplier 1
     w.bits(7, 4)  # rangebits: X = [0, 128] covers n/2
     w.bits(0, 6), w.bits(1, 16)  # 1 residue, type 1
-    w.bits(0, 24), w.bits(n2, 24)  # begin 0, end 128
+    # end = the LONG blocksize's spectrum length: the decoder clamps
+    # to each frame's actual vector size (spec §8.6.2), so short
+    # frames decode 4 partitions and long frames 8
+    w.bits(0, 24), w.bits(bs1 // 2, 24)
     w.bits(31, 24)  # partition size 32
     w.bits(0, 6)  # 1 classification
     w.bits(0, 8)  # classbook = book 0
@@ -3063,22 +3107,32 @@ def make_ogg_vorbis(
     w.bits(0, 2)  # reserved
     w.bits(0, 8)  # submap time cfg (unused)
     w.bits(0, 8), w.bits(0, 8)  # floor 0, residue 0
-    w.bits(0, 6)  # 1 mode
-    w.bits(0, 1), w.bits(0, 16), w.bits(0, 16), w.bits(0, 8)
+    if mixed_blocks:
+        w.bits(1, 6)  # 2 modes: short (0) and long (1)
+        w.bits(0, 1), w.bits(0, 16), w.bits(0, 16), w.bits(0, 8)
+        w.bits(1, 1), w.bits(0, 16), w.bits(0, 16), w.bits(0, 8)
+    else:
+        w.bits(0, 6)  # 1 mode
+        w.bits(0, 1), w.bits(0, 16), w.bits(0, 16), w.bits(0, 8)
     w.bits(1, 1)  # framing
     setup_pkt = b"\x05vorbis" + w.data()
 
     # --- audio packets ---
-    win = _vorbis_window_shape(n, n2, n2)
-    fwd = _imdct_matrix(n)
+    fwd = {s: _imdct_matrix(s) for s in set(sizes)}
     table = _vorbis_db_table()
     packets = []
     ybits = _vilog(_FLOOR1_RANGES[0] - 1)
     psize = 32
-    n_parts = n2 // psize
     for f in range(n_frames):
+        nf = sizes[f]
+        prev_n = sizes[f - 1] if f else nf
+        next_n = sizes[f + 1] if f + 1 < n_frames else nf
+        # slope widths match the neighbors' (the decode side derives
+        # the same widths from the long blocks' window flags)
+        win = _vorbis_window_shape(nf, min(nf, prev_n) // 2, min(nf, next_n) // 2)
+        start = centers[f] - nf // 2
         coeffs = [
-            (4.0 / n) * (fwd @ (p[f * n2 : f * n2 + n] * win))
+            (4.0 / nf) * (fwd[nf] @ (p[start : start + nf] * win))
             for p in padded
         ]
         # flat floor at the smallest dB-table amplitude >= the frame's
@@ -3091,7 +3145,13 @@ def make_ogg_vorbis(
             peak = max(peak, float(np.abs(coeffs[0] - coeffs[1]).max()))
         pw = _VorbisBitsW()
         pw.bits(0, 1)  # audio packet
-        # mode number: ilog(0) = 0 bits; blockflag 0 -> no window flags
+        if mixed_blocks:
+            long_f = nf != n
+            pw.bits(1 if long_f else 0, 1)  # mode number (ilog(1)=1)
+            if long_f:
+                pw.bits(1 if prev_n != n else 0, 1)  # prev window flag
+                pw.bits(1 if next_n != n else 0, 1)  # next window flag
+        # else: 1 mode -> ilog(0) = 0 bits, blockflag 0 -> no flags
         if peak == 0.0:
             # an all-zero frame IS the floor-unused case — exercise it
             for _ in range(channels):
@@ -3116,15 +3176,20 @@ def make_ogg_vorbis(
             ).astype(np.int64)
             for r in res
         ]
-        # residue pass 0: one classword per channel (book 0, codeword
-        # '0'), then per partition each channel's values through book
-        # 1 (codeword == entry) — the decoder's interleave order
-        for _ in range(channels):
-            pw.code(0, 1)
-        for part in range(n_parts):
-            for ch in range(channels):
-                for v in idx[ch][part * psize : (part + 1) * psize]:
-                    pw.code(int(v), _VORBIS_FIX_BITS)
+        # residue pass 0 in the decoder's exact interleave: one
+        # classword per channel per 4-partition GROUP (book 0,
+        # codeword '0'; the classbook's dims), then within the group
+        # each partition's values per channel through book 1
+        # (codeword == entry); short frames carry 4 partitions, long
+        # frames 8 (the header end clamps per frame)
+        n_parts = (nf // 2) // psize
+        for g0 in range(0, n_parts, 4):
+            for _ in range(channels):
+                pw.code(0, 1)
+            for part in range(g0, min(g0 + 4, n_parts)):
+                for ch in range(channels):
+                    for v in idx[ch][part * psize : (part + 1) * psize]:
+                        pw.code(int(v), _VORBIS_FIX_BITS)
         packets.append(pw.data())
 
     # --- paginate ---
@@ -3162,10 +3227,10 @@ def make_ogg_vorbis(
     _emit(id_pkt, 0x02, 0)
     _emit(cmt, 0x00, 0)
     _emit(setup_pkt, 0x00, 0)
-    done = 0
     for i, pkt in enumerate(packets):
-        if i:
-            done += n2
+        # Vorbis-Ogg granule = per-channel samples decodable through
+        # this packet: the lap region sums, i.e. the center distance
+        done = centers[i] - centers[0] if i else 0
         _emit(pkt, 0x04 if i == n_frames - 1 else 0x00, min(done, L))
     return bytes(out)
 

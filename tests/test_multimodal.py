@@ -1073,3 +1073,46 @@ def test_ogg_vorbis_stereo_coupling():
     # magnitude channel always carries the larger-|.| value, so a
     # near-zero quantization sign flip cannot pick a wrong branch
     assert np.all(np.abs(m) >= np.abs(np.minimum(np.abs(x), np.abs(y))) - 1e-12)
+
+
+def test_ogg_vorbis_mixed_blocksizes():
+    """Two-blocksize streams (256/512 — what every real Vorbis stream
+    uses): per-packet mode selection, the long blocks' previous/next
+    window flags, hybrid window slopes, and the unequal-lap
+    overlap-add (including the long->short transition where the
+    current frame starts inside the output region) all decode within
+    the quantization bound of the WAV twin — mono, stereo-coupled,
+    and across odd lengths."""
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_flac,
+        _decode_wav,
+        make_ogg_vorbis,
+        make_wav,
+    )
+
+    sig = [int(7000 * np.sin(i / 9)) + (i % 17) * 20 for i in range(1300)]
+    data = make_ogg_vorbis(sig, mixed_blocks=True)
+    eq = make_ogg_vorbis(sig)
+    assert data != eq and len(data) > len(eq) // 2  # genuinely different stream
+    want, _ = _decode_wav(make_wav(sig))
+    cs, n = _decode_flac(data)
+    assert n == len(sig)
+    assert abs(cs - want) <= 8 * len(sig) + 64
+    # stereo coupling composes with block switching
+    st = []
+    for i in range(1000):
+        left = int(5000 * np.sin(i / 6))
+        st += [left, left + (i % 23) * 40 - 400]
+    cs2, n2 = _decode_flac(make_ogg_vorbis(st, channels=2, mixed_blocks=True))
+    want2, _ = _decode_wav(make_wav(st, channels=2))
+    assert n2 == 1000 and abs(cs2 - want2) <= 8 * len(st) + 64
+    # odd lengths exercise every point of the frame-size schedule
+    rng = np.random.default_rng(9)
+    for length in (1, 97, 511, 777):
+        s = [int(v) for v in rng.integers(-3000, 3000, length)]
+        cs3, n3 = _decode_flac(make_ogg_vorbis(s, mixed_blocks=True))
+        want3, _ = _decode_wav(make_wav(s))
+        assert n3 == length
+        assert abs(cs3 - want3) <= 8 * length + 64, length
