@@ -2985,6 +2985,7 @@ def make_ogg_vorbis(
     channels: int = 1,
     max_segs_per_page: int = 255,
     mixed_blocks: bool = False,
+    residue_type: int = 1,
 ) -> bytes:
     """A GENUINE Ogg Vorbis stream of the int16 ``samples``
     (channel-interleaved when ``channels=2`` — the make_wav/make_flac
@@ -3011,6 +3012,8 @@ def make_ogg_vorbis(
 
     if channels not in (1, 2):
         raise ValueError("make_ogg_vorbis supports 1 or 2 channels")
+    if residue_type not in (1, 2):
+        raise ValueError("make_ogg_vorbis emits residue type 1 or 2")
     n = _VORBIS_FIX_N
     n2 = n // 2
     bs1 = 2 * n if mixed_blocks else n
@@ -3085,11 +3088,13 @@ def make_ogg_vorbis(
     w.bits(0, 5)  # 0 partitions
     w.bits(0, 2)  # multiplier 1
     w.bits(7, 4)  # rangebits: X = [0, 128] covers n/2
-    w.bits(0, 6), w.bits(1, 16)  # 1 residue, type 1
-    # end = the LONG blocksize's spectrum length: the decoder clamps
-    # to each frame's actual vector size (spec §8.6.2), so short
-    # frames decode 4 partitions and long frames 8
-    w.bits(0, 24), w.bits(bs1 // 2, 24)
+    w.bits(0, 6), w.bits(residue_type, 16)  # 1 residue
+    # end = the LONG blocksize's spectrum length (x channel count for
+    # the type-2 interleaved vector): the decoder clamps to each
+    # frame's actual vector size (spec §8.6.2), so short frames decode
+    # 4 partitions and long frames 8 (doubled per channel for type 2)
+    res_end = bs1 // 2 * (channels if residue_type == 2 else 1)
+    w.bits(0, 24), w.bits(res_end, 24)
     w.bits(31, 24)  # partition size 32
     w.bits(0, 6)  # 1 classification
     w.bits(0, 8)  # classbook = book 0
@@ -3177,18 +3182,28 @@ def make_ogg_vorbis(
             for r in res
         ]
         # residue pass 0 in the decoder's exact interleave: one
-        # classword per channel per 4-partition GROUP (book 0,
-        # codeword '0'; the classbook's dims), then within the group
-        # each partition's values per channel through book 1
-        # (codeword == entry); short frames carry 4 partitions, long
-        # frames 8 (the header end clamps per frame)
-        n_parts = (nf // 2) // psize
+        # classword per (decode-)channel per 4-partition GROUP (book
+        # 0, codeword '0'; the classbook's dims), then within the
+        # group each partition's values through book 1 (codeword ==
+        # entry); short frames carry 4 partitions, long frames 8 (the
+        # header end clamps per frame).  Residue type 2 — what real
+        # stereo encoders emit — codes ONE sample-major interleaved
+        # vector, so its partition walk is single-channel over
+        # channels * n/2 values.
+        if residue_type == 2:
+            inter = np.empty(channels * (nf // 2), dtype=np.int64)
+            for c in range(channels):
+                inter[c::channels] = idx[c]
+            streams = [inter]
+        else:
+            streams = idx
+        n_parts = len(streams[0]) // psize
         for g0 in range(0, n_parts, 4):
-            for _ in range(channels):
+            for _ in streams:
                 pw.code(0, 1)
             for part in range(g0, min(g0 + 4, n_parts)):
-                for ch in range(channels):
-                    for v in idx[ch][part * psize : (part + 1) * psize]:
+                for s in streams:
+                    for v in s[part * psize : (part + 1) * psize]:
                         pw.code(int(v), _VORBIS_FIX_BITS)
         packets.append(pw.data())
 

@@ -1116,3 +1116,36 @@ def test_ogg_vorbis_mixed_blocksizes():
         want3, _ = _decode_wav(make_wav(s))
         assert n3 == length
         assert abs(cs3 - want3) <= 8 * length + 64, length
+
+
+def test_ogg_vorbis_residue_type2():
+    """Residue type 2 — the sample-major interleaved format real
+    stereo encoders emit — decodes through its own partition walk and
+    deinterleave, composing with channel coupling and block switching;
+    results match the type-1 stream's within the shared quantization
+    bound."""
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_flac,
+        _decode_wav,
+        make_ogg_vorbis,
+        make_wav,
+    )
+
+    st = []
+    for i in range(1000):
+        left = int(5000 * np.sin(i / 6))
+        st += [left, left + (i % 23) * 40 - 400]
+    want, _ = _decode_wav(make_wav(st, channels=2))
+    for mixed in (False, True):
+        t2 = make_ogg_vorbis(st, channels=2, mixed_blocks=mixed, residue_type=2)
+        t1 = make_ogg_vorbis(st, channels=2, mixed_blocks=mixed, residue_type=1)
+        assert t2 != t1  # genuinely different residue layout
+        cs, n = _decode_flac(t2)
+        assert n == 1000 and abs(cs - want) <= 8 * len(st) + 64, mixed
+    # mono type 2 degenerates to the single-vector walk
+    sig = [int(v) for v in np.arange(600) % 401 - 200]
+    cs, n = _decode_flac(make_ogg_vorbis(sig, residue_type=2))
+    wm, _ = _decode_wav(make_wav(sig))
+    assert n == 600 and abs(cs - wm) <= 8 * 600 + 64
