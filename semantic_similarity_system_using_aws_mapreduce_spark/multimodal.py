@@ -2953,6 +2953,11 @@ def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int
     return int(total_abs), int(n_out)
 
 
+#: two-pass coarse book: 64 multiplicands per dimension at an exactly
+#: packable power-of-two step over [-1, 1); dims-2 lookup type 1
+_VORBIS_COARSE_LV = 64
+_VORBIS_COARSE_DELTA = 2.0**-5
+
 #: fixture-encoder constants: one short blocksize, a scalar VQ grid
 #: over [-1, 1) — the FLOOR carries each frame's amplitude (the real
 #: codec's division of labor), so quiet frames keep full grid
@@ -2986,6 +2991,7 @@ def make_ogg_vorbis(
     max_segs_per_page: int = 255,
     mixed_blocks: bool = False,
     residue_type: int = 1,
+    two_pass: bool = False,
 ) -> bytes:
     """A GENUINE Ogg Vorbis stream of the int16 ``samples``
     (channel-interleaved when ``channels=2`` — the make_wav/make_flac
@@ -3007,7 +3013,14 @@ def make_ogg_vorbis(
     previous/next window flags) whose frame pattern contains every
     transition type — the block-switching geometry every real Vorbis
     stream uses, exercising the decoder's hybrid window slopes and
-    unequal-lap overlap-add."""
+    unequal-lap overlap-add.
+
+    ``two_pass=True`` encodes each residue through a real TWO-PASS
+    cascade: pass 0 is a COARSE dims-2 lookup-type-1 VQ book (64
+    multiplicands per dimension, exercising the implicit idx_div
+    entry unpacking and multi-element vector placement), pass 1 the
+    fine scalar book correcting the residual — residue values
+    ACCUMULATE across passes exactly as §8.6.2 specifies."""
     import struct
 
     if channels not in (1, 2):
@@ -3062,7 +3075,7 @@ def make_ogg_vorbis(
     cmt = b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0) + b"\x01"
 
     w = _VorbisBitsW()
-    w.bits(1, 8)  # codebook_count - 1 = 1 -> 2 books
+    w.bits(2 if two_pass else 1, 8)  # codebook_count - 1
     # book 0: classbook — dims 4, 1 entry, 1-bit codeword, no lookup
     w.bits(0x564342, 24)
     w.bits(4, 16), w.bits(1, 24)
@@ -3082,6 +3095,21 @@ def make_ogg_vorbis(
     w.bits(0, 1)  # sequence_p
     for i in range(_VORBIS_FIX_ENTRIES):  # multiplicands = identity
         w.bits(i, _VORBIS_FIX_BITS)
+    if two_pass:
+        # book 2: coarse pass-0 book — dims 2, lookup type 1 (64
+        # multiplicands, 4096 implicit entry pairs), 12-bit codes
+        w.bits(0x564342, 24)
+        w.bits(2, 16), w.bits(_VORBIS_COARSE_LV**2, 24)
+        w.bits(1, 1)  # ordered
+        w.bits(11, 5)  # all lengths = 12
+        w.bits(_VORBIS_COARSE_LV**2, _vilog(_VORBIS_COARSE_LV**2))
+        w.bits(1, 4)  # lookup type 1
+        w.bits(_vorbis_float_pack(-1.0), 32)
+        w.bits(_vorbis_float_pack(_VORBIS_COARSE_DELTA), 32)
+        w.bits(5, 4)  # value_bits = 6 (stored -1)
+        w.bits(0, 1)  # sequence_p
+        for i in range(_VORBIS_COARSE_LV):
+            w.bits(i, 6)
     # times / floors / residues / mappings / modes
     w.bits(0, 6), w.bits(0, 16)  # 1 time transform, zero
     w.bits(0, 6), w.bits(1, 16)  # 1 floor, type 1
@@ -3098,8 +3126,13 @@ def make_ogg_vorbis(
     w.bits(31, 24)  # partition size 32
     w.bits(0, 6)  # 1 classification
     w.bits(0, 8)  # classbook = book 0
-    w.bits(1, 3), w.bits(0, 1)  # cascade = pass 0 only
-    w.bits(1, 8)  # class 0 / pass 0 -> book 1
+    if two_pass:
+        w.bits(3, 3), w.bits(0, 1)  # cascade = passes 0 and 1
+        w.bits(2, 8)  # class 0 / pass 0 -> coarse book 2
+        w.bits(1, 8)  # class 0 / pass 1 -> fine book 1
+    else:
+        w.bits(1, 3), w.bits(0, 1)  # cascade = pass 0 only
+        w.bits(1, 8)  # class 0 / pass 0 -> book 1
     w.bits(0, 6), w.bits(0, 16)  # 1 mapping, type 0
     w.bits(0, 1)  # 1 submap
     if channels == 2:
@@ -3173,37 +3206,77 @@ def make_ogg_vorbis(
         res = [c / amp for c in coeffs]
         if channels == 2:
             res = list(_vorbis_couple_forward(res[0], res[1]))
-        idx = [
-            np.clip(
-                np.rint((r - _VORBIS_FIX_MIN) / _VORBIS_FIX_DELTA),
-                0,
-                _VORBIS_FIX_ENTRIES - 1,
-            ).astype(np.int64)
-            for r in res
-        ]
-        # residue pass 0 in the decoder's exact interleave: one
-        # classword per (decode-)channel per 4-partition GROUP (book
-        # 0, codeword '0'; the classbook's dims), then within the
-        # group each partition's values through book 1 (codeword ==
-        # entry); short frames carry 4 partitions, long frames 8 (the
-        # header end clamps per frame).  Residue type 2 — what real
-        # stereo encoders emit — codes ONE sample-major interleaved
-        # vector, so its partition walk is single-channel over
-        # channels * n/2 values.
+        # Residue layout: one float stream per decode-channel —
+        # residue type 2 (what real stereo encoders emit) codes ONE
+        # sample-major interleaved vector, so its partition walk is
+        # single-channel over channels * n/2 values.
         if residue_type == 2:
-            inter = np.empty(channels * (nf // 2), dtype=np.int64)
+            inter = np.empty(channels * (nf // 2))
             for c in range(channels):
-                inter[c::channels] = idx[c]
-            streams = [inter]
+                inter[c::channels] = res[c]
+            fstreams = [inter]
         else:
-            streams = idx
-        n_parts = len(streams[0]) // psize
+            fstreams = res
+        n_parts = len(fstreams[0]) // psize
+        if two_pass:
+            # pass 0: coarse dims-2 VQ; pass 1: fine scalar residual
+            # correction — values ACCUMULATE across passes (§8.6.2)
+            coarse = [
+                np.clip(
+                    np.rint((s + 1.0) / _VORBIS_COARSE_DELTA),
+                    0,
+                    _VORBIS_COARSE_LV - 1,
+                ).astype(np.int64)
+                for s in fstreams
+            ]
+            fine = [
+                np.clip(
+                    np.rint(
+                        (s - (-1.0 + c * _VORBIS_COARSE_DELTA) - _VORBIS_FIX_MIN)
+                        / _VORBIS_FIX_DELTA
+                    ),
+                    0,
+                    _VORBIS_FIX_ENTRIES - 1,
+                ).astype(np.int64)
+                for s, c in zip(fstreams, coarse)
+            ]
+        else:
+            fine = [
+                np.clip(
+                    np.rint((s - _VORBIS_FIX_MIN) / _VORBIS_FIX_DELTA),
+                    0,
+                    _VORBIS_FIX_ENTRIES - 1,
+                ).astype(np.int64)
+                for s in fstreams
+            ]
+        # pass 0 in the decoder's exact interleave: one classword per
+        # (decode-)channel per 4-partition GROUP (book 0, codeword
+        # '0'; the classbook's dims), then within the group each
+        # partition's values per channel — coarse dims-2 entries
+        # (first vector element lands on the even position) when
+        # two-pass, else the fine scalar codes (codeword == entry);
+        # short frames carry 4 partitions, long frames 8 (the header
+        # end clamps per frame)
+        cbits = 2 * _vilog(_VORBIS_COARSE_LV - 1)
         for g0 in range(0, n_parts, 4):
-            for _ in streams:
+            for _ in fstreams:
                 pw.code(0, 1)
             for part in range(g0, min(g0 + 4, n_parts)):
-                for s in streams:
-                    for v in s[part * psize : (part + 1) * psize]:
+                for si in range(len(fstreams)):
+                    if two_pass:
+                        seg = coarse[si][part * psize : (part + 1) * psize]
+                        for k in range(0, psize, 2):
+                            entry = int(seg[k]) + _VORBIS_COARSE_LV * int(seg[k + 1])
+                            pw.code(entry, cbits)
+                    else:
+                        for v in fine[si][part * psize : (part + 1) * psize]:
+                            pw.code(int(v), _VORBIS_FIX_BITS)
+        if two_pass:
+            # pass 1: no classwords are re-read; partitions ascending,
+            # channel-interleaved, through the fine scalar book
+            for part in range(n_parts):
+                for si in range(len(fstreams)):
+                    for v in fine[si][part * psize : (part + 1) * psize]:
                         pw.code(int(v), _VORBIS_FIX_BITS)
         packets.append(pw.data())
 

@@ -1149,3 +1149,43 @@ def test_ogg_vorbis_residue_type2():
     cs, n = _decode_flac(make_ogg_vorbis(sig, residue_type=2))
     wm, _ = _decode_wav(make_wav(sig))
     assert n == 600 and abs(cs - wm) <= 8 * 600 + 64
+
+
+def test_ogg_vorbis_two_pass_cascade():
+    """A real TWO-PASS residue cascade (coarse dims-2 lookup-type-1 VQ
+    + fine scalar correction): exercises the implicit idx_div entry
+    unpacking, multi-element vector placement, and cross-pass value
+    accumulation — alone and composed with stereo coupling, residue
+    type 2, and block switching."""
+    import numpy as np
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_flac,
+        _decode_wav,
+        make_ogg_vorbis,
+        make_wav,
+    )
+
+    sig = [int(7000 * np.sin(i / 9)) + (i % 17) * 20 for i in range(1300)]
+    want, _ = _decode_wav(make_wav(sig))
+    tp = make_ogg_vorbis(sig, two_pass=True)
+    sp = make_ogg_vorbis(sig)
+    assert tp != sp  # a genuinely different codebook/cascade layout
+    cs, n = _decode_flac(tp)
+    assert n == len(sig) and abs(cs - want) <= 8 * len(sig) + 64
+    # everything on at once
+    st = [
+        v
+        for i in range(900)
+        for v in (
+            int(5500 * np.sin(i / 7)),
+            int(5500 * np.sin(i / 7)) + (i % 29) * 25 - 350,
+        )
+    ]
+    w2, _ = _decode_wav(make_wav(st, channels=2))
+    cs2, n2 = _decode_flac(
+        make_ogg_vorbis(
+            st, channels=2, two_pass=True, residue_type=2, mixed_blocks=True
+        )
+    )
+    assert n2 == 900 and abs(cs2 - w2) <= 8 * len(st) + 64
