@@ -1189,3 +1189,63 @@ def test_ogg_vorbis_two_pass_cascade():
         )
     )
     assert n2 == 900 and abs(cs2 - w2) <= 8 * len(st) + 64
+
+
+def test_vorbis_codebook_parse_layouts():
+    """Direct parse-path coverage for the codebook header layouts the
+    fixture encoder doesn't emit: the SPARSE entry layout (per-entry
+    used flags, unused entries get no codeword), the ordered run-length
+    layout, lookup type 1 vs 2 value mapping, and sequence_p
+    accumulation — headers built bit-by-bit with the encoder's own
+    LSB-first writer."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _VorbisBits,
+        _VorbisBitsW,
+        _VorbisCodebook,
+        _vorbis_float_pack,
+    )
+
+    # sparse: 4 entries, entries 1 and 3 used with length 1 (flags
+    # 0,1,0,1), scalar (no lookup)
+    w = _VorbisBitsW()
+    w.bits(0x564342, 24)
+    w.bits(1, 16), w.bits(4, 24)
+    w.bits(0, 1)  # unordered
+    w.bits(1, 1)  # sparse
+    for used, ln in ((0, None), (1, 0), (0, None), (1, 0)):
+        w.bits(used, 1)
+        if used:
+            w.bits(ln, 5)  # length - 1
+    w.bits(0, 4)  # lookup 0
+    book = _VorbisCodebook.parse(_VorbisBits(w.data()))
+    assert book.entries == 4 and book.lookup == 0
+    # used entries 1 and 3 got 1-bit codewords 0 and 1
+    assert book.table == {(1, 0): 1, (1, 1): 3}
+    # decoding walks the stream bit-by-bit
+    r = _VorbisBits(bytes([0b10]))  # LSB-first: bit0=0 -> entry 1, bit1=1 -> entry 3
+    assert book.decode_scalar(r) == 1 and book.decode_scalar(r) == 3
+
+    # ordered run-length layout + lookup 1 with sequence_p: dims 2,
+    # 4 entries (lv = 2 multiplicands), values accumulate within a
+    # vector when sequence_p is set
+    w = _VorbisBitsW()
+    w.bits(0x564342, 24)
+    w.bits(2, 16), w.bits(4, 24)
+    w.bits(1, 1)  # ordered
+    w.bits(1, 5)  # first length = 2
+    # ilog(4)=3 bits: all 4 entries at length 2
+    w.bits(4, 3)
+    w.bits(1, 4)  # lookup type 1
+    w.bits(_vorbis_float_pack(1.0), 32)  # minimum
+    w.bits(_vorbis_float_pack(0.5), 32)  # delta
+    w.bits(0, 4)  # value_bits = 1
+    w.bits(1, 1)  # sequence_p
+    w.bits(0, 1), w.bits(1, 1)  # multiplicands [0, 1]
+    book = _VorbisCodebook.parse(_VorbisBits(w.data()))
+    assert book.dims == 2 and sorted(book.table) == [(2, 0), (2, 1), (2, 2), (2, 3)]
+    # entry e decomposes (e % 2, e // 2); with sequence_p the second
+    # component adds onto the first: entry 3 -> mults (1,1) ->
+    # values (1.5, 1.5+1.5)
+    assert book.vector(3) == [1.5, 3.0]
+    assert book.vector(0) == [1.0, 2.0]
+    assert book.vector(2) == [1.0, 2.5]
