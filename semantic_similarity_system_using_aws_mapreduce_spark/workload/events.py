@@ -294,12 +294,19 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, so at 100 TB the chain is co-partitioned after the first
     exchange (AQE reuses it) and nothing is ever ordered globally —
     the window-sort formulation would sort every user's full history
-    instead of folding it to one timestamp per step."""
+    instead of folding it to one timestamp per step.
+
+    The v and c frontiers are persisted: each is consumed twice (the
+    next step's join AND its own count), and without the persists the
+    earlier steps' scans and aggregations recompute whole per arm."""
+    from pyspark import StorageLevel
+
     ev = _events(spark, sf_dir)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -307,6 +314,7 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
