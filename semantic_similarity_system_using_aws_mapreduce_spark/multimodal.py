@@ -2419,6 +2419,11 @@ class _VorbisCodebook:
             raise ValueError("bad Vorbis codebook sync")
         dims = r.bits(16)
         entries = r.bits(24)
+        if dims < 1 or entries < 1:
+            # a dims-0 book would also spin the lookup-values search
+            # and the residue classword walk forever — reject corrupt
+            # geometry up front (never-hang contract)
+            raise ValueError("invalid Vorbis codebook geometry")
         lengths: list[int] = []
         if r.bit():  # ordered
             cur_len = r.bits(5) + 1
@@ -2533,6 +2538,10 @@ def _parse_floor1(r: _VorbisBits) -> dict:
     for i in range(partitions):
         for _ in range(class_dims[class_list[i]]):
             xs.append(r.bits(rangebits))
+    if len(set(xs)) != len(xs):
+        # spec §7.2.2: non-unique X values render the stream
+        # undecodable (and would divide by zero in render_line)
+        raise ValueError("duplicate Vorbis floor1 X values")
     return {
         "partitions": partitions,
         "class_list": class_list,
@@ -2726,6 +2735,8 @@ def _residue_decode(
                         i = 0
                         while i < psize:
                             for val in book.decode_vector(r):
+                                if i >= psize:  # spec: stop at the
+                                    break  # partition boundary
                                 v[off + i] += val
                                 i += 1
                 pc += 1
@@ -2763,7 +2774,23 @@ def _imdct_matrix(n: int) -> "np.ndarray":
 
 def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int, int]:
     """(sum of |samples| in the int16 domain, per-channel sample
-    count) of a Vorbis logical stream given its packets in order."""
+    count) of a Vorbis logical stream given its packets in order.
+    Corrupt streams raise ValueError ONLY (the contract every
+    corrupt-media path honors): known malformations are validated
+    explicitly with spec-cited messages, and any residual index/
+    arithmetic fault from adversarial bytes is converted here rather
+    than crashing an executor mid-scan."""
+    try:
+        return _decode_vorbis_inner(packets, final_granule)
+    except (IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(
+            f"malformed Vorbis stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_vorbis_inner(
+    packets: list[bytes], final_granule: int | None
+) -> tuple[int, int]:
     if len(packets) < 3:
         raise ValueError("Vorbis stream missing mandatory headers")
     # --- identification header ---
@@ -2839,6 +2866,34 @@ def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int
             raise ValueError("reserved Vorbis window/transform type")
     if not r.bit():
         raise ValueError("Vorbis setup framing bit unset")
+    # cross-validate every header index BEFORE any packet decodes —
+    # out-of-range book/floor/residue/mapping references are header
+    # errors (ValueError), never executor crashes on crawl bytes
+    nb = len(books)
+    for fl in floors:
+        for mb in fl["masterbooks"]:
+            if mb >= nb:
+                raise ValueError("Vorbis floor references a missing codebook")
+        for row in fl["subbooks"]:
+            if any(b >= nb for b in row):
+                raise ValueError("Vorbis floor references a missing codebook")
+    for rs in residues:
+        if rs["classbook"] >= nb:
+            raise ValueError("Vorbis residue classbook out of range")
+        if any(b >= nb for row in rs["books"] for b in row):
+            raise ValueError("Vorbis residue references a missing codebook")
+    for mp in mappings:
+        for (fi, ri) in mp["subs"]:
+            if fi >= len(floors) or ri >= len(residues):
+                raise ValueError("Vorbis mapping references a missing config")
+        if any(m >= mp["submaps"] for m in mp["mux"]):
+            raise ValueError("Vorbis channel mux out of range")
+        for (mag, ang) in mp["coupling"]:
+            if mag >= channels or ang >= channels or mag == ang:
+                raise ValueError("invalid Vorbis coupling step")
+    for md in modes:
+        if md["mapping"] >= len(mappings):
+            raise ValueError("Vorbis mode references a missing mapping")
 
     imdct = {n: _imdct_matrix(n) for n in {bs0, bs1}}
     mode_bits = _vilog(len(modes) - 1)
@@ -2852,7 +2907,12 @@ def _decode_vorbis(packets: list[bytes], final_granule: int | None) -> tuple[int
         try:
             if r.bit() != 0:
                 continue  # header-typed packet mid-stream: skip
-            mode = modes[r.bits(mode_bits)]
+            mode_idx = r.bits(mode_bits)
+            if mode_idx >= len(modes):
+                # ilog-width field can encode out-of-range values when
+                # the mode count is not a power of two
+                raise ValueError("Vorbis mode number out of range")
+            mode = modes[mode_idx]
         except _VorbisEOP:
             continue
         mapping = mappings[mode["mapping"]]
@@ -3003,7 +3063,11 @@ def make_ogg_vorbis(
     coefficients normalized by the floor and quantized to the grid —
     decoded by ANY conformant Vorbis decoder to the input within the
     grid's quantization bound (the codec is lossy; tests use the JPEG
-    tolerance convention against the WAV twin).  Stereo streams use
+    tolerance convention against the WAV twin).  Inputs whose
+    windowed-MDCT coefficient peak exceeds the floor table's 1.0
+    ceiling (reachable only by near-full-scale signals aligned with an
+    MDCT basis) are rejected loudly rather than silently clipped off
+    the residue grid.  Stereo streams use
     REAL square-polar channel coupling (one magnitude/angle step, the
     floor amplitude sized so the angle values stay on the grid), so
     the decoder's inverse-coupling path is honestly exercised.
@@ -3181,6 +3245,16 @@ def make_ogg_vorbis(
         peak = max(float(np.abs(c).max()) for c in coeffs)
         if channels == 2:
             peak = max(peak, float(np.abs(coeffs[0] - coeffs[1]).max()))
+        if peak > table[255]:
+            # the flat floor tops out at the dB table's 1.0, so a
+            # coefficient peak beyond it cannot be represented without
+            # silently clipping residues off the grid (a basis-aligned
+            # full-scale signal can push the windowed-MDCT peak to
+            # ~1.5) — reject loudly instead of corrupting quietly
+            raise ValueError(
+                "input exceeds the fixture encoder's amplitude "
+                f"headroom (frame coefficient peak {peak:.3f} > 1.0)"
+            )
         pw = _VorbisBitsW()
         pw.bits(0, 1)  # audio packet
         if mixed_blocks:

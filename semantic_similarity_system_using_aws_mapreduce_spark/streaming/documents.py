@@ -114,10 +114,22 @@ def read_document_stream(
         )
         records = warc_records(files)
         if source_format == "wet":
+            # WET rejects are record-level quarantine rows (corrupt
+            # WARC framing — the raw record shape, not documents), so
+            # they cannot ride the docs stream; the batch CLI surfaces
+            # them, the stream counts only projected conversion docs
             docs, _rejects = wet_documents(records)
-        else:
-            docs, _rejects = warc_text_documents(records)
-        return docs
+            return docs
+        # raw-crawl rejects (non-2xx, empty extraction) share the docs
+        # shape — carry them on the stream behind a flag so the ingest
+        # loop can land them in <corpus>_rejects instead of silently
+        # narrowing the batch readers' (docs, rejects) contract
+        docs, rejects = warc_text_documents(records)
+        return docs.withColumn("_crawl_reject", F.lit(False)).unionByName(
+            rejects.drop("http_status").withColumn(
+                "_crawl_reject", F.lit(True)
+            )
+        )
     if source_format != "parquet":
         raise ValueError(f"unknown source_format: {source_format!r}")
     schema = spark.read.parquet(source_dir).schema
@@ -546,6 +558,16 @@ def run_streaming_curation(
         raise ValueError("bucket_index_table requires compact_every (its rebuild cadence)")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if "_crawl_reject" in batch.columns:
+            # crawl reader rejects (non-2xx, empty extraction) land in
+            # their own replay-idempotent table — a mis-crawled batch
+            # must be distinguishable from an empty one
+            _write_batch_partition(
+                batch.filter(F.col("_crawl_reject")).drop("_crawl_reject"),
+                corpus_path + "_rejects",
+                batch_id,
+            )
+            batch = batch.filter(~F.col("_crawl_reject")).drop("_crawl_reject")
         if stats:
             # the arrived-count below and the gate both read the
             # batch — cache it so stats never re-scan the source file

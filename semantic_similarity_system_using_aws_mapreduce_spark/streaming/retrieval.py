@@ -133,6 +133,12 @@ def bm25_search_postings(
     )
     if not snippets:
         return ranked
+    # ranked is consumed twice below (the winner-set broadcast AND the
+    # final join) — without the persist the whole BM25 scoring plan
+    # (postings scan, joins, window rank) would execute twice per query
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     corpus = read_parquet_recovering(spark, corpus_path)
     if corpus is None:
         return ranked.select(

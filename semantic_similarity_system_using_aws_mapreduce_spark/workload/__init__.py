@@ -199,8 +199,9 @@ _PRIORITY = [
     "q_tfidf_top_terms",
 ]
 
-# Exported last: with 92 exported queries and a 50-row driver cap,
-# exactly these 42 fall off this round.  Every one is fully green in
+# Exported last: with 94 exported queries and a 50-row driver cap,
+# exactly these 44 fall off this round (the 42 round-8 _PRIORITY
+# entries plus the 2 demoted middles below).  Every one is fully green in
 # CORRECTNESS_r08 (round 8's 42 _PRIORITY entries — rows, schema, AND
 # hash), so the rotation keeps every export driver-green within two
 # consecutive rounds, AND each is coverage-subsumed by queries that
@@ -223,8 +224,9 @@ _PRIORITY = [
 # demote the then-green round-9 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 # Every entry below is green in CORRECTNESS_r08, so each tolerates
-# exactly the round-9 skip; all 42 must re-enter the round-10 window
-# (42 ≤ 50 — any round-10 addition must demote a then-green middle
+# exactly the round-9 skip; all 44 must re-enter the round-10 window
+# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
+# any round-10 addition must demote a then-green middle
 # entry, as rounds 7, 8 and 9 did).
 _LAST = [
     # middle demotions making room for the round-9 additions (both

@@ -2049,9 +2049,17 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
         + b" ".join(b"w%d\xff\xfe" % i for i in range(40))
         + b"</p></body></html>"
     )
-    a1 = _warc_record(
-        "good1", _http_html(page(_long_text("alpha"))), "http://a.com/1"
-    ) + _warc_record("moji1", _http_html(moji_body), "http://a.com/m")
+    gone = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+        + page(_long_text("gone"))
+    )
+    a1 = (
+        _warc_record(
+            "good1", _http_html(page(_long_text("alpha"))), "http://a.com/1"
+        )
+        + _warc_record("moji1", _http_html(moji_body), "http://a.com/m")
+        + _warc_record("gone1", gone, "http://a.com/404")
+    )
     (src / "a1.warc.gz").write_bytes(_gz.compress(a1))
 
     corpus_path = str(tmp_path / "crawl_corpus")
@@ -2066,12 +2074,17 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
     # crawl metadata priors ride into the corpus
     assert row.html_lang is None and row.fetched_at is not None
     assert row.n_repl == 0 and "alpha0" in row.text
-    # the stats funnel pins WHY: 2 arrived, 1 past the gate
+    # the stats funnel pins WHY: 2 docs arrived past the reader,
+    # 1 past the gate — and the reader's own reject arm (the 404) is
+    # OBSERVABLE in its replay-idempotent table, not silently dropped
     stats = {
         r.ingest_batch: (r.n_arrived, r.n_gated, r.n_kept)
         for r in spark.read.parquet(corpus_path + "_stats").collect()
     }
     assert stats[0] == (2, 1, 1)
+    rej = spark.read.parquet(corpus_path + "_rejects").collect()
+    assert {r.doc_id for r in rej} == {_crawl_doc_id("gone1")}
+    assert "gone0" in rej[0].text
 
     # second invocation: only the NEW archive is ingested (checkpoint
     # skips a1), and a re-fetch of good1's content dedups away
