@@ -382,21 +382,23 @@ def test_jpeg_decode_is_real_and_tracks_bmp(spark):
 
 
 def test_jpeg_gates_and_garbage_never_hangs():
-    """Arithmetic-coded (SOF9+) and lossless/hierarchical streams
-    raise the loud NotImplementedError gate; a stream MISLABELED
-    progressive (SOF2 header over a baseline full-band scan — invalid
-    per T.81 G.1) is rejected as ValueError; truncated or corrupted
-    streams raise ValueError/NotImplementedError — never hang, never
-    return silently-wrong output."""
+    """Lossless/differential-arithmetic (SOF11/13-15) and
+    lossless/hierarchical Huffman streams raise the loud
+    NotImplementedError gate (DCT arithmetic — SOF9/10 — decodes for
+    real since r9, see the arithmetic section below); a stream
+    MISLABELED progressive (SOF2 header over a baseline full-band
+    scan — invalid per T.81 G.1) is rejected as ValueError; truncated
+    or corrupted streams raise ValueError/NotImplementedError — never
+    hang, never return silently-wrong output."""
     import pytest as _pytest
 
     from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
 
     fn = lambda x, y: (x * 5, y * 9, x + y)  # noqa: E731
     data = make_jpeg(16, 10, fn)
-    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    arith_lossless = data.replace(b"\xff\xc0", b"\xff\xcb", 1)
     with _pytest.raises(NotImplementedError, match="arithmetic"):
-        _decode_jpeg(arith)
+        _decode_jpeg(arith_lossless)
     lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with _pytest.raises(NotImplementedError, match="lossless"):
         _decode_jpeg(lossless)
@@ -1316,3 +1318,273 @@ def test_vorbis_corrupt_header_rejections():
             assert isinstance(r, tuple)
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (ITU-T T.81 Annexes D + F: SOF9 sequential,
+# SOF10 progressive).  The entropy layer is validated three
+# independent ways: (1) cross-entropy-coder decode identity against
+# the Huffman twin over the same quantized coefficients, (2) two
+# COMMITTED fixtures entropy-transcoded by the system libjpeg-turbo
+# (true third-party streams, no toolchain needed at test time), and
+# (3) a gcc-gated live transcode conformance drill in BOTH directions.
+
+
+def _jarith_fix_fn(x, y):
+    # the committed-fixture pattern (regenerated here; see
+    # tests/data/jpeg_arith/README for the transcode provenance)
+    return ((x * 31 + y * 7) % 256, (x * 5 ^ y * 13) % 256, (x * 11 + y * 17) % 256)
+
+
+def test_jpeg_arithmetic_decodes_identical_to_huffman():
+    """Baseline, progressive, arithmetic-sequential and
+    arithmetic-progressive encodings of one image share the exact
+    quantized coefficients, so all four must decode BIT-IDENTICALLY —
+    any drift in the Annex D coder or the Annex F DC/AC models breaks
+    the equality.  Covers gray / 4:4:4 / 4:2:0, partial MCUs, and the
+    restart path (coder + statistics + DC predictions reset per RST)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    fns = {
+        "grad": lambda x, y: (x * 5 % 256, y * 9 % 256, (x + y) % 256),
+        "noise": lambda x, y: (
+            (x * 37 + y * 101) % 256,
+            (x * 73 + y * 11) % 256,
+            (x * 13 + y * 59) % 256,
+        ),
+    }
+    for name, fn in fns.items():
+        for w, h in ((16, 10), (17, 13), (32, 24)):
+            for kw in ({}, {"gray": True}, {"subsample": True}):
+                base = _decode_jpeg(make_jpeg(w, h, fn, **kw))
+                seq = _decode_jpeg(make_jpeg(w, h, fn, arithmetic=True, **kw))
+                prog = _decode_jpeg(
+                    make_jpeg(w, h, fn, progressive=True, arithmetic=True, **kw)
+                )
+                assert base == seq == prog, (name, w, h, kw)
+    fn = fns["noise"]
+    base = _decode_jpeg(make_jpeg(48, 24, fn, restart_interval=3))
+    seq = _decode_jpeg(make_jpeg(48, 24, fn, restart_interval=3, arithmetic=True))
+    assert base == seq
+
+
+def test_jpeg_arithmetic_committed_libjpeg_fixtures():
+    """TRUE third-party conformance with no toolchain at test time:
+    the two committed streams were entropy-transcoded by the system
+    libjpeg-turbo 2.1.5 (jpeg_read_coefficients -> arith_code=TRUE ->
+    jpeg_write_coefficients, lossless at the coefficient level) from
+    make_jpeg sources this test regenerates.  Decoding a fixture must
+    therefore equal decoding its regenerated Huffman twin EXACTLY —
+    the DCT side is shared, so any difference is an entropy-layer
+    divergence from the reference implementation of T.81."""
+    import pathlib
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    fixdir = pathlib.Path(__file__).parent / "data" / "jpeg_arith"
+    seq = (fixdir / "libjpeg_seq_420.jpg").read_bytes()
+    prog = (fixdir / "libjpeg_prog_444.jpg").read_bytes()
+    assert b"\xff\xc9" in seq  # SOF9: really arithmetic sequential
+    assert b"\xff\xca" in prog  # SOF10: really arithmetic progressive
+    want420 = _decode_jpeg(make_jpeg(37, 26, _jarith_fix_fn, subsample=True))
+    want444 = _decode_jpeg(make_jpeg(37, 26, _jarith_fix_fn))
+    assert _decode_jpeg(seq) == want420 == (118042, 962)
+    assert _decode_jpeg(prog) == want444 == (118046, 962)
+
+
+def test_jpeg_arithmetic_qe_table_matches_system_libjpeg():
+    """The transcribed T.81 Table D.3 against the table the system
+    libjpeg exports (jpeg_aritab) — entry-for-entry, including the
+    non-adaptive fixed bin at index 113."""
+    import ctypes
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _ARITH_QE
+
+    try:
+        lib = ctypes.CDLL("libjpeg.so.62")
+        tab = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+    except OSError:
+        pytest.skip("system libjpeg (libjpeg.so.62) not loadable")
+    except ValueError:
+        pytest.skip("jpeg_aritab not exported by this libjpeg build")
+    assert len(_ARITH_QE) == 114
+    for i, v in enumerate(tab):
+        qe = (v >> 16) & 0xFFFF
+        nmps = (v >> 8) & 0xFF
+        sw = (v >> 7) & 1
+        nlps = v & 0x7F
+        assert _ARITH_QE[i] == (qe, nmps, nlps, sw), f"state {i}"
+
+
+def _build_jpeg_transcoder(tmpdir):
+    """Compile the libjpeg coefficient-transcode harness (lossless
+    entropy-layer rewrite: Huffman <-> arithmetic over IDENTICAL
+    coefficients), or None when the toolchain is absent."""
+    import os
+    import shutil
+    import subprocess
+    import textwrap
+
+    if shutil.which("gcc") is None or not os.path.exists("/usr/include/jpeglib.h"):
+        return None
+    src = os.path.join(tmpdir, "transcode.c")
+    exe = os.path.join(tmpdir, "transcode")
+    with open(src, "w") as f:
+        f.write(textwrap.dedent("""
+            #include <stdio.h>
+            #include <jpeglib.h>
+            int main(int argc, char **argv) {
+              struct jpeg_decompress_struct s; struct jpeg_compress_struct d;
+              struct jpeg_error_mgr e1, e2; jvirt_barray_ptr *coefs;
+              FILE *fi = fopen(argv[1], "rb"), *fo = fopen(argv[2], "wb");
+              if (!fi || !fo) return 2;
+              s.err = jpeg_std_error(&e1); jpeg_create_decompress(&s);
+              d.err = jpeg_std_error(&e2); jpeg_create_compress(&d);
+              jpeg_stdio_src(&s, fi); (void) jpeg_read_header(&s, TRUE);
+              coefs = jpeg_read_coefficients(&s);
+              jpeg_copy_critical_parameters(&s, &d);
+              if (argv[3][0] == 'a') d.arith_code = TRUE;
+              else { d.arith_code = FALSE; d.optimize_coding = TRUE; }
+              if (argc > 4) jpeg_simple_progression(&d);
+              jpeg_stdio_dest(&d, fo);
+              jpeg_write_coefficients(&d, coefs);
+              jpeg_finish_compress(&d); jpeg_destroy_compress(&d);
+              (void) jpeg_finish_decompress(&s); jpeg_destroy_decompress(&s);
+              fclose(fi); fclose(fo); return 0;
+            }
+        """))
+    r = subprocess.run(["gcc", "-O2", "-o", exe, src, "-ljpeg"], capture_output=True)
+    return exe if r.returncode == 0 else None
+
+
+def test_jpeg_arithmetic_live_libjpeg_conformance(tmp_path):
+    """Lights up wherever gcc + libjpeg headers exist: transcode a
+    make_jpeg stream through the system libjpeg in BOTH directions —
+    its arithmetic output (sequential AND progressive) must decode to
+    exactly what the Huffman source decodes to, and libjpeg must
+    accept THIS encoder's arithmetic streams and produce a Huffman
+    stream with the same decode.  A noisy image drives the estimator
+    through the deep Table D.3 states."""
+    import random
+    import subprocess
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    exe = _build_jpeg_transcoder(str(tmp_path))
+    if exe is None:
+        pytest.skip("gcc or libjpeg development headers unavailable")
+
+    rng = random.Random(99)
+    noise = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+        for _ in range(48)
+    ]
+    cases = [
+        ("grad", lambda x, y: (x * 7 % 256, y * 3 % 256, (x * 13 + y * 5) % 256), {}),
+        ("noise420", lambda x, y: noise[y][x], {"subsample": True}),
+        ("noise_rst", lambda x, y: noise[y][x], {"restart_interval": 4}),
+    ]
+
+    def transcode(data, mode, prog=False):
+        src = tmp_path / "in.jpg"
+        dst = tmp_path / "out.jpg"
+        src.write_bytes(data)
+        cmd = [exe, str(src), str(dst), mode] + (["p"] if prog else [])
+        subprocess.run(cmd, check=True)
+        return dst.read_bytes()
+
+    for name, fn, kw in cases:
+        huff = make_jpeg(64, 48, fn, **kw)
+        want = _decode_jpeg(huff)
+        got = _decode_jpeg(transcode(huff, "arith"))
+        assert got == want, ("libjpeg arith seq", name)
+        got = _decode_jpeg(transcode(huff, "arith", prog=True))
+        assert got == want, ("libjpeg arith prog", name)
+        mine = make_jpeg(64, 48, fn, arithmetic=True, **kw)
+        got = _decode_jpeg(transcode(mine, "huff"))
+        assert got == want, ("mine seq -> libjpeg", name)
+        minep = make_jpeg(64, 48, fn, progressive=True, arithmetic=True,
+                          **{k: v for k, v in kw.items() if k != "restart_interval"})
+        got = _decode_jpeg(transcode(minep, "huff"))
+        assert got == want, ("mine prog -> libjpeg", name)
+
+
+def test_jpeg_arithmetic_dac_validation_and_gates():
+    """Bad DAC conditioning raises loudly (Kx out of range, U < L);
+    the remaining SOF11/13-15 arithmetic variants stay behind the
+    loud library gate."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    fn = lambda x, y: (x % 256, y % 256, (x + y) % 256)  # noqa: E731
+    data = make_jpeg(8, 8, fn, arithmetic=True)
+    dac_at = data.find(b"\xff\xcc")
+    assert dac_at > 0
+    bad_kx = bytearray(data)
+    # table 0's AC entry value lives 2 entries in: (0,Tb0) (0,Tb1) (1,Tb0) val
+    ac0_val_at = dac_at + 4 + 2 * 2 + 1
+    assert bad_kx[ac0_val_at] == 5  # Kx for conditioning table 0
+    bad_kx[ac0_val_at] = 0
+    with pytest.raises(ValueError, match="Kx"):
+        _decode_jpeg(bytes(bad_kx))
+    bad_lu = bytearray(data)
+    bad_lu[dac_at + 5] = 0x01  # DC table 0: U=0 < L=1
+    with pytest.raises(ValueError, match="U < L"):
+        _decode_jpeg(bytes(bad_lu))
+    mislabeled = data.replace(b"\xff\xc9", b"\xff\xcb", 1)
+    with pytest.raises(NotImplementedError, match="SOF11"):
+        _decode_jpeg(mislabeled)
+
+
+def test_jpeg_arithmetic_garbage_never_hangs():
+    """Truncation and bit-flip fuzz over both arithmetic scan scripts:
+    decode deterministically or reject loudly — never hang.  Feeding
+    zero bytes past a premature marker is LEGAL in arithmetic coding
+    (T.81 D.2.6), so many mutations still decode; they must then
+    decode identically twice."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    fn = lambda x, y: (x * 5 % 256, y * 9 % 256, (x + y) % 256)  # noqa: E731
+    for prog in (False, True):
+        data = make_jpeg(24, 18, fn, progressive=prog, arithmetic=True)
+        for cut in range(4, len(data), 7):
+            try:
+                _decode_jpeg(data[:cut])
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+        scan_start = data.find(b"\xff\xda")
+        for k in range(scan_start + 14, len(data) - 2, 5):
+            mut = bytearray(data)
+            mut[k] ^= 0x41
+            try:
+                a = _decode_jpeg(bytes(mut))
+                b = _decode_jpeg(bytes(mut))
+                assert a == b
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+
+
+def test_jpeg_arithmetic_through_decode_media(spark):
+    """Arithmetic payloads (the row that used to need PIL) decode
+    through the same mapInPandas plan with NO codec library."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_jpeg
+
+    rows = []
+    for i in range(4):
+        fn = lambda x, y, _i=i: ((_i * 40) % 256,) * 3  # noqa: E731
+        rows.append(
+            (
+                i,
+                "image",
+                make_jpeg(8, 6, fn, progressive=i % 2 == 1, arithmetic=True),
+                "jpeg",
+                8,
+                6,
+                None,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, decoder="real").collect()}
+    assert len(got) == 4
+    for i, r in got.items():
+        assert r.pixels_or_samples == 8 * 6
+        assert abs(r.checksum - 8 * 6 * ((i * 40) % 256)) <= 8 * 6 * 2
