@@ -6,7 +6,8 @@ behavior) is real and tested.  The real-decode path is GENUINE for the
 formats a stdlib+numpy environment can parse — 24-bit BMP images
 (struct header + pixel-array math), 8-bit PNG images (REAL compressed
 decode: chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
-unfilters), GIF (full variable-width LZW), BASELINE JPEG (real marker
+unfilters, Adam7 interlace — r9), GIF (full variable-width LZW,
+four-pass interlace — r9), BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
 restart markers; progressive SOF2 with spectral selection AND
 successive approximation — DC/AC refinement scans, EOBRUN), PCM +
@@ -126,45 +127,74 @@ def make_bmp(width: int, height: int, rgb_fn) -> bytes:
     return header + dib + b"".join(rows)
 
 
-def make_png(width: int, height: int, rgb_fn, row_filters=None) -> bytes:
+def make_png(width: int, height: int, rgb_fn, row_filters=None,
+             interlace: bool = False) -> bytes:
     """A GENUINE 8-bit RGB PNG via stdlib ``zlib`` — real DEFLATE
     stream, real CRCs.  ``row_filters`` picks the PNG scanline filter
     per row (default cycles 0..4), so a decoder must implement every
-    unfilter path, not just the trivial one."""
+    unfilter path, not just the trivial one.  ``interlace=True``
+    writes a real Adam7 stream: each of the seven passes extracted and
+    filtered as its own reduced image (filters still cycling within
+    the pass, empty passes contributing no bytes)."""
     import struct
     import zlib
 
     ch = 3
-    stride = width * ch
     filters = row_filters or [0, 1, 2, 3, 4]
-    prev = bytes(stride)
-    raw = bytearray()
-    for y in range(height):
-        cur = bytearray()
-        for x in range(width):
-            r, g, b = rgb_fn(x, y)
-            cur += bytes((r & 255, g & 255, b & 255))
-        f = filters[y % len(filters)]
-        enc = bytearray(stride)
-        for x in range(stride):
-            a = cur[x - ch] if x >= ch else 0
-            up = prev[x]
-            c = prev[x - ch] if x >= ch else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = up
-            elif f == 3:
-                pred = (a + up) // 2
-            else:  # Paeth
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-            enc[x] = (cur[x] - pred) & 255
-        raw += bytes([f]) + bytes(enc)
-        prev = bytes(cur)
+    pixels = [
+        bytes(
+            b & 255
+            for x in range(width)
+            for b in rgb_fn(x, y)
+        )
+        for y in range(height)
+    ]
+
+    def filt(rows: list) -> bytes:
+        # filter one (sub-)image: prev row starts zero per pass
+        stride = len(rows[0])
+        prev = bytes(stride)
+        out = bytearray()
+        for yi, cur in enumerate(rows):
+            f = filters[yi % len(filters)]
+            enc = bytearray(stride)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:  # Paeth
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 255
+            out += bytes([f]) + bytes(enc)
+            prev = cur
+        return bytes(out)
+
+    if not interlace:
+        raw = filt(pixels) if height else b""
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = [
+                b"".join(
+                    pixels[y][x * ch : (x + 1) * ch]
+                    for x in range(x0, width, dx)
+                )
+                for y in range(y0, height, dy)
+            ]
+            if not sub or not sub[0]:
+                continue  # empty pass: no bytes at all
+            raw += filt(sub)
+        raw = bytes(raw)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -174,7 +204,9 @@ def make_png(width: int, height: int, rgb_fn, row_filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -229,15 +261,29 @@ def _lzw_encode(indices, min_code: int) -> bytes:
     return bytes(out)
 
 
-def make_gif(width: int, height: int, rgb_fn) -> bytes:
+def _gif_row_order(ih: int) -> list:
+    """GIF89a interlace row schedule (spec appendix E): the display
+    rows in the order the file stores them — pass starts 0/4/2/1 with
+    steps 8/8/4/2."""
+    return [
+        y
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, ih, step)
+    ]
+
+
+def make_gif(width: int, height: int, rgb_fn, interlace: bool = False) -> bytes:
     """A GENUINE GIF89a (global color table + real LZW-compressed
     pixel indices) — stdlib-only.  ``rgb_fn`` may use at most 256
-    distinct colors (GIF is palettized)."""
+    distinct colors (GIF is palettized).  ``interlace=True`` stores
+    the rows in the four-pass interlace schedule and sets the image
+    descriptor flag."""
     import struct
 
     palette: dict[tuple, int] = {}
-    indices = []
+    rows: list[list[int]] = []
     for y in range(height):
+        row = []
         for x in range(width):
             r, g, b = rgb_fn(x, y)
             c = (r & 255, g & 255, b & 255)
@@ -245,7 +291,10 @@ def make_gif(width: int, height: int, rgb_fn) -> bytes:
                 if len(palette) == 256:
                     raise ValueError("GIF needs <= 256 distinct colors")
                 palette[c] = len(palette)
-            indices.append(palette[c])
+            row.append(palette[c])
+        rows.append(row)
+    order = _gif_row_order(height) if interlace else range(height)
+    indices = [v for y in order for v in rows[y]]
     n = 1
     while (1 << n) < max(len(palette), 2):
         n += 1
@@ -265,7 +314,7 @@ def make_gif(width: int, height: int, rgb_fn) -> bytes:
         + struct.pack("<HHBBB", width, height, 0x80 | (n - 1), 0, 0)
         + bytes(gct)
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
         + bytes([min_code])
         + bytes(blocks)
         + b"\x3b"
@@ -327,51 +376,29 @@ def _decode_bmp(data: bytes) -> tuple[int, int]:
     return int(luma.sum()), int(width * hh)
 
 
-def _decode_png(data: bytes) -> tuple[int, int]:
-    """(luma checksum, pixel count) of an 8-bit non-interlaced
-    grey/grey+alpha/RGB/RGBA PNG — a REAL compressed-image decode with
-    nothing but stdlib zlib + numpy: chunk walk, DEFLATE inflate, and
-    all five scanline unfilters (None/Sub/Up/Average/Paeth).  Same
-    integer ITU-R 601 luma as :func:`_decode_bmp`, so one image
-    encoded both ways checksums identically (tested).  Palette,
-    16-bit, and interlaced PNGs raise NotImplementedError (rare in
-    crawl data; PIL takes over when present)."""
-    import struct
-    import zlib
+# Adam7 interlacing (PNG spec §8.2): per-pass origin and step.  Each
+# pass is filtered as an independent reduced image; empty passes
+# contribute no bytes at all (not even filter bytes).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    data = bytes(data)
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
-    while pos + 8 <= len(data):
-        ln, typ = struct.unpack_from(">I4s", data, pos)
-        body = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG without IHDR")
-    w, h, depth, ct, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ct not in (0, 2, 4, 6):
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced grey/RGB(A) PNG "
-            f"(depth={depth}, color={ct}, interlace={interlace})"
-        )
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
-    raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  ch: int) -> tuple["np.ndarray", int]:
+    """Unfilter one (sub-)image of ``h`` scanlines of ``stride`` bytes
+    starting at ``off`` — all five scanline unfilters
+    (None/Sub/Up/Average/Paeth) — returning the rows and the offset
+    after the consumed bytes."""
+    if len(raw) - off < (stride + 1) * h:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        f = raw[y * (stride + 1)]
+        f = raw[off + y * (stride + 1)]
         line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
+            raw, np.uint8, stride, off + y * (stride + 1) + 1
         ).astype(np.int64)
         if f == 0:
             cur = line.copy()
@@ -400,7 +427,64 @@ def _decode_png(data: bytes) -> tuple[int, int]:
             raise ValueError(f"bad PNG scanline filter {f}")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, ch)
+    return out, off + (stride + 1) * h
+
+
+def _decode_png(data: bytes) -> tuple[int, int]:
+    """(luma checksum, pixel count) of an 8-bit grey/grey+alpha/RGB/
+    RGBA PNG, sequential or Adam7-INTERLACED — a REAL compressed-image
+    decode with nothing but stdlib zlib + numpy: chunk walk, DEFLATE
+    inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth),
+    and the seven-pass de-interlace scatter (each pass unfiltered as
+    its own reduced image, empty passes byte-free, per the spec).
+    Same integer ITU-R 601 luma as :func:`_decode_bmp`, so one image
+    encoded both ways — and both interlace modes — checksums
+    identically (tested).  Palette and 16-bit PNGs raise
+    NotImplementedError (rare in crawl data; PIL takes over when
+    present)."""
+    import struct
+    import zlib
+
+    data = bytes(data)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ct, _comp, _filt, interlace = ihdr
+    if depth != 8 or ct not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"only 8-bit grey/RGB(A) PNG (depth={depth}, color={ct})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    raw = zlib.decompress(idat)
+    if interlace == 0:
+        rows, off = _png_unfilter(raw, 0, h, w * ch, ch)
+        px = rows.reshape(h, w, ch)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
+        raise ValueError("trailing bytes in PNG pixel data")
     if ct in (0, 4):
         luma = px[:, :, 0]
     else:
@@ -455,13 +539,14 @@ def _lzw_decode(stream: bytes, min_code: int) -> list[int]:
 
 
 def _decode_gif(data: bytes) -> tuple[int, int]:
-    """(luma checksum, pixel count) of a non-interlaced GIF87a/89a —
+    """(luma checksum, pixel count) of a GIF87a/89a —
     a second REAL compressed-image decode with stdlib + numpy only:
     block walk, full LZW decompression (variable code width, clear
     codes, KwKwK), palette lookup.  Same integer ITU-R 601 luma as
     the BMP/PNG decoders, so one image encoded all three ways
     checksums identically (tested).  Multi-image GIFs sum over every
-    frame; interlaced images raise NotImplementedError."""
+    frame; interlaced images de-interlace through the four-pass row
+    schedule (r9)."""
     import struct
 
     data = bytes(data)
@@ -496,8 +581,6 @@ def _decode_gif(data: bytes) -> tuple[int, int]:
             n = 1 << ((ipacked & 7) + 1)
             table = data[pos : pos + 3 * n]
             pos += 3 * n
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF")
         if table is None:
             raise ValueError("GIF image without a color table")
         min_code = data[pos]
@@ -511,7 +594,13 @@ def _decode_gif(data: bytes) -> tuple[int, int]:
         indices = _lzw_decode(bytes(stream), min_code)
         if len(indices) < iw * ih:
             raise ValueError("truncated GIF image data")
-        idx = np.asarray(indices[: iw * ih], dtype=np.int64)
+        idx = np.asarray(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if ipacked & 0x40:
+            # interlaced: stored row i is display row _gif_row_order[i]
+            rows = np.empty_like(idx)
+            rows[_gif_row_order(ih)] = idx
+            idx = rows
+        idx = idx.reshape(-1)
         pal = np.frombuffer(table, np.uint8).reshape(-1, 3).astype(np.int64)
         px = pal[idx]
         luma_sum += int(
@@ -4386,15 +4475,41 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             fn = lambda x, y, i=i: (x * 7 + i, y * 11, (x + y) * 3)  # noqa: E731
-            # rotate the uncompressed format, the two non-JPEG
-            # compressed formats, and both JPEG entropy coders so one
-            # table exercises every real image decoder
-            which = (i // 3) % 4
+            # rotate the uncompressed format, both interlace modes of
+            # the two lossless compressed formats, and both JPEG
+            # entropy coders so one table exercises every real image
+            # decoder path (a 16x10 pattern stays under GIF's 256
+            # palette entries)
+            which = (i // 3) % 6
             if which == 0:
                 rows.append((i, kind, make_bmp(16, 10, fn), "bmp", 16, 10, None))
             elif which == 1:
                 rows.append((i, kind, make_png(16, 10, fn), "png", 16, 10, None))
             elif which == 2:
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        make_png(16, 10, fn, interlace=True),
+                        "png",
+                        16,
+                        10,
+                        None,
+                    )
+                )
+            elif which == 3:
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        make_gif(16, 10, fn, interlace=i % 2 == 0),
+                        "gif",
+                        16,
+                        10,
+                        None,
+                    )
+                )
+            elif which == 4:
                 rows.append(
                     (i, kind, make_jpeg(16, 10, fn), "jpeg", 16, 10, None)
                 )

@@ -250,11 +250,14 @@ def test_gif_decode_matches_bmp_and_survives_dictionary_overflow(spark):
     with _pytest.raises(ValueError, match="not a GIF"):
         _decode_gif(b"BM nope")
     inter = bytearray(make_gif(4, 4, fn))
-    # image descriptor packed byte: set the interlace flag
+    # image descriptor packed byte: set the interlace flag — since r9
+    # this decodes (the de-interlace is a row permutation; the luma
+    # SUM is row-order invariant, so a mislabeled flag cannot change
+    # the result — the schedule itself is pinned in the r9 interlace
+    # tests below)
     idx = inter.index(0x2C)
     inter[idx + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        _decode_gif(bytes(inter))
+    assert _decode_gif(bytes(inter)) == _decode_gif(make_gif(4, 4, fn))
     # end-to-end through the mapInPandas plan
     rows = [(0, "image", make_gif(13, 9, fn), "gif", 13, 9, None)]
     got = decode_media(
@@ -1588,3 +1591,128 @@ def test_jpeg_arithmetic_through_decode_media(spark):
     for i, r in got.items():
         assert r.pixels_or_samples == 8 * 6
         assert abs(r.checksum - 8 * 6 * ((i * 40) % 256)) <= 8 * 6 * 2
+
+
+# ---------------------------------------------------------------------------
+# Interlaced images (r9): PNG Adam7 and GIF four-pass interlacing —
+# the last two stdlib-image gates.  PNG de-interlacing is pinned by
+# EXACT checksum equality with the BMP twin (scanline filters depend
+# on row adjacency, so a scheduling mistake corrupts the unfilter);
+# the row schedules themselves are pinned positionally against the
+# JVM's javax.imageio readers (third-party, already inside the Spark
+# runtime — no extra dependency).
+
+
+def test_png_adam7_decodes_identical_to_sequential():
+    """Adam7 and sequential encodings of one image are LOSSLESS, so
+    both must equal the BMP twin exactly — across every pass-emptiness
+    shape (dims < 8 drop whole passes) and all five scanline filters
+    cycling WITHIN each reduced pass image."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    for w, h in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (16, 13), (33, 21)):
+        want = _decode_bmp(make_bmp(w, h, fn))
+        assert _decode_png(make_png(w, h, fn)) == want, (w, h)
+        assert _decode_png(make_png(w, h, fn, interlace=True)) == want, (w, h)
+    # single-filter streams keep every unfilter path honest per pass
+    for f in range(5):
+        got = _decode_png(make_png(17, 9, fn, row_filters=[f], interlace=True))
+        assert got == _decode_bmp(make_bmp(17, 9, fn)), f
+
+
+def test_gif_interlace_roundtrip_and_schedule():
+    """Interlaced and sequential GIF encodings of one image decode
+    identically; the four-pass row schedule itself (0/8, 4/8, 2/4,
+    1/2) is pinned directly — the decoder applies its inverse."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_gif,
+        _gif_row_order,
+        make_gif,
+    )
+
+    assert _gif_row_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _gif_row_order(1) == [0]
+    for ih in (1, 2, 3, 7, 8, 9, 23):
+        order = _gif_row_order(ih)
+        assert sorted(order) == list(range(ih)), ih
+    fn = lambda x, y: ((x % 4) * 60, (y % 4) * 50, ((x + y) % 4) * 40)  # noqa: E731
+    for w, h in ((1, 1), (7, 5), (16, 13)):
+        plain = _decode_gif(make_gif(w, h, fn))
+        inter = _decode_gif(make_gif(w, h, fn, interlace=True))
+        assert plain == inter, (w, h)
+
+
+def _jvm_pixels(spark, data: bytes):
+    """Decode an image via the JVM's javax.imageio (third-party
+    reader living inside the Spark runtime); None when ImageIO has no
+    reader for the payload."""
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    if img is None:
+        return None
+    w, h = img.getWidth(), img.getHeight()
+    rgbs = img.getRGB(0, 0, w, h, None, 0, w)
+    return w, h, [((v >> 16) & 255, (v >> 8) & 255, v & 255) for v in rgbs]
+
+
+def test_interlaced_images_conform_to_jvm_imageio(spark):
+    """POSITIONAL third-party conformance: javax.imageio decodes this
+    encoder's Adam7 PNG and interlaced GIF back to the exact per-pixel
+    pattern (a luma sum alone cannot see a row-scheduling mistake in
+    the GIF case — the palette sum is order-invariant)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_png,
+        make_gif,
+        make_png,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    got = _jvm_pixels(spark, make_png(19, 11, fn, interlace=True))
+    if got is None:
+        pytest.skip("JVM ImageIO has no PNG reader")
+    w, h, px = got
+    assert (w, h) == (19, 11)
+    assert px == [fn(x, y) for y in range(11) for x in range(19)]
+    # and the JVM agrees with this decoder's checksum on its own read
+    luma = sum((299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px)
+    assert (luma, w * h) == _decode_png(make_png(19, 11, fn, interlace=True))
+
+    gfn = lambda x, y: ((x % 4) * 60, (y % 4) * 50, ((x + y) % 4) * 40)  # noqa: E731
+    got = _jvm_pixels(spark, make_gif(13, 9, gfn, interlace=True))
+    if got is None:
+        pytest.skip("JVM ImageIO has no GIF reader")
+    w, h, px = got
+    assert (w, h) == (13, 9)
+    assert px == [gfn(x, y) for y in range(9) for x in range(13)]
+
+
+def test_interlaced_garbage_never_hangs():
+    """Truncation fuzz over interlaced streams: loud rejection or a
+    deterministic result, never a hang; a short Adam7 pass payload is
+    a loud truncation error."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_gif, _decode_png, make_gif, make_png
+
+    fn = lambda x, y: (x * 3 % 256, y * 5 % 256, (x ^ y) % 256)  # noqa: E731
+    png = make_png(16, 12, fn, interlace=True)
+    gif = make_gif(16, 12, lambda x, y: ((x % 3) * 80, (y % 3) * 70, 0), interlace=True)
+    for data, dec in ((png, _decode_png), (gif, _decode_gif)):
+        for cut in range(8, len(data), 9):
+            try:
+                dec(data[:cut])
+            except (ValueError, NotImplementedError, IndexError, Exception):
+                pass
