@@ -4,9 +4,10 @@ typed metadata, processed via Arrow-batched pandas operators.
 The Spark-side plumbing (schemas, batch iterator shape, partition
 behavior) is real and tested.  The real-decode path is GENUINE for the
 formats a stdlib+numpy environment can parse — 24-bit BMP images
-(struct header + pixel-array math), 8-bit PNG images (REAL compressed
-decode: chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
-unfilters, Adam7 interlace — r9), GIF (full variable-width LZW,
+(struct header + pixel-array math), the FULL static PNG format (REAL
+compressed decode: chunk walk, stdlib-zlib DEFLATE inflate, all five
+scanline unfilters, Adam7 interlace, palette/sub-byte/16-bit depths —
+r9), GIF (full variable-width LZW,
 four-pass interlace — r9), BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
 restart markers; progressive SOF2 with spectral selection AND
@@ -127,31 +128,96 @@ def make_bmp(width: int, height: int, rgb_fn) -> bytes:
     return header + dib + b"".join(rows)
 
 
+# valid PNG (color type, bit depth) combinations, spec §11.2.2
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),  # greyscale
+    2: (8, 16),  # truecolor
+    3: (1, 2, 4, 8),  # palette indices
+    4: (8, 16),  # grey + alpha
+    6: (8, 16),  # truecolor + alpha
+}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_pack_row(samples: list, depth: int) -> bytes:
+    """Pack one scanline's samples to bytes: MSB-first bit packing
+    below 8 bits, big-endian two-byte samples at 16 (spec §7.2)."""
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        out = bytearray()
+        for s in samples:
+            out += bytes(((s >> 8) & 255, s & 255))
+        return bytes(out)
+    out = bytearray()
+    acc = nbits = 0
+    for s in samples:
+        acc = (acc << depth) | (s & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
 def make_png(width: int, height: int, rgb_fn, row_filters=None,
-             interlace: bool = False) -> bytes:
-    """A GENUINE 8-bit RGB PNG via stdlib ``zlib`` — real DEFLATE
-    stream, real CRCs.  ``row_filters`` picks the PNG scanline filter
-    per row (default cycles 0..4), so a decoder must implement every
-    unfilter path, not just the trivial one.  ``interlace=True``
-    writes a real Adam7 stream: each of the seven passes extracted and
-    filtered as its own reduced image (filters still cycling within
-    the pass, empty passes contributing no bytes)."""
+             interlace: bool = False, color_type: int = 2,
+             depth: int = 8) -> bytes:
+    """A GENUINE PNG via stdlib ``zlib`` — real DEFLATE stream, real
+    CRCs — over the full static format: ``color_type`` 0 (greyscale,
+    the luma of ``rgb_fn``), 2 (truecolor), or 3 (palette, built from
+    the distinct ``rgb_fn`` colors like :func:`make_gif`), at any
+    legal ``depth`` (1/2/4/8/16 grey, 8/16 RGB, 1/2/4/8 palette —
+    sub-byte depths quantize grey to the replicated d-bit scale,
+    16-bit samples replicate the 8-bit value as ``s * 257``).
+    ``row_filters`` picks the scanline filter per row (default cycles
+    0..4) so a decoder must implement every unfilter path;
+    ``interlace=True`` writes a real Adam7 stream: each of the seven
+    passes extracted and filtered as its own reduced image (filters
+    still cycling within the pass, empty passes contributing no
+    bytes)."""
     import struct
     import zlib
 
-    ch = 3
+    if depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise ValueError(f"illegal PNG depth {depth} for color type {color_type}")
     filters = row_filters or [0, 1, 2, 3, 4]
-    pixels = [
-        bytes(
-            b & 255
-            for x in range(width)
-            for b in rgb_fn(x, y)
-        )
-        for y in range(height)
-    ]
+    palette: dict[tuple, int] = {}
+    samples: list[list[int]] = []  # per row, w*ch sample values
+    for y in range(height):
+        row: list[int] = []
+        for x in range(width):
+            r, g, b = (v & 255 for v in rgb_fn(x, y))
+            if color_type == 2:
+                row += [r, g, b] if depth == 8 else [r * 257, g * 257, b * 257]
+            elif color_type == 0:
+                grey = (299 * r + 587 * g + 114 * b) // 1000
+                if depth == 16:
+                    row.append(grey * 257)
+                elif depth == 8:
+                    row.append(grey)
+                else:
+                    row.append(grey * ((1 << depth) - 1) // 255)
+            else:  # palette
+                c = (r, g, b)
+                if c not in palette:
+                    if len(palette) == (1 << depth):
+                        raise ValueError(
+                            f"palette PNG at depth {depth} allows "
+                            f"{1 << depth} distinct colors"
+                        )
+                    palette[c] = len(palette)
+                row.append(palette[c])
+        samples.append(row)
+
+    ch = _PNG_CHANNELS[color_type]
+    bpp = max(1, (ch * depth) // 8)
 
     def filt(rows: list) -> bytes:
-        # filter one (sub-)image: prev row starts zero per pass
+        # filter one (sub-)image of packed scanlines: prev row starts
+        # zero per pass; the left neighbor is bpp bytes back
         stride = len(rows[0])
         prev = bytes(stride)
         out = bytearray()
@@ -159,9 +225,9 @@ def make_png(width: int, height: int, rgb_fn, row_filters=None,
             f = filters[yi % len(filters)]
             enc = bytearray(stride)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if f == 0:
                     pred = 0
                 elif f == 1:
@@ -180,14 +246,19 @@ def make_png(width: int, height: int, rgb_fn, row_filters=None,
         return bytes(out)
 
     if not interlace:
-        raw = filt(pixels) if height else b""
+        packed = [_png_pack_row(row, depth) for row in samples]
+        raw = filt(packed) if height else b""
     else:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = [
-                b"".join(
-                    pixels[y][x * ch : (x + 1) * ch]
-                    for x in range(x0, width, dx)
+                _png_pack_row(
+                    [
+                        v
+                        for x in range(x0, width, dx)
+                        for v in samples[y][x * ch : (x + 1) * ch]
+                    ],
+                    depth,
                 )
                 for y in range(y0, height, dy)
             ]
@@ -205,11 +276,15 @@ def make_png(width: int, height: int, rgb_fn, row_filters=None,
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        plte = b"".join(bytes(c) for c in palette)
+        out += chunk(b"PLTE", plte)
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -386,11 +461,12 @@ _ADAM7 = (
 
 
 def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
-                  ch: int) -> tuple["np.ndarray", int]:
+                  bpp: int) -> tuple["np.ndarray", int]:
     """Unfilter one (sub-)image of ``h`` scanlines of ``stride`` bytes
     starting at ``off`` — all five scanline unfilters
-    (None/Sub/Up/Average/Paeth) — returning the rows and the offset
-    after the consumed bytes."""
+    (None/Sub/Up/Average/Paeth), left neighbor ``bpp`` bytes back
+    (1 for sub-byte depths, per spec §9.2) — returning the rows and
+    the offset after the consumed bytes."""
     if len(raw) - off < (stride + 1) * h:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -409,9 +485,9 @@ def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
             # the scanline; rows stay numpy, the walk is per-byte
             cur = np.empty(stride, np.int64)
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -430,31 +506,54 @@ def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
     return out, off + (stride + 1) * h
 
 
+def _png_unpack(rows: "np.ndarray", wpx: int, ch: int,
+                depth: int) -> "np.ndarray":
+    """Unpack filtered scanline bytes to per-sample values: MSB-first
+    bit groups below 8 bits, the HIGH byte of big-endian 16-bit
+    samples (the standard 16->8 downsample, exact for the replicated
+    ``s * 257`` encoding) — returning (h, wpx*ch)."""
+    n = wpx * ch
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        return rows[:, 0 : 2 * n : 2]
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+    grp = bits[:, : n * depth].reshape(rows.shape[0], n, depth)
+    vals = np.zeros((rows.shape[0], n), np.int64)
+    for k in range(depth):
+        vals = (vals << 1) | grp[:, :, k]
+    return vals
+
+
 def _decode_png(data: bytes) -> tuple[int, int]:
-    """(luma checksum, pixel count) of an 8-bit grey/grey+alpha/RGB/
-    RGBA PNG, sequential or Adam7-INTERLACED — a REAL compressed-image
-    decode with nothing but stdlib zlib + numpy: chunk walk, DEFLATE
-    inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth),
-    and the seven-pass de-interlace scatter (each pass unfiltered as
-    its own reduced image, empty passes byte-free, per the spec).
-    Same integer ITU-R 601 luma as :func:`_decode_bmp`, so one image
-    encoded both ways — and both interlace modes — checksums
-    identically (tested).  Palette and 16-bit PNGs raise
-    NotImplementedError (rare in crawl data; PIL takes over when
-    present)."""
+    """(luma checksum, pixel count) of a PNG — the FULL static format
+    with nothing but stdlib zlib + numpy: every legal color-type x
+    bit-depth combination (grey 1/2/4/8/16, truecolor 8/16, palette
+    1/2/4/8 via PLTE, grey+alpha and RGBA 8/16), sequential or
+    Adam7-INTERLACED — chunk walk, DEFLATE inflate, all five scanline
+    unfilters (None/Sub/Up/Average/Paeth, left neighbor at the
+    per-format byte distance), the seven-pass de-interlace scatter
+    (each pass unfiltered as its own reduced image, empty passes
+    byte-free), sub-byte MSB-first sample unpacking, and 16->8 high-
+    byte downsampling.  Same integer ITU-R 601 luma as
+    :func:`_decode_bmp`, so one image encoded any of these ways
+    checksums identically (tested, incl. positionally vs the JVM's
+    ImageIO)."""
     import struct
     import zlib
 
     data = bytes(data)
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte = 8, b"", None, None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = body
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -462,17 +561,18 @@ def _decode_png(data: bytes) -> tuple[int, int]:
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ct, _comp, _filt, interlace = ihdr
-    if depth != 8 or ct not in (0, 2, 4, 6):
-        raise NotImplementedError(
-            f"only 8-bit grey/RGB(A) PNG (depth={depth}, color={ct})"
+    if ct not in _PNG_CHANNELS or depth not in _PNG_DEPTHS.get(ct, ()):
+        raise ValueError(
+            f"illegal PNG color-type/depth combination ({ct}, {depth})"
         )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    ch = _PNG_CHANNELS[ct]
+    bpp = max(1, (ch * depth) // 8)
     raw = zlib.decompress(idat)
     if interlace == 0:
-        rows, off = _png_unfilter(raw, 0, h, w * ch, ch)
-        px = rows.reshape(h, w, ch)
+        rows, off = _png_unfilter(raw, 0, h, (w * ch * depth + 7) // 8, bpp)
+        px = _png_unpack(rows, w, ch, depth).reshape(h, w, ch)
     else:
         px = np.zeros((h, w, ch), dtype=np.int64)
         off = 0
@@ -481,12 +581,26 @@ def _decode_png(data: bytes) -> tuple[int, int]:
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            stride = (pw * ch * depth + 7) // 8
+            sub, off = _png_unfilter(raw, off, ph, stride, bpp)
+            px[y0::dy, x0::dx] = _png_unpack(sub, pw, ch, depth).reshape(
+                ph, pw, ch
+            )
     if off != len(raw):
         raise ValueError("trailing bytes in PNG pixel data")
-    if ct in (0, 4):
-        luma = px[:, :, 0]
+    if ct == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.int64)
+        if px.size and int(px.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[px[:, :, 0]]
+        luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    elif ct in (0, 4):
+        grey = px[:, :, 0]
+        if depth < 8:
+            grey = grey * 255 // ((1 << depth) - 1)
+        luma = grey
     else:
         luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
     return int(luma.sum()), int(w * h)
@@ -4486,11 +4600,14 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
             elif which == 1:
                 rows.append((i, kind, make_png(16, 10, fn), "png", 16, 10, None))
             elif which == 2:
+                # palette + Adam7 in one row: the two r9 PNG paths
                 rows.append(
                     (
                         i,
                         kind,
-                        make_png(16, 10, fn, interlace=True),
+                        make_png(
+                            16, 10, fn, interlace=True, color_type=3, depth=8
+                        ),
                         "png",
                         16,
                         10,

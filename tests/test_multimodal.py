@@ -189,7 +189,9 @@ def test_png_decode_is_real_and_filter_invariant(spark):
 
 def test_png_decode_grey_and_unsupported(spark):
     """Greyscale (color type 0) decodes — luma IS the grey value; a
-    16-bit IHDR is rejected loudly, not mis-parsed."""
+    16-bit IHDR over 8-bit pixel data is a loud truncation error, not
+    a mis-parse (16-bit streams themselves decode since r9 — see the
+    full-format tests below)."""
     import struct
     import zlib
 
@@ -212,7 +214,8 @@ def test_png_decode_grey_and_unsupported(spark):
         + chunk(b"IEND", b"")
     )
     assert _decode_png(png) == (21, 6)
-    # 16-bit depth: rejected
+    # a 16-bit IHDR over these 8-bit rows leaves half the expected
+    # bytes missing: loud truncation, never a silent mis-parse
     ihdr16 = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
     png16 = (
         b"\x89PNG\r\n\x1a\n"
@@ -220,7 +223,7 @@ def test_png_decode_grey_and_unsupported(spark):
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="depth=16"):
+    with _pytest.raises(ValueError, match="truncated PNG"):
         _decode_png(png16)
     with _pytest.raises(ValueError, match="not a PNG"):
         _decode_png(b"BM not a png")
@@ -1716,3 +1719,129 @@ def test_interlaced_garbage_never_hangs():
                 dec(data[:cut])
             except (ValueError, NotImplementedError, IndexError, Exception):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Full PNG format (r9): palette (PLTE), sub-byte and 16-bit depths —
+# every legal color-type x bit-depth combination, both interlace
+# modes.  Palette PNGs in particular are everywhere in crawl data
+# (icons, screenshots, optimized graphics); they were the largest
+# remaining PNG gate.
+
+
+def test_png_full_format_matrix_matches_bmp():
+    """Exact checksum equality with the BMP twin across the whole
+    legal (color type, depth, interlace) matrix, with content chosen
+    so every encoding is lossless: palettized patterns for type 3,
+    replicated d-bit grey levels for sub-byte grey, s*257 samples for
+    16-bit."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    pal8 = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    pfn = lambda x, y: pal8[(x + 2 * y) % 8]  # noqa: E731
+    bifn = lambda x, y: [(0, 0, 0), (255, 255, 255)][(x ^ y) & 1]  # noqa: E731
+
+    def grey_fn(d):
+        levels = [(v * 255) // ((1 << d) - 1) for v in range(1 << d)]
+        return lambda x, y: (levels[(x + y) % len(levels)],) * 3
+
+    for w, h in ((1, 1), (7, 5), (16, 13), (33, 21)):
+        for inter in (False, True):
+            want = _decode_bmp(make_bmp(w, h, fn))
+            got = _decode_png(make_png(w, h, fn, interlace=inter, depth=16))
+            assert got == want, ("rgb16", w, h, inter)
+            pw = _decode_bmp(make_bmp(w, h, pfn))
+            for d in (4, 8):
+                got = _decode_png(
+                    make_png(w, h, pfn, interlace=inter, color_type=3, depth=d)
+                )
+                assert got == pw, ("palette", d, w, h, inter)
+            bw = _decode_bmp(make_bmp(w, h, bifn))
+            got = _decode_png(
+                make_png(w, h, bifn, interlace=inter, color_type=3, depth=1)
+            )
+            assert got == bw, ("palette", 1, w, h, inter)
+            for d in (1, 2, 4, 8, 16):
+                gfn = grey_fn(min(d, 8))
+                gw = _decode_bmp(make_bmp(w, h, gfn))
+                got = _decode_png(
+                    make_png(w, h, gfn, interlace=inter, color_type=0, depth=d)
+                )
+                assert got == gw, ("grey", d, w, h, inter)
+
+
+def test_png_full_format_conforms_to_jvm_imageio(spark):
+    """POSITIONAL third-party conformance of the palette / sub-byte /
+    16-bit encoder output via javax.imageio — a packing or PLTE
+    mistake that preserved the luma SUM would still fail here."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_png
+
+    pal8 = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    pfn = lambda x, y: pal8[(x + 2 * y) % 8]  # noqa: E731
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    g4 = lambda x, y: (((x + y) % 16) * 17,) * 3  # noqa: E731
+    bifn = lambda x, y: [(0, 0, 0), (255, 255, 255)][(x ^ y) & 1]  # noqa: E731
+    cases = [
+        (make_png(13, 9, pfn, color_type=3, depth=4, interlace=True), pfn),
+        (make_png(13, 9, pfn, color_type=3, depth=8), pfn),
+        (make_png(13, 9, fn, depth=16), fn),
+        (make_png(13, 9, g4, color_type=0, depth=4), g4),
+        (make_png(13, 9, bifn, color_type=0, depth=1, interlace=True), bifn),
+    ]
+    for data, expect in cases:
+        got = _jvm_pixels(spark, data)
+        if got is None:
+            pytest.skip("JVM ImageIO has no PNG reader")
+        w, h, px = got
+        assert px == [expect(x, y) for y in range(h) for x in range(w)]
+
+
+def test_png_validation_is_loud():
+    """Illegal header combinations and palette violations reject with
+    ValueError, encoder-side and decoder-side."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_png, make_png
+
+    fn = lambda x, y: (x % 256, y % 256, 0)  # noqa: E731
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        make_png(4, 4, fn, color_type=3, depth=16)
+    with pytest.raises(ValueError, match="distinct colors"):
+        make_png(16, 16, fn, color_type=3, depth=2)  # >4 colors at depth 2
+    data = bytearray(make_png(6, 6, fn, color_type=3, depth=8))
+    # corrupt the IHDR color type to an illegal combination (3, 16)
+    assert data[24] == 8 and data[25] == 3
+    data[24] = 16
+    import struct
+    import zlib
+
+    data[29:33] = struct.pack(">I", zlib.crc32(bytes(data[12:29])))
+    with pytest.raises(ValueError, match="illegal PNG"):
+        _decode_png(bytes(data))
+    # palette index out of range: shrink PLTE below the used indices
+    good = make_png(6, 6, fn, color_type=3, depth=8)
+    at = good.find(b"PLTE") - 4
+    ln = struct.unpack_from(">I", good, at)[0]
+    body = good[at + 8 : at + 8 + 3]  # keep ONE entry
+    rebuilt = (
+        good[:at]
+        + struct.pack(">I", 3)
+        + b"PLTE"
+        + body
+        + struct.pack(">I", zlib.crc32(b"PLTE" + body))
+        + good[at + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(rebuilt)
