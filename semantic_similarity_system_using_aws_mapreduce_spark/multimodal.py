@@ -1019,6 +1019,7 @@ def make_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     arithmetic: bool = False,
+    colorspace: str | None = None,
 ) -> bytes:
     """A GENUINE baseline JPEG via stdlib + numpy: real FDCT, real
     quantization (Annex K tables scaled by ``quality`` per the IJG
@@ -1043,7 +1044,13 @@ def make_jpeg(
     coefficients, so all four (entropy x scan-script) encodings of one
     image decode identically; conformance against the system libjpeg
     is pinned by the coefficient-transcode tests when that library is
-    present."""
+    present.
+
+    ``colorspace`` writes the Adobe APP14 variants real encoders emit
+    besides JFIF YCbCr: ``"rgb"`` (3 components, transform 0),
+    ``"cmyk"`` (4 components, transform 0, inverted inks with K=255 so
+    brightness round-trips exactly), ``"ycck"`` (4 components,
+    transform 2)."""
     import struct
 
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -1063,7 +1070,33 @@ def make_jpeg(
     cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
     cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
 
-    if gray:
+    if colorspace is not None:
+        if colorspace not in ("rgb", "cmyk", "ycck"):
+            raise ValueError(f"unknown JPEG colorspace {colorspace!r}")
+        if gray or subsample:
+            raise ValueError("colorspace modes are full-resolution color")
+        kplane = np.full((height, width), 255.0)
+        if colorspace == "rgb":
+            # 'R','G','B' component IDs (the libjpeg convention) so
+            # the colorspace survives transcoders that drop APP14
+            comps = [(0x52, 1, 1, 0), (0x47, 1, 1, 1), (0x42, 1, 1, 1)]
+            planes = [np.clip(np.round(p), 0, 255) for p in (rf, gf, bf)]
+        elif colorspace == "cmyk":
+            # Adobe inverted-ink convention with no black ink: the
+            # stored CMY ARE the RGB values and K is constant 255, so
+            # the decode brightness round-trips exactly
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1), (4, 1, 1, 1)]
+            planes = [np.clip(np.round(p), 0, 255) for p in (rf, gf, bf)]
+            planes.append(kplane)
+        else:  # ycck: the inverted CMY run through the YCbCr transform
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1), (4, 1, 1, 1)]
+            planes = [
+                np.clip(np.round(yy), 0, 255),
+                np.clip(np.round(cb), 0, 255),
+                np.clip(np.round(cr), 0, 255),
+                kplane,
+            ]
+    elif gray:
         comps = [(1, 1, 1, 0)]
         planes = [np.clip(np.round(yy), 0, 255)]
     elif subsample:
@@ -1308,6 +1341,10 @@ def make_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if colorspace is not None:
+        transform = 2 if colorspace == "ycck" else 0
+        app14 = b"Adobe" + struct.pack(">HHHB", 0x65, 0, 0, transform)
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
     n_qt = 1 if gray else 2
     for tq in range(n_qt):
         # tables are stored in ZIGZAG order
@@ -2212,6 +2249,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
     dri = 0
     progressive = False
     arith = False
+    adobe_transform = None  # APP14: 0 = no transform (RGB/CMYK), 1 = YCbCr, 2 = YCCK
     dac_dc: dict[int, tuple[int, int]] = {}
     dac_ac: dict[int, int] = {}
     coefs: dict[int, "np.ndarray"] = {}
@@ -2303,6 +2341,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
                     if not 1 <= val <= 63:
                         raise ValueError("bad DAC AC conditioning Kx")
                     dac_ac[tb] = val
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14 color transform
+            adobe_transform = body[11] if len(body) > 11 else 0
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — decode the scan in place
@@ -2352,19 +2392,44 @@ def _decode_jpeg(data: bytes) -> tuple[int, int]:
         if h < hmax or v < vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         full[cid] = np.clip(np.round(p[:height, :width]), 0, 255).astype(np.int64)
-    if len(comps) == 1:
-        luma = full[comps[0][0]]
-    else:
-        ids = [cid for cid, *_ in comps]
-        yy = planes[ids[0]][:height, :width]
-        cb = full[ids[1]].astype(np.float64)
-        cr = full[ids[2]].astype(np.float64)
+    def _ycc_to_rgb(y_id, cb_id, cr_id):
+        yy = planes[y_id][:height, :width]
+        cb = full[cb_id].astype(np.float64)
+        cr = full[cr_id].astype(np.float64)
         rf = np.clip(np.round(yy + 1.402 * (cr - 128.0)), 0, 255).astype(np.int64)
         gf = np.clip(
             np.round(yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
         ).astype(np.int64)
         bf = np.clip(np.round(yy + 1.772 * (cb - 128.0)), 0, 255).astype(np.int64)
+        return rf, gf, bf
+
+    ids = [cid for cid, *_ in comps]
+    if len(comps) == 1:
+        luma = full[ids[0]]
+    elif len(comps) == 3:
+        if adobe_transform == 0 or ids == [0x52, 0x47, 0x42]:
+            # plain RGB, signalled by APP14 transform 0 or by the
+            # 'R','G','B' component IDs (both conventions are real)
+            rf, gf, bf = (full[i] for i in ids)
+        else:
+            rf, gf, bf = _ycc_to_rgb(*ids)
         luma = (299 * rf + 587 * gf + 114 * bf) // 1000
+    elif len(comps) == 4:
+        # Adobe CMYK conventions: ink values are stored INVERTED
+        # (255 = no ink); transform 2 (YCCK) additionally runs the
+        # inverted CMY through the YCbCr transform.  Brightness is
+        # then RGB = stored_ink * stored_K / 255 per channel.
+        if adobe_transform == 2:
+            cf, mf, yf = _ycc_to_rgb(ids[0], ids[1], ids[2])
+        else:
+            cf, mf, yf = (full[i] for i in ids[:3])
+        kf = full[ids[3]]
+        rf = (cf * kf) // 255
+        gf = (mf * kf) // 255
+        bf = (yf * kf) // 255
+        luma = (299 * rf + 587 * gf + 114 * bf) // 1000
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
     return int(luma.sum()), int(width * height)
 
 

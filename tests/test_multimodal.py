@@ -1845,3 +1845,93 @@ def test_png_validation_is_loud():
     )
     with pytest.raises(ValueError, match="palette index"):
         _decode_png(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# JPEG colorspace variants (r9): Adobe CMYK / YCCK (4 components,
+# APP14 transform 0 / 2 — print-workflow images that DO land in web
+# crawls) and plain-RGB (APP14 transform 0 or 'R','G','B' component
+# IDs).  Before this, a 4-component stream decoded silently wrong
+# (treated as YCbCr with K ignored) — the one state the decoders are
+# never allowed to be in.
+
+
+def test_jpeg_colorspace_variants_decode():
+    """RGB/CMYK/YCCK streams track the BMP twin within the usual
+    quantization tolerance, and each variant's Huffman, arithmetic and
+    progressive-arithmetic encodings decode BIT-IDENTICALLY (shared
+    coefficients); stripping the APP14 from a YCCK stream changes the
+    decode (the transform byte is really consumed — the fallback is
+    plain inverted CMYK)."""
+    import struct
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_jpeg,
+        make_bmp,
+        make_jpeg,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    want, n = _decode_bmp(make_bmp(33, 21, fn))
+    for cs in ("rgb", "cmyk", "ycck"):
+        base = _decode_jpeg(make_jpeg(33, 21, fn, colorspace=cs))
+        arith = _decode_jpeg(make_jpeg(33, 21, fn, colorspace=cs, arithmetic=True))
+        prog = _decode_jpeg(
+            make_jpeg(33, 21, fn, colorspace=cs, progressive=True, arithmetic=True)
+        )
+        assert base == arith == prog, cs
+        assert base[1] == n and abs(base[0] - want) <= 3 * n + 2, cs
+    data = make_jpeg(33, 21, fn, colorspace="ycck")
+    at = data.find(b"\xff\xee")
+    ln = struct.unpack_from(">H", data, at + 2)[0]
+    stripped = data[:at] + data[at + 2 + ln :]
+    assert _decode_jpeg(data) != _decode_jpeg(stripped)
+    # rgb is ALSO signalled by 'R','G','B' component IDs alone, the
+    # convention that survives APP14-dropping transcoders
+    rgb = make_jpeg(33, 21, fn, colorspace="rgb")
+    at = rgb.find(b"\xff\xee")
+    ln = struct.unpack_from(">H", rgb, at + 2)[0]
+    no_app14 = rgb[:at] + rgb[at + 2 + ln :]
+    assert _decode_jpeg(no_app14) == _decode_jpeg(rgb)
+    with pytest.raises(ValueError, match="unknown JPEG colorspace"):
+        make_jpeg(8, 8, fn, colorspace="cmy")
+    with pytest.raises(ValueError, match="full-resolution"):
+        make_jpeg(8, 8, fn, colorspace="cmyk", gray=True)
+
+
+def test_jpeg_colorspace_live_libjpeg_conformance(tmp_path):
+    """gcc-gated: each colorspace variant entropy-transcodes through
+    the system libjpeg in both directions with identical decodes —
+    including the 4-component arithmetic path (a component-count
+    assumption anywhere in the coder would break here)."""
+    import subprocess
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_jpeg, make_jpeg
+
+    exe = _build_jpeg_transcoder(str(tmp_path))
+    if exe is None:
+        pytest.skip("gcc or libjpeg development headers unavailable")
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+
+    def transcode(data, mode):
+        src = tmp_path / "in.jpg"
+        dst = tmp_path / "out.jpg"
+        src.write_bytes(data)
+        subprocess.run([exe, str(src), str(dst), mode], check=True)
+        return dst.read_bytes()
+
+    for cs in ("rgb", "cmyk", "ycck"):
+        huff = make_jpeg(33, 21, fn, colorspace=cs)
+        want = _decode_jpeg(huff)
+        assert _decode_jpeg(transcode(huff, "arith")) == want, cs
+        mine = make_jpeg(33, 21, fn, colorspace=cs, arithmetic=True)
+        assert _decode_jpeg(transcode(mine, "huff")) == want, cs
