@@ -17,13 +17,27 @@ prediction, mid/left/right-side stereo decorrelation), and YUV4MPEG2
 (y4m) video (header parse + frame walk), Ogg Vorbis (real codebook /
 floor1 / residue / IMDCT decode — new r9) — and library-gated for the
 remaining compressed formats (arithmetic-coded DCT JPEG — SOF9/10 —
-decodes for real since r9 via a T.81 Annex D/F coder, libjpeg-verified):
+decodes for real since r9 via a T.81 Annex D/F coder, libjpeg-verified,
+incl. the Adobe CMYK/YCCK/RGB colorspace variants):
 lossless/differential JPEG (SOF3/5-7/11/13-15) needs PIL,
 Ogg Opus needs soundfile, MP4 pixel decode needs av (container
 metadata — unfragmented AND fragmented frame counts — is stdlib, as is
 Ogg-FLAC via a real RFC 3533 depacketizer), none of which ship in this
 container, so those rows raise NotImplementedError loudly (the probe + skip-marked test light
 the seam up the moment the libraries appear).
+
+PERMANENT-GATE RATIONALE (why the remaining gates stay gates rather
+than r10 stdlib decoders): Ogg Opus is SILK + CELT — two full
+psychoacoustic codecs (LPC/LTP vocoder plus MDCT transform coder with
+PVQ, ~15k lines in the reference libopus) whose conformance cannot be
+established without the official test vectors; MP4 pixel decode is
+H.264/H.265 (CABAC, inter-prediction, deblocking — an order of
+magnitude beyond every codec here), and a crawl pipeline needs frame
+COUNTS and sampling geometry (stdlib above) far more often than pixel
+data; lossless/differential JPEG processes are effectively absent
+from web crawls (medical/scientific archives only).  Each gate is
+probed, loud, and exercised by tests, so nothing silently rots; the
+cost/benefit deliberately stops here.
 Swapping in PIL/ffmpeg changes only the inner per-format branch, not
 the Spark plan.
 
