@@ -81,6 +81,7 @@ DECODED_SCHEMA = (
     "media_id long, kind string, n_bytes int, checksum long, "
     "pixels_or_samples long"
 )
+DECODED_QUARANTINE_SCHEMA = DECODED_SCHEMA + ", error string"
 
 FEATURE_DIM = 16
 FEATURE_SCHEMA = f"media_id long, feature array<float>"
@@ -5363,98 +5364,126 @@ def codec_support() -> dict[str, bool]:
     return support
 
 
-def _real_decode(pdf: pd.DataFrame, support: dict[str, bool]) -> pd.DataFrame:
+def _decode_one(kind, fmt, data, support: dict[str, bool]) -> tuple[int, int]:
+    """Decode ONE payload to (checksum, pixels_or_samples) — the
+    stdlib dispatch with library-gate fallbacks, shared by the
+    raise-through and quarantine paths."""
     import io
 
-    n_bytes, checksums, pixels = [], [], []
-    for kind, fmt, data in zip(pdf["kind"], pdf["format"], pdf["data"]):
-        fmt = (fmt or "").lower()
-        if fmt == "bmp":
-            checksum, count = _decode_bmp(data)
-        elif fmt == "png":
-            checksum, count = _decode_png(data)
-        elif fmt == "gif":
-            checksum, count = _decode_gif(data)
-        elif fmt in ("jpeg", "jpg"):
-            try:
-                checksum, count = _decode_jpeg(data)
-            except NotImplementedError:
-                # lossless/differential variants fall through to the
-                # library gate below (PIL decodes them when present)
-                if not (kind == "image" and support.get("image")):
-                    raise
-                from PIL import Image
-
-                arr = np.asarray(
-                    Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
-                )
-                checksum, count = int(arr.sum()), int(arr.size)
-        elif fmt == "webp":
-            try:
-                checksum, count = _decode_webp(data)
-            except NotImplementedError:
-                # lossy VP8 / extended VP8X fall to the PIL gate
-                if not (kind == "image" and support.get("image")):
-                    raise
-                from PIL import Image
-
-                arr = np.asarray(
-                    Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
-                )
-                checksum, count = int(arr.sum()), int(arr.size)
-        elif fmt == "wav":
-            checksum, count = _decode_wav(data)
-        elif fmt == "flac":
-            try:
-                checksum, count = _decode_flac(data)
-            except NotImplementedError:
-                # Ogg Opus / >2-channel / floor-0 fall to the soundfile gate
-                if not (kind == "audio" and support.get("audio")):
-                    raise
-                import soundfile as sf
-
-                samples, _rate = sf.read(io.BytesIO(bytes(data)))
-                checksum = int(np.abs(samples).sum())
-                count = int(np.asarray(samples).size)
-        elif fmt == "y4m":
-            checksum, count = _decode_y4m(data)
-        elif fmt == "mp4":
-            try:
-                checksum, count = _parse_mp4(data)
-            except NotImplementedError:
-                # fragmented streams fall to the av gate
-                if not (kind == "video" and support.get("video")):
-                    raise
-                import av
-
-                with av.open(io.BytesIO(bytes(data))) as container:
-                    checksum = count = sum(1 for _ in container.decode(video=0))
-        elif kind == "image" and support.get("image"):
+    fmt = (fmt or "").lower()
+    if fmt == "bmp":
+        checksum, count = _decode_bmp(data)
+    elif fmt == "png":
+        checksum, count = _decode_png(data)
+    elif fmt == "gif":
+        checksum, count = _decode_gif(data)
+    elif fmt in ("jpeg", "jpg"):
+        try:
+            checksum, count = _decode_jpeg(data)
+        except NotImplementedError:
+            # lossless/differential variants fall through to the
+            # library gate below (PIL decodes them when present)
+            if not (kind == "image" and support.get("image")):
+                raise
             from PIL import Image
 
             arr = np.asarray(
                 Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
             )
             checksum, count = int(arr.sum()), int(arr.size)
-        elif kind == "audio" and support.get("audio"):
+    elif fmt == "webp":
+        try:
+            checksum, count = _decode_webp(data)
+        except NotImplementedError:
+            # lossy VP8 / extended VP8X fall to the PIL gate
+            if not (kind == "image" and support.get("image")):
+                raise
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
+            )
+            checksum, count = int(arr.sum()), int(arr.size)
+    elif fmt == "wav":
+        checksum, count = _decode_wav(data)
+    elif fmt == "flac":
+        try:
+            checksum, count = _decode_flac(data)
+        except NotImplementedError:
+            # Ogg Opus / >2-channel / floor-0 fall to the soundfile gate
+            if not (kind == "audio" and support.get("audio")):
+                raise
             import soundfile as sf
 
             samples, _rate = sf.read(io.BytesIO(bytes(data)))
             checksum = int(np.abs(samples).sum())
             count = int(np.asarray(samples).size)
-        elif kind == "video" and support.get("video"):
+    elif fmt == "y4m":
+        checksum, count = _decode_y4m(data)
+    elif fmt == "mp4":
+        try:
+            checksum, count = _parse_mp4(data)
+        except NotImplementedError:
+            # fragmented streams fall to the av gate
+            if not (kind == "video" and support.get("video")):
+                raise
             import av
 
             with av.open(io.BytesIO(bytes(data))) as container:
                 checksum = count = sum(1 for _ in container.decode(video=0))
+    elif kind == "image" and support.get("image"):
+        from PIL import Image
+
+        arr = np.asarray(
+            Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
+        )
+        checksum, count = int(arr.sum()), int(arr.size)
+    elif kind == "audio" and support.get("audio"):
+        import soundfile as sf
+
+        samples, _rate = sf.read(io.BytesIO(bytes(data)))
+        checksum = int(np.abs(samples).sum())
+        count = int(np.asarray(samples).size)
+    elif kind == "video" and support.get("video"):
+        import av
+
+        with av.open(io.BytesIO(bytes(data))) as container:
+            checksum = count = sum(1 for _ in container.decode(video=0))
+    else:
+        raise NotImplementedError(
+            f"no codec available for format={fmt!r} kind={kind!r} "
+            f"(stdlib formats: {sorted(STDLIB_FORMATS)}; probe: {support})"
+        )
+    return checksum, count
+
+
+def _real_decode(pdf: pd.DataFrame, support: dict[str, bool],
+                 quarantine: bool = False) -> pd.DataFrame:
+    n_bytes, checksums, pixels, errors = [], [], [], []
+    for kind, fmt, data in zip(pdf["kind"], pdf["format"], pdf["data"]):
+        if quarantine:
+            try:
+                checksum, count = _decode_one(kind, fmt, data, support)
+                errors.append(None)
+            except Exception as ex:  # one bad payload, not the batch
+                checksum = count = None
+                errors.append(f"{type(ex).__name__}: {ex}")
         else:
-            raise NotImplementedError(
-                f"no codec available for format={fmt!r} kind={kind!r} "
-                f"(stdlib formats: {sorted(STDLIB_FORMATS)}; probe: {support})"
-            )
+            checksum, count = _decode_one(kind, fmt, data, support)
         checksums.append(checksum)
         pixels.append(count)
         n_bytes.append(len(data))
+    if quarantine:
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": n_bytes,
+                "checksum": pd.array(checksums, dtype="Int64"),
+                "pixels_or_samples": pd.array(pixels, dtype="Int64"),
+                "error": errors,
+            }
+        )
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],
@@ -5485,26 +5514,44 @@ def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def decode_media(media: DataFrame, decoder: str = "fake",
+                 on_error: str = "raise") -> DataFrame:
     """Decode binary payloads to per-item metadata via mapInPandas.
 
     ``decoder="real"`` GENUINELY decodes the stdlib formats (24-bit
-    BMP, PNG, GIF, Huffman AND arithmetic DCT JPEG, PCM16/IMA-ADPCM
-    WAV, native FLAC, y4m — :data:`STDLIB_FORMATS`) with no external
-    library, and dispatches the rest (lossless JPEG, lossy WebP, Ogg Opus, MP4 pixels) to
-    whatever codec libraries the environment offers (PIL / soundfile
-    / av, per :func:`codec_support`); a row in a format nothing can
-    decode raises NotImplementedError from the executor — loudly,
-    never silently.  The Spark plan is identical across decoders; only the
-    inner pandas function changes.
-    """
+    BMP, PNG, GIF, Huffman AND arithmetic DCT JPEG, lossless WebP,
+    PCM16/IMA-ADPCM WAV, native FLAC, y4m — :data:`STDLIB_FORMATS`)
+    with no external library, and dispatches the rest (lossless JPEG,
+    lossy WebP, Ogg Opus, MP4 pixels) to whatever codec libraries the
+    environment offers (PIL / soundfile / av, per
+    :func:`codec_support`).
+
+    ``on_error`` picks the failure semantics for a payload nothing can
+    decode (or that is corrupt): ``"raise"`` fails the task loudly —
+    right for tests and known-clean tables; ``"quarantine"`` confines
+    the failure to its ONE row (null checksum/pixels plus an ``error``
+    column naming the exception), the same per-record philosophy as
+    the WARC reader — at crawl scale one torn image must never kill a
+    stage after hours of work.  The Spark plan is identical across
+    decoders and error modes; only the inner pandas function and the
+    declared schema change."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
     support = codec_support() if decoder == "real" else {}
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _real_decode(pdf, support) if decoder == "real" else _fake_decode(pdf)
+            if decoder == "real":
+                yield _real_decode(pdf, support, quarantine=quarantine)
+            else:
+                out = _fake_decode(pdf)
+                if quarantine:  # fake decode is total; errors all null
+                    out = out.assign(error=None)
+                yield out
 
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+    schema = DECODED_QUARANTINE_SCHEMA if quarantine else DECODED_SCHEMA
+    return media.mapInPandas(run, schema=schema)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

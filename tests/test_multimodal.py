@@ -2153,3 +2153,35 @@ def test_webp_through_decode_media(spark):
         )
         assert r.pixels_or_samples == 54
         assert r.checksum == want
+
+
+def test_decode_media_quarantine_confines_bad_rows(spark):
+    """on_error='quarantine' (r9): a corrupt payload nulls its OWN row
+    and names the failure in the error column — the batch, the task
+    and the good rows survive.  Same per-record philosophy as the WARC
+    reader; at crawl scale one torn image must never kill a stage."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_png, make_webp
+
+    fn = lambda x, y: (x * 9 % 256, y * 4 % 256, (x + y) % 256)  # noqa: E731
+    good_png = make_png(8, 6, fn)
+    rows = [
+        (0, "image", good_png, "png", 8, 6, None),
+        (1, "image", b"\x89PNG\r\n\x1a\n garbage", "png", 8, 6, None),
+        (2, "image", make_webp(8, 6, fn), "webp", 8, 6, None),
+        (3, "image", b"not media at all", "avif", 8, 6, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           decode_media(media, decoder="real", on_error="quarantine").collect()}
+    assert got[0].error is None and got[0].pixels_or_samples == 48
+    assert got[2].error is None and got[2].pixels_or_samples == 48
+    assert got[1].checksum is None and "PNG" in got[1].error
+    assert got[3].checksum is None and got[3].error.startswith("NotImplementedError")
+    # default mode still fails the task loudly
+    with pytest.raises(Exception):
+        decode_media(media, decoder="real").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_media(media, decoder="real", on_error="skip")
+    # the fake decoder is total: quarantine mode adds an all-null column
+    fake = decode_media(media, decoder="fake", on_error="quarantine").collect()
+    assert all(r.error is None for r in fake)
