@@ -10,7 +10,9 @@ scanline unfilters, Adam7 interlace, palette/sub-byte/16-bit depths —
 r9), GIF (full variable-width LZW,
 four-pass interlace — r9), lossless WebP (full VP8L bitstream: prefix
 codes, meta-groups, color cache, LZ77, all four inverse transforms —
-r9, libwebp-conformance-tested both directions), BASELINE JPEG (real marker
+r9, libwebp-conformance-tested both directions), ICO favicons (classic
+32/24/8/4/1-bpp DIB entries + embedded PNG, largest-entry selection —
+r9), BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
 restart markers; progressive SOF2 with spectral selection AND
 successive approximation — DC/AC refinement scans, EOBRUN), PCM +
@@ -123,7 +125,9 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 # AND arithmetic entropy coding (grayscale / 4:4:4 / 4:2:0, restart
 # markers, spectral selection + successive approximation); only the
 # lossless/differential processes still fall through to the PIL gate.
-STDLIB_FORMATS = {"bmp", "png", "gif", "jpeg", "webp", "wav", "flac", "y4m", "mp4"}
+STDLIB_FORMATS = {
+    "bmp", "png", "gif", "jpeg", "webp", "ico", "wav", "flac", "y4m", "mp4",
+}
 
 
 def make_bmp(width: int, height: int, rgb_fn) -> bytes:
@@ -415,6 +419,193 @@ def make_gif(width: int, height: int, rgb_fn, interlace: bool = False) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+# ---------------------------------------------------------------------------
+# ICO — favicons, which a web crawl fetches for every host.  A
+# container of independently-encoded entries: classic headerless DIBs
+# (BITMAPINFOHEADER with doubled height for the AND mask, bottom-up
+# padded rows, 32/24/8/4/1 bpp with BGRX palettes) or embedded PNGs
+# (Vista+), dispatched to the full PNG decoder above.  The decoder
+# reports the LARGEST entry (the representative image); the AND mask
+# is transparency only and does not enter the luma.
+
+
+def _decode_ico_dib(body: bytes, w: int, h: int) -> tuple[int, int]:
+    """One classic ICO DIB entry: headerless BITMAPINFOHEADER whose
+    biHeight covers XOR image + AND mask."""
+    import struct
+
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
+    (bisize, biw, bih, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", body, 0)
+    if bisize < 40:
+        raise ValueError("bad ICO DIB header size")
+    if comp != 0:
+        raise NotImplementedError(f"ICO DIB compression {comp} (BI_RGB only)")
+    if biw != w or bih not in (h, 2 * h):
+        raise ValueError("ICO DIB dimensions disagree with the directory")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"ICO DIB bpp {bpp}")
+    pos = bisize
+    pal = None
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", body, 32)[0] or (1 << bpp)
+        pal = np.frombuffer(
+            body, np.uint8, n_colors * 4, pos
+        ).reshape(n_colors, 4).astype(np.int64)  # BGRX
+        pos += n_colors * 4
+    stride = (w * bpp + 31) // 32 * 4
+    if len(body) < pos + stride * h:
+        raise ValueError("truncated ICO DIB pixel data")
+    rows = np.frombuffer(body, np.uint8, stride * h, pos).reshape(h, stride)
+    rows = rows[::-1]  # bottom-up
+    if bpp == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4).astype(np.int64)
+        b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    elif bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+        b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    else:
+        if bpp == 8:
+            idx = rows[:, :w].astype(np.int64)
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            n = w * bpp
+            grp = bits[:, :n].reshape(h, w, bpp)
+            idx = np.zeros((h, w), np.int64)
+            for k in range(bpp):
+                idx = (idx << 1) | grp[:, :, k]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("ICO palette index out of range")
+        rgb = pal[idx]
+        b, g, r = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    return int(luma.sum()), int(w * h)
+
+
+def _decode_ico(data: bytes) -> tuple[int, int]:
+    """(luma checksum, pixel count) of an ICO's largest entry —
+    directory walk, then per-entry dispatch to the embedded-PNG or
+    classic-DIB decode."""
+    import struct
+
+    data = bytes(data)
+    if len(data) < 6 or struct.unpack_from("<HHH", data, 0)[:2] != (0, 1):
+        raise ValueError("not an ICO payload")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0:
+        raise ValueError("ICO with no entries")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(data):
+            raise ValueError("truncated ICO directory")
+        bw, bh = data[off], data[off + 1]
+        w = bw or 256
+        h = bh or 256
+        size, payload_off = struct.unpack_from("<II", data, off + 8)
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, payload_off, size)
+    w, h, payload_off, size = best
+    body = data[payload_off : payload_off + size]
+    if len(body) != size:
+        raise ValueError("truncated ICO entry payload")
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(body)
+    return _decode_ico_dib(body, w, h)
+
+
+def make_ico(width: int, height: int, rgb_fn, entry_formats=("dib24",)) -> bytes:
+    """A GENUINE ICO: one entry per requested format — ``dib24`` /
+    ``dib32`` / ``dib8`` / ``dib4`` / ``dib1`` classic DIBs (palette
+    formats build it like :func:`make_gif`, bottom-up padded rows,
+    all-zero AND mask) or ``png`` (the Vista+ embedded form via
+    :func:`make_png`).  Entries after the first halve the dimensions,
+    so the decoder's largest-entry selection is honestly testable."""
+    import struct
+
+    entries = []
+    for i, ef in enumerate(entry_formats):
+        w = max(1, width >> i)
+        h = max(1, height >> i)
+        if w > 256 or h > 256:
+            raise ValueError("ICO entries are at most 256x256")
+        if ef == "png":
+            payload = make_png(w, h, rgb_fn)
+        elif ef in ("dib24", "dib32", "dib8", "dib4", "dib1"):
+            bpp = int(ef[3:])
+            if bpp <= 8:
+                palette: dict[tuple, int] = {}
+                idx_rows = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        c = tuple(v & 255 for v in rgb_fn(x, y))
+                        if c not in palette:
+                            if len(palette) == (1 << bpp):
+                                raise ValueError(
+                                    f"{ef} allows {1 << bpp} distinct colors"
+                                )
+                            palette[c] = len(palette)
+                        row.append(palette[c])
+                    idx_rows.append(row)
+                pal_bytes = bytearray()
+                for r, g, b in palette:
+                    pal_bytes += bytes((b, g, r, 0))
+                pal_bytes += b"\x00" * (4 * ((1 << bpp) - len(palette)))
+                stride = (w * bpp + 31) // 32 * 4
+                xor = bytearray()
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    rowbits = bytearray()
+                    acc = nb = 0
+                    for v in idx_rows[y]:
+                        if bpp == 8:
+                            rowbits.append(v)
+                        else:
+                            acc = (acc << bpp) | v
+                            nb += bpp
+                            if nb == 8:
+                                rowbits.append(acc)
+                                acc = nb = 0
+                    if nb:
+                        rowbits.append(acc << (8 - nb))
+                    xor += rowbits + b"\x00" * (stride - len(rowbits))
+                pixel_data = bytes(pal_bytes) + bytes(xor)
+                n_colors = 1 << bpp
+            else:
+                stride = (w * (bpp // 8) + 3) // 4 * 4
+                xor = bytearray()
+                for y in range(h - 1, -1, -1):
+                    row = bytearray()
+                    for x in range(w):
+                        r, g, b = (v & 255 for v in rgb_fn(x, y))
+                        row += bytes((b, g, r) if bpp == 24 else (b, g, r, 255))
+                    xor += row + b"\x00" * (stride - len(row))
+                pixel_data = bytes(xor)
+                n_colors = 0
+            mask_stride = (w + 31) // 32 * 4
+            mask = b"\x00" * (mask_stride * h)  # fully opaque
+            header = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0,
+                len(pixel_data) + len(mask), 0, 0,
+                n_colors if bpp <= 8 else 0, 0,
+            )
+            payload = header + pixel_data + mask
+        else:
+            raise ValueError(f"unknown ICO entry format {ef!r}")
+        entries.append((w, h, payload))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    offset = 6 + 16 * len(entries)
+    for w, h, payload in entries:
+        out += struct.pack(
+            "<BBBBHHII", w & 0xFF if w < 256 else 0,
+            h & 0xFF if h < 256 else 0, 0, 0, 1, 0, len(payload), offset,
+        )
+        offset += len(payload)
+    for _, _, payload in entries:
+        out += payload
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -5260,13 +5451,26 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
             fn = lambda x, y, i=i: (x * 7 + i, y * 11, (x + y) * 3)  # noqa: E731
             # rotate the uncompressed format, both interlace modes of
             # the two lossless compressed formats, both JPEG entropy
-            # coders, and lossless WebP so one table exercises every
-            # real image decoder path (a 16x10 pattern stays under
-            # GIF's 256 palette entries)
-            which = (i // 3) % 7
+            # coders, lossless WebP, and an ICO favicon so one table
+            # exercises every real image decoder path (a 16x10 pattern
+            # stays under GIF's 256 palette entries)
+            which = (i // 3) % 8
             if which == 6:
                 rows.append(
                     (i, kind, make_webp(16, 10, fn), "webp", 16, 10, None)
+                )
+                continue
+            if which == 7:
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        make_ico(16, 10, fn, ("dib24", "png")),
+                        "ico",
+                        16,
+                        10,
+                        None,
+                    )
                 )
                 continue
             if which == 0:
@@ -5383,6 +5587,19 @@ def _decode_one(kind, fmt, data, support: dict[str, bool]) -> tuple[int, int]:
         except NotImplementedError:
             # lossless/differential variants fall through to the
             # library gate below (PIL decodes them when present)
+            if not (kind == "image" and support.get("image")):
+                raise
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
+            )
+            checksum, count = int(arr.sum()), int(arr.size)
+    elif fmt == "ico":
+        try:
+            checksum, count = _decode_ico(data)
+        except NotImplementedError:
+            # exotic DIB compressions fall to the PIL gate
             if not (kind == "image" and support.get("image")):
                 raise
             from PIL import Image

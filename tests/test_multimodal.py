@@ -2185,3 +2185,94 @@ def test_decode_media_quarantine_confines_bad_rows(spark):
     # the fake decoder is total: quarantine mode adds an all-null column
     fake = decode_media(media, decoder="fake", on_error="quarantine").collect()
     assert all(r.error is None for r in fake)
+
+
+# ---------------------------------------------------------------------------
+# ICO favicons (r9): a container of classic DIB entries (doubled-
+# height BITMAPINFOHEADER, bottom-up padded rows, 32/24/8/4/1 bpp,
+# BGRX palettes, AND mask) or embedded PNGs, decoding the LARGEST
+# entry.  A crawl fetches one of these per host.
+
+
+def test_ico_all_entry_formats_match_bmp():
+    """Every encoder entry format decodes to the exact BMP-twin
+    checksum; the embedded-PNG form routes through the full PNG
+    decoder; multi-entry files pick the largest entry."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_ico,
+        make_bmp,
+        make_ico,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    pal8 = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    pfn = lambda x, y: pal8[(x + 2 * y) % 8]  # noqa: E731
+    bifn = lambda x, y: [(0, 0, 0), (255, 255, 255)][(x ^ y) & 1]  # noqa: E731
+    for w, h in ((1, 1), (7, 5), (16, 10), (33, 21)):
+        want = _decode_bmp(make_bmp(w, h, fn))
+        for ef in ("dib24", "dib32", "png"):
+            assert _decode_ico(make_ico(w, h, fn, (ef,))) == want, (ef, w, h)
+        pw = _decode_bmp(make_bmp(w, h, pfn))
+        for ef in ("dib8", "dib4"):
+            assert _decode_ico(make_ico(w, h, pfn, (ef,))) == pw, (ef, w, h)
+        bw = _decode_bmp(make_bmp(w, h, bifn))
+        assert _decode_ico(make_ico(w, h, bifn, ("dib1",))) == bw, (w, h)
+    # the largest entry wins regardless of directory position: later
+    # entries are half-size, so a 3-entry file still reports entry 0
+    want = _decode_bmp(make_bmp(32, 20, fn))
+    assert _decode_ico(make_ico(32, 20, fn, ("dib24", "png", "dib24"))) == want
+
+
+def test_ico_gates_and_garbage_never_hangs():
+    """Exotic DIB compressions raise the library gate; malformed
+    directories and truncations reject loudly."""
+    import struct
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_ico, make_ico
+
+    fn = lambda x, y: (x * 3 % 256, y * 5 % 256, (x ^ y) % 256)  # noqa: E731
+    data = make_ico(16, 12, fn, ("dib24",))
+    # flip the DIB's biCompression field to BI_RLE8
+    hdr_at = 6 + 16  # directory header + one entry
+    mut = bytearray(data)
+    struct.pack_into("<I", mut, hdr_at + 16, 1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_ico(bytes(mut))
+    with pytest.raises(ValueError, match="not an ICO"):
+        _decode_ico(b"\x00\x00\x03\x00\x01\x00")  # type 3
+    with pytest.raises(ValueError, match="no entries"):
+        _decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    for cut in range(4, len(data), 9):
+        try:
+            _decode_ico(data[:cut])
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+    for k in range(6, len(data) - 1, 7):
+        mut = bytearray(data)
+        mut[k] ^= 0x55
+        try:
+            a = _decode_ico(bytes(mut))
+            b = _decode_ico(bytes(mut))
+            assert a == b
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+
+
+def test_ico_through_decode_media(spark):
+    """ICO payloads decode through the live plan stdlib-only."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_ico
+
+    rows = []
+    for i, ef in enumerate(("dib24", "png", "dib4")):
+        pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        fn = (lambda x, y, _i=i: ((x * 3 + _i) % 256, y * 7 % 256, 0)) if ef != "dib4" \
+            else (lambda x, y: pal4[(x + y) % 4])
+        rows.append((i, "image", make_ico(10, 8, fn, (ef,)), "ico", 10, 8, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(media, decoder="real").collect()
+    assert len(got) == 3 and all(r.pixels_or_samples == 80 for r in got)
