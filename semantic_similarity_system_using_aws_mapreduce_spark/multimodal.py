@@ -12,7 +12,10 @@ four-pass interlace — r9), lossless WebP (full VP8L bitstream: prefix
 codes, meta-groups, color cache, LZ77, all four inverse transforms —
 r9, libwebp-conformance-tested both directions), ICO favicons (classic
 32/24/8/4/1-bpp DIB entries + embedded PNG, largest-entry selection —
-r9), BASELINE JPEG (real marker
+r9), baseline TIFF (IFD walk both byte orders, strips,
+PackBits/Deflate/TIFF-LZW incl. early change, horizontal predictor,
+bilevel/grey/palette/RGB — r9, two-way JDK-plugin conformance),
+BASELINE JPEG (real marker
 walk, canonical Huffman decode, dequant + IDCT, 4:2:0 upsampling,
 restart markers; progressive SOF2 with spectral selection AND
 successive approximation — DC/AC refinement scans, EOBRUN), PCM +
@@ -126,7 +129,8 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFra
 # markers, spectral selection + successive approximation); only the
 # lossless/differential processes still fall through to the PIL gate.
 STDLIB_FORMATS = {
-    "bmp", "png", "gif", "jpeg", "webp", "ico", "wav", "flac", "y4m", "mp4",
+    "bmp", "png", "gif", "jpeg", "webp", "ico", "tiff",
+    "wav", "flac", "y4m", "mp4",
 }
 
 
@@ -606,6 +610,374 @@ def make_ico(width: int, height: int, rgb_fn, entry_formats=("dib24",)) -> bytes
     for _, _, payload in entries:
         out += payload
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, TIFF 6.0) — the scan/document format crawls hit in
+# archives and digitized collections: header + IFD tag walk in either
+# byte order, strip assembly, uncompressed / PackBits / Deflate /
+# TIFF-LZW decompression (MSB-first codes, 256/257 control codes, the
+# "early change" width bump one code BEFORE the table fills),
+# horizontal-differencing predictor, bilevel (both photometric
+# polarities), greyscale 1/4/8/16, palette via ColorMap, and chunky
+# RGB(A).  Tiled layout, planar configuration 2 and the CCITT fax
+# codings raise into the library gate.  Conformance: the JDK's
+# javax.imageio TIFF plugin (inside the Spark runtime) is a TWO-WAY
+# third-party oracle — it writes LZW/PackBits/Deflate streams this
+# decoder must reproduce exactly, and reads make_tiff output.
+
+
+def _tiff_lzw_decode(stream: bytes) -> bytes:
+    """TIFF 6.0 LZW: MSB-first packed codes starting at 9 bits,
+    ClearCode 256 / EndOfInformation 257, and the early-change width
+    increment (at 510/1022/2046 — one code before the table fills,
+    unlike GIF)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(stream):
+                return bytes(out)  # missing EOI: tolerate, data is complete
+            acc = (acc << 8) | stream[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == eoi:
+            return bytes(out)
+        if code == clear:
+            reset()
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) + 1 >= (1 << width) and width < 12:  # early change
+            width += 1
+
+
+def _tiff_packbits_decode(stream: bytes, expect: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 section 9)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(stream) and len(out) < expect:
+        n = stream[pos]
+        pos += 1
+        if n < 128:
+            out += stream[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(stream):
+                raise ValueError("truncated TIFF PackBits run")
+            out += bytes((stream[pos],)) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _decode_tiff(data: bytes) -> tuple[int, int]:
+    """(luma checksum, pixel count) of a baseline TIFF's FIRST image
+    (IFD) — see the section header for coverage and gates."""
+    import struct
+    import zlib
+
+    data = bytes(data)
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+
+    def u16(off):
+        return struct.unpack_from(e + "H", data, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(e + "I", data, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    n_tags = u16(ifd)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ = u16(off), u16(off + 2)
+        count = u32(off + 4)
+        sz = type_size.get(typ)
+        if sz is None:
+            continue  # unknown type: skip per spec
+        total = sz * count
+        voff = off + 8 if total <= 4 else u32(off + 8)
+        if voff + total > len(data):
+            raise ValueError("TIFF tag value out of range")
+        vals: list[int] = []
+        for k in range(count):
+            if typ == 3:
+                vals.append(u16(voff + 2 * k))
+            elif typ == 4:
+                vals.append(u32(voff + 4 * k))
+            elif typ in (1, 6, 7):
+                vals.append(data[voff + k])
+            elif typ == 5:  # rational
+                vals.append(u32(voff + 8 * k))
+            else:  # signed variants: unused by the tags we read
+                vals.append(u32(voff + 4 * k) if sz == 4 else u16(voff + 2 * k))
+        tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    if 322 in tags or 323 in tags or 324 in tags:
+        raise NotImplementedError("tiled TIFF — needs a codec library")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar-configuration-2 TIFF")
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("TIFF without dimensions")
+    comp = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits_list = tags.get(258, [1] * spp)
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError("TIFF with mixed per-sample bit depths")
+    bits = bits_list[0]
+    if bits not in (1, 4, 8, 16):
+        raise NotImplementedError(f"TIFF bit depth {bits}")
+    if photometric in (2,) and spp < 3:
+        raise ValueError("RGB TIFF with fewer than 3 samples")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF without a consistent strip layout")
+    rows_per_strip = one(278, h)
+    stride = (w * spp * bits + 7) // 8
+
+    raw = bytearray()
+    for idx, (soff, scnt) in enumerate(zip(offsets, counts)):
+        chunk = data[soff : soff + scnt]
+        if len(chunk) != scnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - idx * rows_per_strip)
+        expect = stride * n_rows
+        if comp == 1:
+            out = chunk
+        elif comp == 5:
+            out = _tiff_lzw_decode(chunk)
+        elif comp == 32773:
+            out = _tiff_packbits_decode(chunk, expect)
+        elif comp in (8, 32946):  # Adobe deflate / old deflate
+            out = zlib.decompress(chunk)
+        elif comp in (2, 3, 4):
+            raise NotImplementedError("CCITT fax TIFF — needs a codec library")
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        if len(out) < expect:
+            raise ValueError("short TIFF strip after decompression")
+        raw += out[:expect]
+
+    rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, stride)
+    if one(317, 1) == 2:  # horizontal differencing predictor
+        if bits != 8:
+            raise NotImplementedError("TIFF predictor on non-8-bit samples")
+        px = rows[:, : w * spp].reshape(h, w, spp).astype(np.int64)
+        px = np.cumsum(px, axis=1) & 0xFF
+    else:
+        if bits == 8:
+            px = rows[:, : w * spp].reshape(h, w, spp).astype(np.int64)
+        elif bits == 16:
+            px = rows[:, : 2 * w * spp].reshape(h, w * spp, 2).astype(np.int64)
+            hi, lo = (0, 1) if e == ">" else (1, 0)
+            px = (px[:, :, hi]).reshape(h, w, spp)  # high byte: 16->8
+        else:
+            bits_arr = np.unpackbits(rows, axis=1)
+            n = w * spp
+            grp = bits_arr[:, : n * bits].reshape(h, n, bits)
+            vals = np.zeros((h, n), np.int64)
+            for k in range(bits):
+                vals = (vals << 1) | grp[:, :, k]
+            px = vals.reshape(h, w, spp)
+
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * (1 << bits):
+            raise ValueError("palette TIFF without a valid ColorMap")
+        if int(px.max(initial=0)) >= (1 << bits):
+            raise ValueError("TIFF palette index out of range")
+        lut = np.asarray(cmap, np.int64).reshape(3, 1 << bits) >> 8
+        idx = px[:, :, 0]
+        r, g, b = lut[0][idx], lut[1][idx], lut[2][idx]
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+    elif photometric == 2:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]  # extra samples ignored
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+    elif photometric in (0, 1):
+        grey = px[:, :, 0]
+        full = (1 << bits) - 1 if bits < 8 else 255
+        if bits < 8:
+            grey = grey * 255 // full
+        if photometric == 0:  # WhiteIsZero
+            grey = 255 - grey
+        luma = grey
+    else:
+        raise NotImplementedError(f"TIFF photometric interpretation {photometric}")
+    return int(luma.sum()), int(w * h)
+
+
+def make_tiff(width: int, height: int, rgb_fn, compression: str = "none",
+              photometric: str = "rgb", predictor: bool = False) -> bytes:
+    """A GENUINE baseline TIFF (little-endian, one IFD, single strip):
+    ``photometric`` 'rgb' / 'grey' / 'palette' / 'bilevel' (WhiteIsZero
+    to exercise the inverted polarity), ``compression`` 'none' /
+    'packbits' / 'deflate', optional horizontal-differencing
+    ``predictor`` (8-bit only).  Readable by the JDK TIFF plugin
+    (conformance-tested)."""
+    import struct
+    import zlib
+
+    if photometric == "rgb":
+        spp, bits, phot = 3, 8, 2
+    elif photometric == "grey":
+        spp, bits, phot = 1, 8, 1
+    elif photometric == "palette":
+        spp, bits, phot = 1, 8, 3
+    elif photometric == "bilevel":
+        spp, bits, phot = 1, 1, 0
+    else:
+        raise ValueError(f"unknown TIFF photometric {photometric!r}")
+    palette: dict[tuple, int] = {}
+    stride = (width * spp * bits + 7) // 8
+    raw = bytearray()
+    for y in range(height):
+        acc = nb = 0
+        row = bytearray()
+        for x in range(width):
+            r, g, b = (v & 255 for v in rgb_fn(x, y))
+            if phot == 2:
+                row += bytes((r, g, b))
+            elif phot == 1:
+                row.append((299 * r + 587 * g + 114 * b) // 1000)
+            elif phot == 3:
+                c = (r, g, b)
+                if c not in palette:
+                    if len(palette) == 256:
+                        raise ValueError("palette TIFF allows 256 colors")
+                    palette[c] = len(palette)
+                row.append(palette[c])
+            else:  # bilevel WhiteIsZero: 0 = white
+                lum = (299 * r + 587 * g + 114 * b) // 1000
+                acc = (acc << 1) | (0 if lum >= 128 else 1)
+                nb += 1
+                if nb == 8:
+                    row.append(acc)
+                    acc = nb = 0
+        if nb:
+            row.append(acc << (8 - nb))
+        raw += row + b"\x00" * (stride - len(row))
+    if predictor:
+        if bits != 8:
+            raise ValueError("predictor needs 8-bit samples")
+        px = np.frombuffer(bytes(raw), np.uint8).reshape(height, width, spp).astype(np.int64)
+        diff = np.empty_like(px)
+        diff[:, 0] = px[:, 0]
+        diff[:, 1:] = (px[:, 1:] - px[:, :-1]) & 0xFF
+        raw = bytearray(diff.astype(np.uint8).tobytes())
+    if compression == "none":
+        strip, comp_tag = bytes(raw), 1
+    elif compression == "packbits":
+        # literal-only PackBits runs (valid, if uncompressed)
+        strip = bytearray()
+        raw = bytes(raw)
+        for i in range(0, len(raw), 128):
+            part = raw[i : i + 128]
+            strip += bytes((len(part) - 1,)) + part
+        strip, comp_tag = bytes(strip), 32773
+    elif compression == "deflate":
+        strip, comp_tag = zlib.compress(bytes(raw)), 8
+    else:
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+
+    # directory first (tag, type, count, value-or-"ool" marker), so the
+    # out-of-line data area's base offset is known before values bind
+    built: list = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, comp_tag),
+        (262, 3, 1, phot),
+        (273, 4, 1, "strip"),
+        (277, 3, 1, spp),
+        (278, 3, 1, height),
+        (279, 4, 1, len(strip)),
+    ]
+    if spp > 1:
+        built.append((258, 3, spp, "bits"))
+    else:
+        built.append((258, 3, 1, bits))
+    if predictor:
+        built.append((317, 3, 1, 2))
+    if phot == 3:
+        built.append((320, 3, 3 * 256, "cmap"))
+    built.sort(key=lambda t: t[0])
+    data_base = 8 + 2 + 12 * len(built) + 4
+    ool = bytearray()
+    resolved = []
+    for tag, typ, count, val in built:
+        if val == "bits":
+            resolved.append((tag, typ, count, data_base + len(ool)))
+            ool += struct.pack("<H", bits) * spp
+        elif val == "cmap":
+            resolved.append((tag, typ, count, data_base + len(ool)))
+            colors = list(palette) + [(0, 0, 0)] * (256 - len(palette))
+            for plane in range(3):
+                for c in colors:
+                    ool += struct.pack("<H", c[plane] * 257)
+        elif val == "strip":
+            resolved.append((tag, typ, count, val))  # bound below
+        else:
+            resolved.append((tag, typ, count, val))
+    strip_off = data_base + len(ool)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(resolved))
+    for tag, typ, count, val in resolved:
+        if val == "strip":
+            val = strip_off
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out) + bytes(ool) + strip
 
 
 # ---------------------------------------------------------------------------
@@ -5451,10 +5823,24 @@ def synthesize_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
             fn = lambda x, y, i=i: (x * 7 + i, y * 11, (x + y) * 3)  # noqa: E731
             # rotate the uncompressed format, both interlace modes of
             # the two lossless compressed formats, both JPEG entropy
-            # coders, lossless WebP, and an ICO favicon so one table
-            # exercises every real image decoder path (a 16x10 pattern
-            # stays under GIF's 256 palette entries)
-            which = (i // 3) % 8
+            # coders, lossless WebP, an ICO favicon, and a PackBits
+            # TIFF so one table exercises every real image decoder
+            # path (a 16x10 pattern stays under GIF's 256 palette
+            # entries)
+            which = (i // 3) % 9
+            if which == 8:
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        make_tiff(16, 10, fn, compression="packbits"),
+                        "tiff",
+                        16,
+                        10,
+                        None,
+                    )
+                )
+                continue
             if which == 6:
                 rows.append(
                     (i, kind, make_webp(16, 10, fn), "webp", 16, 10, None)
@@ -5600,6 +5986,19 @@ def _decode_one(kind, fmt, data, support: dict[str, bool]) -> tuple[int, int]:
             checksum, count = _decode_ico(data)
         except NotImplementedError:
             # exotic DIB compressions fall to the PIL gate
+            if not (kind == "image" and support.get("image")):
+                raise
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.open(io.BytesIO(bytes(data))).convert("L"), dtype=np.int64
+            )
+            checksum, count = int(arr.sum()), int(arr.size)
+    elif fmt in ("tiff", "tif"):
+        try:
+            checksum, count = _decode_tiff(data)
+        except NotImplementedError:
+            # tiled / planar-2 / CCITT-fax variants fall to the PIL gate
             if not (kind == "image" and support.get("image")):
                 raise
             from PIL import Image

@@ -2276,3 +2276,200 @@ def test_ico_through_decode_media(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = decode_media(media, decoder="real").collect()
     assert len(got) == 3 and all(r.pixels_or_samples == 80 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF (r9) — the scan/document format: IFD walk both byte
+# orders, strips, uncompressed/PackBits/Deflate/TIFF-LZW (early
+# change), horizontal predictor, bilevel/grey/palette/RGB.  The JDK's
+# javax.imageio TIFF plugin is a TWO-WAY third-party oracle.
+
+
+def test_tiff_all_modes_match_bmp():
+    """Every make_tiff photometric x compression combination decodes
+    to the exact BMP-twin checksum (TIFF is lossless), including the
+    horizontal-differencing predictor and WhiteIsZero bilevel."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _decode_bmp,
+        _decode_tiff,
+        make_bmp,
+        make_tiff,
+    )
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    gfn = lambda x, y: (((x * 11 + y * 3) % 256),) * 3  # noqa: E731
+    pal8 = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    pfn = lambda x, y: pal8[(x + 2 * y) % 8]  # noqa: E731
+    bifn = lambda x, y: [(0, 0, 0), (255, 255, 255)][(x ^ y) & 1]  # noqa: E731
+    for w, h in ((1, 1), (7, 5), (16, 10), (33, 21)):
+        want = _decode_bmp(make_bmp(w, h, fn))
+        for comp in ("none", "packbits", "deflate"):
+            assert _decode_tiff(make_tiff(w, h, fn, compression=comp)) == want
+        assert _decode_tiff(
+            make_tiff(w, h, fn, compression="deflate", predictor=True)
+        ) == want
+        assert _decode_tiff(
+            make_tiff(w, h, gfn, photometric="grey", compression="packbits")
+        ) == _decode_bmp(make_bmp(w, h, gfn))
+        assert _decode_tiff(
+            make_tiff(w, h, pfn, photometric="palette")
+        ) == _decode_bmp(make_bmp(w, h, pfn))
+        assert _decode_tiff(
+            make_tiff(w, h, bifn, photometric="bilevel")
+        ) == _decode_bmp(make_bmp(w, h, bifn))
+
+
+def test_tiff_committed_jdk_fixtures():
+    """TRUE third-party conformance without a JVM at test time: the
+    committed streams were written by the JDK TIFF plugin with
+    explicit LZW and PackBits compression over a regenerable pattern;
+    lossless, so the decode must reproduce the pattern exactly — any
+    drift in the LZW early-change logic or the PackBits runs breaks
+    it."""
+    import pathlib
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_tiff
+
+    fixdir = pathlib.Path(__file__).parent / "data" / "tiff"
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+    want = sum(
+        (299 * fn(x, y)[0] + 587 * fn(x, y)[1] + 114 * fn(x, y)[2]) // 1000
+        for y in range(27)
+        for x in range(41)
+    )
+    assert (want, 41 * 27) == (131139, 1107)  # the pattern regenerates
+    for name in ("jdk_lzw_41x27.tiff", "jdk_packbits_41x27.tiff"):
+        data = (fixdir / name).read_bytes()
+        assert _decode_tiff(data) == (131139, 1107), name
+
+
+def test_tiff_live_jdk_conformance(spark):
+    """Two-way live oracle via the Spark JVM: the JDK plugin's
+    LZW/PackBits/Deflate/ZLib/uncompressed output decodes to the exact
+    pattern, and the JDK reads every make_tiff variant back to the
+    same raw samples this decoder reports (raster samples, not
+    getRGB — Java gamma-converts its linear-gray color space)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_tiff, make_tiff
+
+    jvm = spark.sparkContext._jvm
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    if not writers.hasNext():
+        pytest.skip("JVM has no TIFF plugin")
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 7 + y * 3) % 256,
+        (x * 2 + y * 11) % 256,
+        (x * 13 + y * 5) % 256,
+    )
+
+    def jvm_write(w, h, compression):
+        img = jvm.java.awt.image.BufferedImage(w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = fn(x, y)
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        if compression:
+            param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionType(compression)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    w, h = 33, 21
+    want = (
+        sum(
+            (299 * fn(x, y)[0] + 587 * fn(x, y)[1] + 114 * fn(x, y)[2]) // 1000
+            for y in range(h)
+            for x in range(w)
+        ),
+        w * h,
+    )
+    for comp in (None, "LZW", "PackBits", "Deflate", "ZLib"):
+        assert _decode_tiff(jvm_write(w, h, comp)) == want, comp
+
+    def jvm_luma_sum(data):
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None
+        raster = img.getRaster()
+        ww, hh = img.getWidth(), img.getHeight()
+        bands = raster.getNumBands()
+        total = 0
+        for y in range(hh):
+            for x in range(ww):
+                if bands >= 3:
+                    r = raster.getSample(x, y, 0)
+                    g = raster.getSample(x, y, 1)
+                    b = raster.getSample(x, y, 2)
+                elif img.getColorModel().getPixelSize() <= 8 and bands == 1 and \
+                        img.getType() == 13:  # TYPE_BYTE_INDEXED: palette
+                    v = img.getRGB(x, y)
+                    r, g, b = (v >> 16) & 255, (v >> 8) & 255, v & 255
+                else:
+                    r = g = b = raster.getSample(x, y, 0)
+                    if img.getColorModel().getPixelSize() == 1:
+                        r = g = b = 255 * r
+                total += (299 * r + 587 * g + 114 * b) // 1000
+        return total, ww * hh
+
+    pal8 = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    cases = [
+        (fn, {}),
+        (fn, {"compression": "packbits"}),
+        (fn, {"compression": "deflate", "predictor": True}),
+        (lambda x, y: pal8[(x + 2 * y) % 8], {"photometric": "palette"}),
+        (lambda x, y: (((x * 11 + y * 3) % 256),) * 3, {"photometric": "grey"}),
+    ]
+    for f2, kw in cases:
+        mine = make_tiff(19, 11, f2, **kw)
+        assert jvm_luma_sum(mine) == _decode_tiff(mine), kw
+
+
+def test_tiff_gates_and_garbage_never_hangs():
+    """Tiled layout and CCITT fax codings raise the loud library gate;
+    truncations and bit-flips reject or decode deterministically."""
+    import struct
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_tiff, make_tiff
+
+    fn = lambda x, y: (x * 3 % 256, y * 5 % 256, (x ^ y) % 256)  # noqa: E731
+    data = make_tiff(16, 12, fn, compression="packbits")
+    # rewrite the compression tag (259) to CCITT T.4 (3)
+    mut = bytearray(data)
+    n_tags = struct.unpack_from("<H", mut, 8)[0]
+    for i in range(n_tags):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", mut, off)[0] == 259:
+            struct.pack_into("<H", mut, off + 8, 3)
+    with pytest.raises(NotImplementedError, match="CCITT"):
+        _decode_tiff(bytes(mut))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"II+\x00junk")
+    for cut in range(4, len(data), 9):
+        try:
+            _decode_tiff(data[:cut])
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+    for k in range(8, len(data) - 1, 7):
+        mut = bytearray(data)
+        mut[k] ^= 0x33
+        try:
+            a = _decode_tiff(bytes(mut))
+            b = _decode_tiff(bytes(mut))
+            assert a == b
+        except (ValueError, NotImplementedError, IndexError):
+            pass
