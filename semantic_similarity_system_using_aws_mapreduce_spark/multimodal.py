@@ -1356,7 +1356,11 @@ def _vp8l_inverse_transform(t: int, xsize: int, data, img: "np.ndarray") -> "np.
                 left = int(out[y, x - 1])
                 top = int(out[y - 1, x])
                 tl = int(out[y - 1, x - 1])
-                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                # Rightmost column: the spec's 1-D addressing (pos -
+                # width + 1) wraps the "top-right" pixel into the
+                # CURRENT row's first pixel out[y, 0], not the row
+                # above (verified bit-exact against libwebp).
+                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -1453,6 +1457,12 @@ def make_webp(width: int, height: int, rgb_fn) -> bytes:
     use them heavily."""
     import struct
 
+    # The VP8L header stores width-1/height-1 in 14-bit fields; an
+    # oversized dimension would silently wrap to a wrong header.
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError(
+            f"VP8L dimensions must be in 1..16384, got {width}x{height}"
+        )
     w = _Vp8lBitWriter()
     w.write(0x2F, 8)  # signature
     w.write(width - 1, 14)
@@ -2220,6 +2230,15 @@ def make_jpeg(
     transform 2)."""
     import struct
 
+    if progressive and restart_interval:
+        # The progressive scan builders (Huffman and arithmetic) emit
+        # no RST markers, so a DRI segment would make the stream
+        # self-inconsistent — this decoder rightly rejects such a
+        # stream with 'expected RST marker'.  Fail loudly instead.
+        raise ValueError(
+            "progressive JPEG with restart_interval is not supported: "
+            "progressive scans emit no RST markers"
+        )
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     qts = []
     for base in (_QT_LUMA, _QT_CHROMA):

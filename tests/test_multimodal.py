@@ -2132,6 +2132,183 @@ def test_webp_gates_and_garbage_never_hangs():
             pass
 
 
+def test_encoder_invalid_parameter_combinations_fail_loudly():
+    """ADVICE r9 (low x2): make_webp validates the VP8L 14-bit
+    dimension fields instead of silently wrapping, and make_jpeg
+    rejects progressive + restart_interval (progressive scans emit no
+    RST markers, so the stream would be self-inconsistent)."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_jpeg, make_webp
+
+    fn = lambda x, y: (x % 256, y % 256, 0)  # noqa: E731
+    for w, h in ((0, 5), (5, 0), (16385, 5), (5, 16385), (-1, 5)):
+        with pytest.raises(ValueError, match="1..16384"):
+            make_webp(w, h, fn)
+    with pytest.raises(ValueError, match="restart_interval"):
+        make_jpeg(16, 16, fn, progressive=True, restart_interval=2)
+    with pytest.raises(ValueError, match="restart_interval"):
+        make_jpeg(16, 16, fn, progressive=True, arithmetic=True, restart_interval=1)
+    # the boundary dimensions themselves stay encodable
+    assert make_webp(1, 1, fn)[:4] == b"RIFF"
+
+
+def _craft_predictor_webp(w, h, mode, tile_bits, rgb_fn):
+    """Hand-assemble a VP8L stream whose PREDICTOR transform forces
+    ``mode`` over every tile, with per-pixel literal residuals chosen
+    so the decoded image is exactly ``rgb_fn`` (opaque).  The
+    residuals come from an independent in-test reference of the
+    spec's predictor rules — in particular the rightmost-column rule,
+    where the spec's 1-D addressing wraps 'top-right' into the
+    CURRENT row's first pixel — and the live libwebp arm of the test
+    below proves this reference (not just the engine decoder)
+    matches the real codec."""
+    import struct
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import (
+        _VP8L_CLC_ORDER,
+        _Vp8lBitWriter,
+        _Vp8lCode,
+    )
+
+    target = [
+        [(255,) + tuple(v & 255 for v in rgb_fn(x, y)) for x in range(w)]
+        for y in range(h)
+    ]
+
+    def avg2(p, q):
+        return tuple((a + b) // 2 for a, b in zip(p, q))
+
+    def pred_at(x, y):
+        if x == 0 and y == 0:
+            return (255, 0, 0, 0)
+        if y == 0:
+            return target[0][x - 1]
+        if x == 0:
+            return target[y - 1][0]
+        left = target[y][x - 1]
+        top = target[y - 1][x]
+        tl = target[y - 1][x - 1]
+        tr = target[y - 1][x + 1] if x + 1 < w else target[y][0]
+        return {
+            2: top,
+            3: tr,
+            5: avg2(avg2(left, tr), top),
+            9: avg2(top, tr),
+            10: avg2(avg2(left, tl), avg2(top, tr)),
+        }[mode]
+
+    bw = _Vp8lBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    def simple_one(sym):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+
+    bw.write(1, 1)  # a transform follows
+    bw.write(0, 2)  # type 0: PREDICTOR
+    bw.write(tile_bits - 2, 3)
+    bw.write(0, 1)  # mode sub-image: no color cache
+    simple_one(mode)  # green channel carries the per-tile mode
+    simple_one(0)  # red
+    simple_one(0)  # blue
+    simple_one(0)  # alpha
+    simple_one(0)  # distance
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # main image: no color cache
+    bw.write(0, 1)  # no meta-prefix
+
+    def normal_code(clc_lengths, emit):
+        need = max(_VP8L_CLC_ORDER.index(s) for s in clc_lengths) + 1
+        bw.write(0, 1)
+        bw.write(need - 4, 4)
+        for i in range(need):
+            bw.write(clc_lengths.get(_VP8L_CLC_ORDER[i], 0), 3)
+        bw.write(0, 1)
+        full = [clc_lengths.get(s, 0) for s in range(19)]
+        inv = {sym: (ln, c) for (ln, c), sym in _Vp8lCode(full).table.items()}
+        emit(lambda sym: bw.write_code(inv[sym][1], inv[sym][0]))
+
+    def emit_green(put):
+        for _ in range(256):
+            put(9)
+        put(1)
+        put(18)  # 23 trailing zeros for the unused length symbols
+        bw.write(23 - 11, 7)
+
+    def emit_flat(put):
+        for _ in range(256):
+            put(8)
+
+    normal_code({9: 1, 1: 2, 18: 2}, emit_green)
+    normal_code({8: 1, 0: 1}, emit_flat)  # red
+    normal_code({8: 1, 0: 1}, emit_flat)  # blue
+    normal_code({8: 1, 0: 1}, emit_flat)  # alpha: residual-coded too
+    simple_one(0)  # distance, never referenced
+
+    for y in range(h):
+        for x in range(w):
+            pa, pr, pg, pb = pred_at(x, y)
+            ta, tre, tg, tb = target[y][x]
+            bw.write_code(256 | ((tg - pg) & 255), 9)
+            bw.write_code((tre - pr) & 255, 8)
+            bw.write_code((tb - pb) & 255, 8)
+            bw.write_code((ta - pa) & 255, 8)
+    payload = bw.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    stream = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    luma = sum(
+        (299 * p[1] + 587 * p[2] + 114 * p[3]) // 1000
+        for row in target
+        for p in row
+    )
+    return stream, target, (luma, w * h)
+
+
+def test_webp_tr_predictor_right_edge_conformance():
+    """ADVICE r9 (high): predictor modes consuming the top-right
+    pixel (3/5/9/10) must wrap TR to the CURRENT row's first pixel at
+    the rightmost column.  Crafted streams force each TR-family mode
+    over tiles covering the last column — both a single whole-image
+    tile and a multi-tile grid whose last column sits in its own tile
+    column — and the live libwebp arm pins the decoded pixels
+    byte-exactly, proving the in-test reference rule (and therefore
+    the engine decoder, which must agree with it) matches the real
+    codec."""
+    import ctypes
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import _decode_webp
+
+    fn = lambda x, y: (  # noqa: E731
+        (x * 37 + y * 11) % 256,
+        (x * 5 + y * 29) % 256,
+        (x * 13 + y * 3) % 256,
+    )
+    lib = _libwebp()
+    for mode in (2, 3, 5, 9, 10):
+        for w, h, bits in ((11, 7, 4), (10, 9, 2)):
+            stream, target, want = _craft_predictor_webp(w, h, mode, bits, fn)
+            assert _decode_webp(stream) == want, (mode, w, h)
+            if lib is not None:
+                ww, hh = ctypes.c_int(), ctypes.c_int()
+                px = lib.WebPDecodeRGBA(
+                    stream, len(stream), ctypes.byref(ww), ctypes.byref(hh)
+                )
+                assert px, (mode, w, h)
+                assert (ww.value, hh.value) == (w, h)
+                for i in range(w * h):
+                    a, r, g, b = target[i // w][i % w]
+                    assert (
+                        px[4 * i], px[4 * i + 1], px[4 * i + 2], px[4 * i + 3]
+                    ) == (r, g, b, a), (mode, w, h, i % w, i // w)
+
+
 def test_webp_through_decode_media(spark):
     """VP8L payloads decode through the same mapInPandas plan with NO
     codec library, alongside the other stdlib formats."""
