@@ -138,110 +138,18 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 9),
-# executing the round-8 registry's ROUND-9 NOTE and VERDICT r8 #1:
-# the full 42-entry round-8 _LAST tail (every entry fully green in
-# CORRECTNESS_r07, mirror-verified since) rotates back into the
-# 50-row window.  42 rotated + 8 middle = exactly 50, so every new
-# round-9 query makes window room by an explicit middle demotion
-# (noted per entry in _LAST below).  The 42 round-8 _PRIORITY entries
-# (all fully green in CORRECTNESS_r08) demote to the new _LAST tail,
-# keeping the every-export-green-within-two-rounds invariant:
-# r9-window ∪ r8-green covers all exports.
+# order-sensitive cap can't starve them again.  ROTATION (round 10),
+# executing the round-9 registry's ROUND-10 NOTE and VERDICT r9 #1:
+# the full 44-entry round-9 _LAST tail (every entry fully green in
+# CORRECTNESS_r08, mirror-verified since) rotates back into the
+# 50-row window.  44 rotated + 6 middle = exactly 50 — zero free
+# slots, so any round-10 addition must make window room by an
+# explicit middle demotion (as rounds 7-9 did).  The 44 round-9
+# _PRIORITY entries (all fully green in CORRECTNESS_r09) demote to
+# the new _LAST tail, keeping the every-export-green-within-two-
+# rounds invariant: r10-window ∪ r9-green covers all exports.
 _PRIORITY = [
-    # new in round 9 — never driver-verified (each makes window room
-    # by an explicit middle demotion noted in _LAST below:
-    # q_lm_quality and q_paragraph_dedup move to _LAST):
-    "q_lang_prior",
-    "q_dedup_keep_newest",
-    # the round-8 _LAST tail rotating back in (green r7, skipped r8):
-    "q_ann_lsh_topk",
-    "q_minhash_lsh_candidates",
-    "q_domain_quota",
-    "q_gopher_rules",
-    "q_bpe_pair_counts",
-    "q_bpe_merges",
-    "q_quantile_sketch",
-    "q_repetition_signals",
-    "q_part_brand_revenue",
-    "q_embedding_quantization",
-    "q_stratified_sample",
-    "q_token_shards",
-    "q_sample_per_group",
-    "q_dedup_clusters",
-    "q_lang_id",
-    "q_regex_token_stats",
-    "q_rolling_fingerprint",
-    "q_doc_quality",
-    "q_asof_view_before_purchase",
-    "q_token_totals",
-    "q_doc_chunks",
-    "q_minhash_signatures",
-    "q01_pricing_summary",
-    "q_window_functions",
-    "q_token_counts",
-    "q_semi_join",
-    "q_anti_join",
-    "q_pivot_status",
-    "q_exact_dedup",
-    "q_label_centroids",
-    "q_above_nation_avg",
-    "q_exact_jaccard_join",
-    "q_cms_heavy_hitters",
-    "q_bm25_search",
-    "q_cube_qty",
-    "q_sketch_accuracy",
-    "q_cosine_pairs",
-    "q_embedding_parity_measures",
-    "q_ann_ivf_recall",
-    "q_hourly_event_stats",
-    "q_sessionization",
-    "q_tfidf_top_terms",
-]
-
-# Exported last: with 94 exported queries and a 50-row driver cap,
-# exactly these 44 fall off this round (the 42 round-8 _PRIORITY
-# entries plus the 2 demoted middles below).  Every one is fully green in
-# CORRECTNESS_r08 (round 8's 42 _PRIORITY entries — rows, schema, AND
-# hash), so the rotation keeps every export driver-green within two
-# consecutive rounds, AND each is coverage-subsumed by queries that
-# keep a slot (the same family rationales recorded in the round-8
-# registry apply with the directions swapped — each pair below simply
-# trades places with the r9 window entry it subsumed last round):
-#   q_main_content / q_bpe_fertility / q_lsh_recall - new in r8, green
-#                           r8; their families keep q_gopher_rules,
-#                           q_doc_quality (text gates), q_bpe_pair_counts,
-#                           q_bpe_merges (BPE), q_minhash_lsh_candidates
-#                           + q_exact_jaccard_join (the recall audit's
-#                           two arms, verbatim) in the r9 window
-#   the 39 remaining entries are the round-7 _PRIORITY block demoted
-#                           in r8 with per-entry rationales recorded
-#                           there; each swaps back with its r9 window
-#                           counterpart (same families, directions
-#                           reversed)
-# All remain verified by the local mirror test either way.
-# ROUND-10 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-9 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-# Every entry below is green in CORRECTNESS_r08, so each tolerates
-# exactly the round-9 skip; all 44 must re-enter the round-10 window
-# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
-# any round-10 addition must demote a then-green middle
-# entry, as rounds 7, 8 and 9 did).
-_LAST = [
-    # middle demotions making room for the round-9 additions (both
-    # green in CORRECTNESS_r08, both staying coverage-subsumed):
-    #   q_lm_quality    - (demotion for the new q_lang_prior) the
-    #                     text-quality expression family keeps
-    #                     q_quality_gate (middle), q_doc_quality and
-    #                     q_gopher_rules (both in the r9 window), and
-    #                     the self-trained bigram model's arithmetic
-    #                     stays mirror-verified
-    #   q_paragraph_dedup - (demotion for the new q_dedup_keep_newest)
-    #                     the dedup family keeps q_exact_dedup,
-    #                     q_dedup_clusters and q_minhash_signatures in
-    #                     the r9 window; the segment-level path stays
-    #                     mirror-verified and streaming-tested
+    # the round-9 _LAST tail rotating back in (green r8, skipped r9):
     "q_lm_quality",
     "q_paragraph_dedup",
     "q_main_content",
@@ -286,6 +194,83 @@ _LAST = [
     "q_decontaminate",
     "q_interval_join",
     "q_simhash_near_dups",
+]
+
+# Exported last: with 94 exported queries and a 50-row driver cap,
+# exactly these 44 fall off this round (the round-9 _PRIORITY block:
+# the 2 round-9 additions plus the 42 entries that rotated into the
+# r9 window).  Every one is fully green in CORRECTNESS_r09 (rows,
+# schema, AND hash — 50/50 green), so the rotation keeps every export
+# driver-green within two consecutive rounds, AND each is
+# coverage-subsumed by queries that keep a slot (the same family
+# rationales recorded in the round-9 registry apply with the
+# directions swapped — each pair below simply trades places with the
+# r10 window entry it subsumed last round):
+#   q_lang_prior / q_dedup_keep_newest - new in r9, green r9; their
+#                           families keep q_lang_id-adjacent lang
+#                           stats via the mirror plus the exported
+#                           dedup family (q_exact_dedup's keep-newest
+#                           twin stays mirror-verified; the funnel's
+#                           keep-newest mode is streaming/CLI-tested)
+#   the 42 remaining entries are the round-8 _LAST tail promoted in
+#                           r9 with per-entry rationales recorded
+#                           there; each swaps back with its r10
+#                           window counterpart (same families,
+#                           directions reversed)
+# All remain verified by the local mirror test either way.
+# ROUND-11 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-10 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r09, so each tolerates
+# exactly the round-10 skip; all 44 must re-enter the round-11 window
+# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
+# any round-11 addition must demote a then-green middle entry, as
+# rounds 7-10 did).
+_LAST = [
+    "q_lang_prior",
+    "q_dedup_keep_newest",
+    "q_ann_lsh_topk",
+    "q_minhash_lsh_candidates",
+    "q_domain_quota",
+    "q_gopher_rules",
+    "q_bpe_pair_counts",
+    "q_bpe_merges",
+    "q_quantile_sketch",
+    "q_repetition_signals",
+    "q_part_brand_revenue",
+    "q_embedding_quantization",
+    "q_stratified_sample",
+    "q_token_shards",
+    "q_sample_per_group",
+    "q_dedup_clusters",
+    "q_lang_id",
+    "q_regex_token_stats",
+    "q_rolling_fingerprint",
+    "q_doc_quality",
+    "q_asof_view_before_purchase",
+    "q_token_totals",
+    "q_doc_chunks",
+    "q_minhash_signatures",
+    "q01_pricing_summary",
+    "q_window_functions",
+    "q_token_counts",
+    "q_semi_join",
+    "q_anti_join",
+    "q_pivot_status",
+    "q_exact_dedup",
+    "q_label_centroids",
+    "q_above_nation_avg",
+    "q_exact_jaccard_join",
+    "q_cms_heavy_hitters",
+    "q_bm25_search",
+    "q_cube_qty",
+    "q_sketch_accuracy",
+    "q_cosine_pairs",
+    "q_embedding_parity_measures",
+    "q_ann_ivf_recall",
+    "q_hourly_event_stats",
+    "q_sessionization",
+    "q_tfidf_top_terms",
 ]
 
 _EXPORTED = (
