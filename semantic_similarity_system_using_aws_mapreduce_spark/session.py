@@ -62,10 +62,10 @@ def get_spark(
     spark = builder.getOrCreate()
     # NOT set here: spark.sql.legacy.codingErrorAction / javaCharsets.
     # Only the crawl surface wants REPLACE-on-malformed-bytes decode
-    # semantics, and the WARC readers set both runtime confs
-    # reader-locally (sources/warc.py:_ensure_charset_confs — safe
-    # under any SparkSession factory); a session-global set would
-    # silently change `decode()` from Spark 4 fail-fast to REPLACE for
-    # every other caller.
+    # semantics, and the WARC readers scope both confs to their OWN
+    # plan construction (sources/warc.py:_charset_scope — set, build,
+    # restore; safe under any SparkSession factory); a session-global
+    # set would silently change `decode()` from Spark 4 fail-fast to
+    # REPLACE for every other caller.
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -40,6 +40,7 @@ scan).
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import io
 from typing import Iterable, Iterator
@@ -336,24 +337,54 @@ def _open_archive(content: bytes):
     return io.BytesIO(content)
 
 
-def _ensure_charset_confs(spark: SparkSession) -> None:
-    """The WARC surface must never throw on crawl bytes: REPLACE
-    coding-error action + the full JVM charset set.  Set HERE and
-    nowhere else (both are runtime SQL confs, so this works under a
-    SparkSession built by any factory): `decode` on a malformed
-    payload THROWS in Spark 4 by default, so one bad byte in a 1 GB
-    archive would abort the whole scan.
+_CHARSET_CONFS = (
+    "spark.sql.legacy.codingErrorAction",
+    "spark.sql.legacy.javaCharsets",
+)
 
-    SCOPE — session-wide once triggered, by design: these are session
-    runtime confs, so after the FIRST WARC reader call every decode()
-    in that SparkSession — including non-WARC callers — switches from
-    Spark 4 fail-fast to REPLACE for the session's remaining lifetime
-    (there is no expression-local error-action override for decode in
-    Spark 4).  The engine's own factory (session.get_spark) does NOT
-    set them, so sessions that never touch crawl bytes keep fail-fast
-    semantics; test_warc pins both halves of this contract."""
-    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+@contextlib.contextmanager
+def _charset_scope(spark: SparkSession):
+    """READER-LOCAL charset semantics (r10, closing the r9 session-
+    scope seam): the WARC surface must never throw on crawl bytes —
+    `decode` on a malformed payload THROWS in Spark 4 by default, so
+    one bad byte in a 1 GB archive would abort the whole scan — but
+    that leniency must not leak to non-WARC callers.
+
+    Spark's ``StringDecode`` expression captures BOTH legacy flags
+    (REPLACE coding-error action, full JVM charset set) at expression
+    construction, and Dataset construction analyzes eagerly — so
+    every decode() built inside this block keeps REPLACE + full
+    charsets for the lifetime of its plan (batch reuse, streaming
+    restarts of the same DataFrame included), while the session confs
+    are restored to their prior values before the reader returns.  A
+    decode() built OUTSIDE the block — before or after a WARC read —
+    keeps Spark 4 fail-fast semantics; test_warc pins both
+    directions, including the capture (reader results still REPLACE
+    when collected long after the scope exited).
+
+    The restore is value-faithful: a session where the operator set
+    the confs deliberately gets them back exactly.  Confs are
+    session-scoped, so a concurrent thread building non-WARC decode
+    expressions inside this (construction-only, no job execution)
+    window would capture leniency — the documented residual seam,
+    narrowed from the session's whole remaining lifetime to plan
+    construction."""
+    prior = {}
+    for k in _CHARSET_CONFS:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, "true")
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def warc_records(files: DataFrame) -> DataFrame:
@@ -364,8 +395,9 @@ def warc_records(files: DataFrame) -> DataFrame:
     binaryFile file-source: the same parse applied per micro-batch).
     All downstream projections (wet_documents / warc_text_documents /
     response_bodies) are stateless column expressions, so the whole
-    chain is legal on a streaming DataFrame."""
-    _ensure_charset_confs(files.sparkSession)
+    chain is legal on a streaming DataFrame.  (No JVM decode() is
+    built here — the charset-lenient scopes live in the projections
+    that decode, wet_documents / response_bodies.)"""
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -489,28 +521,31 @@ def wet_documents(
     never conflated.
 
     Charset: WET conversion payloads are UTF-8 BY SPEC, so no sniff
-    runs here (unlike :func:`response_bodies`); under the session's
-    REPLACE coding-error action a stray invalid byte degrades to
-    U+FFFD instead of aborting the archive scan."""
-    _ensure_charset_confs(records.sparkSession)
+    runs here (unlike :func:`response_bodies`); under the reader's
+    charset scope (:func:`_charset_scope` — captured by this
+    projection's decode at construction, session confs untouched) a
+    stray invalid byte degrades to U+FFFD instead of aborting the
+    archive scan."""
     ok = (~F.col("corrupt")) & (F.col("warc_type") == "conversion") & F.col(
         "record_id"
     ).isNotNull()
-    text = F.decode(F.col("payload"), "UTF-8")
     host = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
-    docs = records.filter(ok).select(
-        F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
-        text.alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-        F.coalesce(host, F.lit("unknown")).alias("source"),
-        F.length(text).cast("long").alias("n_chars"),
-        # fetch timestamp (WARC-Date): recency filters and time-sliced
-        # corpora key on it; null-safe for archives without the header
-        F.try_to_timestamp(F.col("warc_date")).alias("fetched_at"),
-        F.col("target_uri").alias("_uri"),
-    )
+    with _charset_scope(records.sparkSession):
+        text = F.decode(F.col("payload"), "UTF-8")
+        docs = records.filter(ok).select(
+            F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("doc_id"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.coalesce(host, F.lit("unknown")).alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+            # fetch timestamp (WARC-Date): recency filters and
+            # time-sliced corpora key on it; null-safe for archives
+            # without the header
+            F.try_to_timestamp(F.col("warc_date")).alias("fetched_at"),
+            F.col("target_uri").alias("_uri"),
+        )
     if url_dedup:
         # null/absent URIs fall back to a per-doc unique key — a
         # URL-less record is not a duplicate of other URL-less records
@@ -647,9 +682,10 @@ def response_bodies(records: DataFrame) -> DataFrame:
     declared charset > clean-UTF-8 > windows-1252, see
     :func:`_decoded_body`.  The output carries ``charset`` (what
     actually decoded the row) and ``n_repl`` (U+FFFD replacement
-    count under the session's REPLACE coding-error action) so the
-    quality gate can drop mojibake instead of training on it."""
-    _ensure_charset_confs(records.sparkSession)
+    count under the reader's REPLACE coding-error scope,
+    :func:`_charset_scope` — captured at construction, session confs
+    untouched) so the quality gate can drop mojibake instead of
+    training on it."""
     probe = F.decode(F.col("payload"), "ISO-8859-1")  # total: 1 byte = 1 char
     sep = F.instr(probe, "\r\n\r\n")
     header_probe = F.when(sep > 0, F.substring(probe, 1, sep - 1)).otherwise(F.lit(""))
@@ -665,7 +701,6 @@ def response_bodies(records: DataFrame) -> DataFrame:
         F.substring(probe, 1, 5) == F.lit("HTTP/"),
         F.split(F.substring(probe, 1, 64), " ").getItem(1).cast("int"),
     )
-    body, used = _decoded_body(body_bin, _sniffed_charset(header_probe, body_probe))
     # TWO projections, deliberately: `body` is a ~25-branch decode
     # CASE, and deriving n_chars/n_repl from it in the SAME select
     # would inline that tree once per use — the fused stage then
@@ -673,16 +708,20 @@ def response_bodies(records: DataFrame) -> DataFrame:
     # falls back to interpreted eval.  A multi-use non-cheap alias is
     # not collapsed by CollapseProject, so the split keeps the decode
     # computed once AND the generated code within codegen limits.
-    decoded = records.filter(
-        (~F.col("corrupt")) & (F.col("warc_type") == "response")
-    ).select(
-        "record_id",
-        "target_uri",
-        "warc_date",
-        status.alias("http_status"),
-        body.alias("body"),
-        used.alias("charset"),
-    )
+    with _charset_scope(records.sparkSession):
+        body, used = _decoded_body(
+            body_bin, _sniffed_charset(header_probe, body_probe)
+        )
+        decoded = records.filter(
+            (~F.col("corrupt")) & (F.col("warc_type") == "response")
+        ).select(
+            "record_id",
+            "target_uri",
+            "warc_date",
+            status.alias("http_status"),
+            body.alias("body"),
+            used.alias("charset"),
+        )
     b = F.col("body")
     n_repl = F.length(b) - F.length(F.replace(b, F.lit(_REPL), F.lit("")))
     return decoded.select(

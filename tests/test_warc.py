@@ -515,28 +515,32 @@ def test_warc_text_documents_main_content_columns(spark, tmp_path):
     assert 0 < row.boilerplate_ppm < 1_000_000
 
 
-def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
-    """The legacy REPLACE-decode confs are set by the WARC readers,
-    never by the session factory: get_spark() leaves Spark 4
-    fail-fast decode semantics (sessions that never touch crawl bytes
-    keep it), and a WARC read on a bare session (neither conf set —
-    e.g. a SparkSession built by a foreign factory) still survives
-    mojibake bytes because the reader sets both runtime confs itself.
-    The trade, pinned here because it is the documented contract
-    (warc._ensure_charset_confs): once any WARC reader has run, the
-    confs are SESSION-WIDE — every later decode() in the session,
-    WARC or not, uses REPLACE semantics (Spark 4 has no
-    expression-local error-action override for decode)."""
+def test_charset_confs_contained_to_warc_reader_plans(spark, tmp_path):
+    """r10 (VERDICT r9 #3): the legacy REPLACE-decode confs are
+    READER-LOCAL — set around the WARC projections' plan
+    construction and restored before the reader returns, captured by
+    the plans' own decode expressions.  Pinned in BOTH directions:
+    (a) the reader survives mojibake bytes and exotic charsets even
+    when its result is collected long after the scope exited, and
+    (b) a non-WARC decode() built AFTER a WARC read in the SAME
+    session still fail-fasts (the direction the r9 session-wide
+    design could not pin), with the confs back to their prior
+    values."""
+    import pytest
+    from pyspark.sql import functions as F
+
     from semantic_similarity_system_using_aws_mapreduce_spark.session import get_spark
 
     spark.conf.unset("spark.sql.legacy.codingErrorAction")
     spark.conf.unset("spark.sql.legacy.javaCharsets")
-    # the session factory must NOT re-set them globally
+    # the session factory must NOT set them globally
     reused = get_spark()
     assert reused is spark  # getOrCreate reuse — same runtime conf state
     assert reused.conf.get("spark.sql.legacy.codingErrorAction") == "false"
     assert reused.conf.get("spark.sql.legacy.javaCharsets") == "false"
-    # a charset-sensitive read on the bare session still works
+    # a charset-sensitive read on the bare session works: mojibake
+    # UTF-8 REPLACEs, and a declared exotic charset (Shift_JIS —
+    # outside Spark 4's default decode whitelist) decodes
     body = b"good text then \xff\xfe\xff broken"
     payload = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + body
@@ -544,22 +548,43 @@ def test_charset_confs_scoped_to_warc_readers(spark, tmp_path):
     (tmp_path / "m.warc").write_bytes(
         _record("moji2", "response", payload, "http://bad.example/x")
     )
-    row = response_bodies(read_warc(spark, str(tmp_path))).collect()[0]
-    assert row.n_repl >= 1 and "good text then" in row.body
-    # ... and having run a WARC reader, the confs are now session-wide
-    # (the documented scope): non-WARC decode() in THIS session is
-    # REPLACE, not fail-fast, for the session's remaining lifetime
-    assert spark.conf.get("spark.sql.legacy.codingErrorAction") == "true"
-    assert spark.conf.get("spark.sql.legacy.javaCharsets") == "true"
-    from pyspark.sql import functions as F
-
-    got = (
-        spark.range(1)
-        .select(F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t"))
-        .collect()[0]
-        .t
+    sjis = "テスト".encode("shift_jis")
+    (tmp_path / "sjis.warc").write_bytes(
+        _record(
+            "sjis1",
+            "response",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\n"
+            + sjis,
+            "http://jp.example/x",
+        )
     )
-    assert got.startswith("ok ") and "�" in got
+    # build the plan FIRST, assert conf restoration, THEN collect —
+    # proving the leniency lives in the captured plan, not in any
+    # lingering session state
+    plan = response_bodies(read_warc(spark, str(tmp_path)))
+    assert spark.conf.get("spark.sql.legacy.codingErrorAction") == "false"
+    assert spark.conf.get("spark.sql.legacy.javaCharsets") == "false"
+    rows = {r.record_id.strip("<>"): r for r in plan.collect()}
+    moji = rows["urn:uuid:moji2"]
+    assert moji.n_repl >= 1 and "good text then" in moji.body
+    jp = rows["urn:uuid:sjis1"]
+    assert jp.body == "テスト" and jp.charset == "Shift_JIS"
+    # (b) non-WARC decode built AFTER the WARC read still fail-fasts
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        spark.range(1).select(
+            F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t")
+        ).collect()
+    # ... and exotic charsets stay outside the default whitelist
+    with pytest.raises(Exception, match="CHARSET|charset"):
+        spark.range(1).select(
+            F.decode(F.lit(b"ok"), "windows-1252").alias("t")
+        ).collect()
+    # restore is value-faithful: deliberately-set prior values return
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    _ = response_bodies(read_warc(spark, str(tmp_path)))
+    assert spark.conf.get("spark.sql.legacy.codingErrorAction") == "true"
+    assert spark.conf.get("spark.sql.legacy.javaCharsets") == "false"
+    spark.conf.unset("spark.sql.legacy.codingErrorAction")
 
 
 # ---------------------------------------------------------------------------
