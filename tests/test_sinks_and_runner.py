@@ -164,6 +164,31 @@ def test_bench_dry_run(tmp_path):
     assert out["analyzed"] == len(bench.HEADLINE) + len(bench.EXTRA)
 
 
+def test_bench_loaded_host_flag_rides_both_outputs():
+    """Quiet-host gate (VERDICT r9 #4): a run started above the
+    loadavg threshold is flagged "loaded": true, the flag survives
+    the compact printed line at every folding level, and a quiet
+    start stays unflagged."""
+    import bench
+
+    assert not bench._is_loaded({"loadavg_1m": 0.1})
+    assert not bench._is_loaded({})
+    assert not bench._is_loaded(None)
+    assert bench._is_loaded({"loadavg_1m": bench.LOADED_LOADAVG_1M + 0.01})
+    full = {
+        "metric": "m", "value": 1.0, "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(40)},
+        "extra_queries": {f"e{i}": 0.5 for i in range(60)},
+        "pipeline": {}, "pipeline_median": {f"p{i}": 1.0 for i in range(20)},
+        "pipeline_runs": {}, "pipeline_env": {},
+        "load_start": {"loadavg_1m": 7.0}, "load_end": {"loadavg_1m": 8.0},
+        "runs_per_query": 3, "sf": 0.1, "loaded": True,
+    }
+    line = bench._compact_line(full)
+    assert len(line) <= 1900
+    assert json.loads(line)["loaded"] is True
+
+
 def test_run_curation_funnel_contract(spark, tmp_path):
     """End-to-end curation CLI: quality gate, exact + near dedup,
     decontamination, leakage-safe splits and shard layout compose into
