@@ -76,6 +76,54 @@ _BINARY_FILE_SCHEMA = (
 )
 
 
+def _shape_record_rejects(rejects: DataFrame, docs: DataFrame) -> DataFrame:
+    """Project record-level quarantine rows (the raw WARC_SCHEMA
+    shape — corrupt framing, unparseable Content-Length) onto the
+    docs stream's exact column set so they can ride behind the
+    ``_crawl_reject`` flag: the offending header bytes as latin-1
+    text (a total coding — forensics, not content), a DETERMINISTIC
+    fallback doc_id keyed on (archive, offending bytes) since a torn
+    record usually has no WARC-Record-ID (replay reproduces the same
+    row bit-identically), and typed nulls for every docs column a
+    broken record cannot supply."""
+    derived = {
+        "doc_id": F.conv(
+            F.substring(
+                F.md5(
+                    F.coalesce(
+                        F.encode(F.col("record_id"), "UTF-8"),
+                        F.concat(
+                            F.encode(F.col("warc_file"), "UTF-8"),
+                            F.col("payload"),
+                        ),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        "text": F.decode(F.col("payload"), "ISO-8859-1"),
+        "source": F.coalesce(
+            F.try_parse_url(F.col("target_uri"), F.lit("HOST")),
+            F.lit("unknown"),
+        ),
+        "n_chars": F.length(F.col("payload")).cast("long"),
+        "fetched_at": F.try_to_timestamp(F.col("warc_date")),
+    }
+    return rejects.select(
+        *[
+            (
+                derived[f.name]
+                if f.name in derived
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in docs.schema.fields
+        ]
+    )
+
+
 def read_document_stream(
     spark: SparkSession, source_dir: str, source_format: str = "parquet"
 ) -> DataFrame:
@@ -114,21 +162,28 @@ def read_document_stream(
         )
         records = warc_records(files)
         if source_format == "wet":
-            # WET rejects are record-level quarantine rows (corrupt
-            # WARC framing — the raw record shape, not documents), so
-            # they cannot ride the docs stream; the batch CLI surfaces
-            # them, the stream counts only projected conversion docs
-            docs, _rejects = wet_documents(records)
-            return docs
-        # raw-crawl rejects (non-2xx, empty extraction) share the docs
-        # shape — carry them on the stream behind a flag so the ingest
-        # loop can land them in <corpus>_rejects instead of silently
-        # narrowing the batch readers' (docs, rejects) contract
-        docs, rejects = warc_text_documents(records)
-        return docs.withColumn("_crawl_reject", F.lit(False)).unionByName(
-            rejects.drop("http_status").withColumn(
-                "_crawl_reject", F.lit(True)
+            # record-level quarantine parity with the WARC branch
+            # (r10, VERDICT r9 #5): corrupt WET framing rows ride the
+            # docs stream behind the same flag so the ingest loop
+            # lands them in <corpus>_rejects — a torn archive must be
+            # distinguishable from an empty one on the streaming
+            # lifecycle too, not only through the batch CLI
+            docs, rejects = wet_documents(records)
+            shaped = _shape_record_rejects(rejects, docs)
+        else:
+            # raw-crawl rejects (non-2xx, empty extraction) share the
+            # docs shape — carry them on the stream behind a flag so
+            # the ingest loop can land them in <corpus>_rejects
+            # instead of silently narrowing the batch readers'
+            # (docs, rejects) contract.  Record-level corrupt framing
+            # rows (which response_bodies filters out before shaping)
+            # join them through the same projection (r10 parity).
+            docs, rejects = warc_text_documents(records)
+            shaped = rejects.drop("http_status").unionByName(
+                _shape_record_rejects(records.filter(F.col("corrupt")), docs)
             )
+        return docs.withColumn("_crawl_reject", F.lit(False)).unionByName(
+            shaped.withColumn("_crawl_reject", F.lit(True))
         )
     if source_format != "parquet":
         raise ValueError(f"unknown source_format: {source_format!r}")

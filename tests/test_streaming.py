@@ -2053,10 +2053,20 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
         b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
         + page(_long_text("gone"))
     )
+    # a torn record MID-ARCHIVE (unparseable Content-Length): the
+    # parser quarantines it, resyncs, and — r10 — the record-level
+    # reject rides into <corpus>_rejects alongside the shaped ones
+    torn = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: NaN\r\n"
+        b"\r\n"
+    )
     a1 = (
         _warc_record(
             "good1", _http_html(page(_long_text("alpha"))), "http://a.com/1"
         )
+        + torn
         + _warc_record("moji1", _http_html(moji_body), "http://a.com/m")
         + _warc_record("gone1", gone, "http://a.com/404")
     )
@@ -2082,9 +2092,16 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
         for r in spark.read.parquet(corpus_path + "_stats").collect()
     }
     assert stats[0] == (2, 1, 1)
-    rej = spark.read.parquet(corpus_path + "_rejects").collect()
-    assert {r.doc_id for r in rej} == {_crawl_doc_id("gone1")}
-    assert "gone0" in rej[0].text
+    rej = {r.doc_id: r for r in spark.read.parquet(corpus_path + "_rejects").collect()}
+    assert len(rej) == 2  # the shaped 404 + the record-level torn row
+    gone_row = rej[_crawl_doc_id("gone1")]
+    assert "gone0" in gone_row.text
+    (torn_row,) = [r for r in rej.values() if r.doc_id != _crawl_doc_id("gone1")]
+    # record-level quarantine (r10): the torn record's offending
+    # header bytes are visible, typed nulls elsewhere
+    assert "Content-Length: NaN" in torn_row.text
+    assert torn_row.source == "unknown" and torn_row.fetched_at is None
+    assert torn_row.charset is None and torn_row.main_text is None
 
     # second invocation: only the NEW archive is ingested (checkpoint
     # skips a1), and a re-fetch of good1's content dedups away
@@ -2124,25 +2141,57 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
 def test_streaming_wet_ingest(spark, tmp_path):
     """WET extracts stream through the same lifecycle (--format wet):
     conversion records project onto the documents shape per
-    micro-batch and the curation gates apply unchanged."""
+    micro-batch and the curation gates apply unchanged.  r10 (VERDICT
+    r9 #5): record-level quarantine parity — a corrupt WET record
+    lands in <corpus>_rejects exactly like the WARC path, and replay
+    is a no-op for the rejects table too."""
     import gzip as _gz
 
     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
 
     src = tmp_path / "wet_incoming"
     src.mkdir()
-    arch = _warc_record(
-        "wet1", _long_text("gamma").encode(), "http://c.org/x",
-        warc_type="conversion",
-    ) + _warc_record(
-        "short1", b"too short", "http://c.org/y", warc_type="conversion"
+    torn = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"Content-Length: NaN\r\n"
+        b"\r\n"
+    )
+    arch = (
+        _warc_record(
+            "wet1", _long_text("gamma").encode(), "http://c.org/x",
+            warc_type="conversion",
+        )
+        + torn
+        + _warc_record(
+            "short1", b"too short", "http://c.org/y", warc_type="conversion"
+        )
     )
     (src / "w1.warc.gz").write_bytes(_gz.compress(arch))
     corpus_path = str(tmp_path / "wet_corpus")
+    index_path = str(tmp_path / "wet_index")
     run_streaming_curation(
-        spark, str(src), corpus_path, str(tmp_path / "wet_index"),
-        source_format="wet",
+        spark, str(src), corpus_path, index_path, source_format="wet",
     )
     rows = spark.read.parquet(corpus_path).collect()
     assert {r.doc_id for r in rows} == {_crawl_doc_id("wet1")}
     assert rows[0].source == "c.org" and "gamma0" in rows[0].text
+    # the corrupt record is OBSERVABLE in the rejects table (docs
+    # shape: offending bytes as text, typed nulls elsewhere, a
+    # deterministic fallback doc_id)
+    rej = spark.read.parquet(corpus_path + "_rejects").collect()
+    assert len(rej) == 1
+    assert "Content-Length: NaN" in rej[0].text
+    assert rej[0].source == "unknown" and rej[0].fetched_at is None
+    assert rej[0].doc_id is not None and rej[0].lang is None
+    # replay no-op: a committed checkpoint leaves corpus AND rejects
+    # bit-identical
+    before = sorted(tuple(r) for r in spark.read.parquet(corpus_path + "_rejects").collect())
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, source_format="wet",
+    )
+    after = sorted(tuple(r) for r in spark.read.parquet(corpus_path + "_rejects").collect())
+    assert after == before
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    } == {_crawl_doc_id("wet1")}
