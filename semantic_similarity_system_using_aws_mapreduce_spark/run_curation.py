@@ -10,6 +10,7 @@ operators into the standard funnel:
         [--format parquet|orc|jsonl|csv|wet|warc] [--eval-docs PATH]
         [--min-tokens 24] [--min-ttr 0.35] [--contam-overlap 5]
         [--shard-budget 2048] [--no-shards]
+        [--dedup min-id|keep-newest]
 
 DOCS needs (doc_id, text[, lang, source, ...]); extra columns ride
 through untouched.  Writes to OUTDIR:
@@ -94,7 +95,15 @@ def curate(
     main_content: bool = False,
     mojibake_max_permille: int | None = MOJIBAKE_MAX_PERMILLE,
     lang_id: bool = False,
+    dedup_mode: str = "min-id",
 ) -> dict:
+    if dedup_mode not in ("min-id", "keep-newest"):
+        raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
+    if dedup_mode == "keep-newest" and "fetched_at" not in docs.columns:
+        raise ValueError(
+            "--dedup keep-newest needs a 'fetched_at' column (the "
+            "WARC/WET readers supply it from WARC-Date)"
+        )
     os.makedirs(outdir, exist_ok=True)
 
     # optional language identification filling the docs shape's lang
@@ -182,9 +191,20 @@ def curate(
         gopher_ok = F.lit(True)
     staged = staged.drop("_toks")
 
-    # exact dedup: min doc_id survives per content digest (one shuffle)
+    # exact dedup: one shuffle either way.  min-id (default): the
+    # smallest doc_id survives per content digest.  keep-newest
+    # (--dedup keep-newest, r10 — crawl semantics for re-crawled
+    # corpora): the newest fetch survives, ties broken by greatest id
+    # — ordering by struct(fetched_at, doc_id) DESC is exactly the
+    # max(struct(ts, id)) survivor the oracled operator
+    # (operators/dedup.exact_dedup_keep_newest, q_dedup_keep_newest)
+    # picks, nulls-last by struct comparison semantics.
+    if dedup_mode == "keep-newest":
+        order = F.struct(F.col("fetched_at"), F.col("doc_id")).desc()
+    else:
+        order = F.col("doc_id").asc()
     digest_rank = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        Window.partitionBy(F.md5("text")).orderBy(order)
     )
     staged = staged.withColumn("_exact_rank", digest_rank)
 
@@ -319,6 +339,17 @@ def main() -> None:
         "frequency capping; the over-quota rows land in rejects)",
     )
     ap.add_argument(
+        "--dedup",
+        default="min-id",
+        choices=["min-id", "keep-newest"],
+        help="exact-dedup survivor rule: 'min-id' (default, "
+        "deterministic smallest id) or 'keep-newest' (crawl "
+        "semantics: the newest fetch per content digest survives, "
+        "keyed on the readers' fetched_at / WARC-Date — for "
+        "re-crawled corpora where the latest copy's metadata should "
+        "win)",
+    )
+    ap.add_argument(
         "--url-dedup",
         action="store_true",
         help="(--format wet) keep one record per canonical target URL "
@@ -374,6 +405,7 @@ def main() -> None:
         gopher=args.gopher,
         main_content=args.main_content,
         lang_id=args.lang_id,
+        dedup_mode=args.dedup,
         mojibake_max_permille=(
             None
             if args.mojibake_max_permille < 0

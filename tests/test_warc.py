@@ -22,12 +22,13 @@ def _record(
     payload: bytes,
     uri: str | None = None,
     ctype: str = "text/plain",
+    date: str = "2026-01-01T00:00:00Z",
 ) -> bytes:
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
         b"WARC-Record-ID: <urn:uuid:" + rec_id.encode() + b">",
-        b"WARC-Date: 2026-01-01T00:00:00Z",
+        b"WARC-Date: " + date.encode(),
     ]
     if uri:
         headers.append(b"WARC-Target-URI: " + uri.encode())
@@ -252,6 +253,87 @@ def test_curation_cli_reads_wet(spark, tmp_path):
         "site1.com",
         "site2.com",
     }
+
+
+def test_curation_cli_keep_newest_dedup(tmp_path):
+    """r10 (VERDICT r9 #6): --dedup keep-newest wires crawl-semantics
+    exact dedup into the funnel END-TO-END FROM THE CLI — a
+    re-crawled duplicate's NEWEST copy survives (keyed on the
+    readers' fetched_at / WARC-Date, ties by greatest id), the older
+    copies land in rejects with the exact_dup stage, and the default
+    min-id rule is unchanged."""
+    import gzip as _gz
+    import hashlib
+    import json
+    import subprocess
+    import sys
+
+    dup_text = " ".join(f"page{j} word{j}" for j in range(30))
+    other = " ".join(f"other{j} tok{j}" for j in range(30))
+    arch = (
+        _record("old1", "conversion", dup_text.encode(),
+                "http://s.com/p", date="2025-03-01T00:00:00Z")
+        + _record("new1", "conversion", dup_text.encode(),
+                  "http://s.com/p", date="2026-02-01T00:00:00Z")
+        + _record("mid1", "conversion", dup_text.encode(),
+                  "http://s.com/p", date="2025-09-01T00:00:00Z")
+        + _record("uniq1", "conversion", other.encode(),
+                  "http://s.com/q", date="2025-01-01T00:00:00Z")
+    )
+    (tmp_path / "recrawl.warc.gz").write_bytes(_gz.compress(arch))
+
+    def doc_id(rid):
+        return int(hashlib.md5(f"<urn:uuid:{rid}>".encode()).hexdigest()[:15], 16)
+
+    def run(outdir, *extra):
+        proc = subprocess.run(
+            [
+                sys.executable, "-m",
+                "semantic_similarity_system_using_aws_mapreduce_spark.run_curation",
+                str(tmp_path / "recrawl.warc.gz"), outdir,
+                "--format", "wet", "--no-shards", *extra,
+            ],
+            capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = str(tmp_path / "newest")
+    manifest = run(out, "--dedup", "keep-newest")
+    assert manifest["funnel"]["exact_dup"] == 2
+    kept = {
+        r.doc_id
+        for r in _read_parquet(out + "/curated.parquet").itertuples()
+    }
+    assert kept == {doc_id("new1"), doc_id("uniq1")}
+    rejects = _read_parquet(out + "/rejects.parquet")
+    assert set(rejects.doc_id) == {doc_id("old1"), doc_id("mid1")}
+    assert set(rejects.drop_stage) == {"exact_dup"}
+
+    # default rule unchanged: min-id survivor
+    out2 = str(tmp_path / "minid")
+    run(out2)
+    kept2 = {
+        r.doc_id
+        for r in _read_parquet(out2 + "/curated.parquet").itertuples()
+    }
+    assert kept2 == {
+        min(doc_id("old1"), doc_id("new1"), doc_id("mid1")),
+        doc_id("uniq1"),
+    }
+
+
+def _read_parquet(path):
+    import glob as _glob
+
+    import pandas as _pd
+    import pyarrow.parquet as _pq
+
+    frames = [
+        _pq.read_table(f).to_pandas()
+        for f in _glob.glob(path + "/**/*.parquet", recursive=True)
+    ]
+    return _pd.concat(frames, ignore_index=True)
 
 
 def test_html_to_text_extraction(spark):
