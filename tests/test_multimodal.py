@@ -2364,6 +2364,53 @@ def test_decode_media_quarantine_confines_bad_rows(spark):
     assert all(r.error is None for r in fake)
 
 
+def test_decode_media_quarantine_skewed_payloads(spark):
+    """Media-path scale drill (VERDICT r9 #7): one HOT multi-MB
+    payload among dozens of small ones through quarantine-mode real
+    decode, with maxRecordsPerBatch pinned small so the hot row's
+    Arrow batch stays bounded (the 100 TB memory contract: peak =
+    batch rows x largest decode blow-up, not partition size) and two
+    corrupt rows scattered through the batches.  Every row returns:
+    the hot decode is exact, each corrupt row quarantines alone, and
+    its batch siblings survive."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.multimodal import make_bmp, make_png
+
+    fn = lambda x, y: (x * 9 % 256, y * 4 % 256, (x + y) % 256)  # noqa: E731
+    big_w, big_h = 1200, 800  # ~2.9 MB BMP
+    rows = []
+    for i in range(40):
+        rows.append((i, "image", make_png(8, 6, fn), "png", 8, 6, None))
+    hot = make_bmp(big_w, big_h, fn)
+    assert len(hot) > 2_500_000
+    rows.append((100, "image", hot, "bmp", big_w, big_h, None))
+    rows.append((101, "image", b"\x89PNG\r\n\x1a\n torn", "png", 8, 6, None))
+    rows.append((102, "image", b"BM torn bmp", "bmp", 4, 4, None))
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+        got = {
+            r.media_id: r
+            for r in decode_media(
+                media, decoder="real", on_error="quarantine"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+    assert len(got) == 43
+    small_sum = sum(
+        (299 * fn(x, y)[0] + 587 * fn(x, y)[1] + 114 * fn(x, y)[2]) // 1000
+        for y in range(6)
+        for x in range(8)
+    )
+    for i in range(40):
+        assert got[i].error is None and got[i].checksum == small_sum, i
+    assert got[100].error is None
+    assert got[100].pixels_or_samples == big_w * big_h
+    assert got[101].checksum is None and got[101].error
+    assert got[102].checksum is None and got[102].error
+
+
 # ---------------------------------------------------------------------------
 # ICO favicons (r9): a container of classic DIB entries (doubled-
 # height BITMAPINFOHEADER, bottom-up padded rows, 32/24/8/4/1 bpp,

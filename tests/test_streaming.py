@@ -2138,6 +2138,75 @@ def test_streaming_warc_ingest_incremental_replay_forget(spark, tmp_path):
     } == {_crawl_doc_id("good2")}
 
 
+def test_streaming_warc_skewed_archives(spark, tmp_path):
+    """Media-path scale drill (VERDICT r9 #7): one HOT multi-MB
+    archive among small ones through the streaming WARC path — the
+    one-task-per-archive granularity must carry the hot archive
+    whole (every record lands), per-record isolation must hold AT
+    ARCHIVE SCALE (a torn record mid-hot-archive quarantines to the
+    rejects table while its ~100 siblings survive), and the per-file
+    micro-batching must keep one archive per batch so a skewed drop
+    directory never fuses archives into one giant batch."""
+    import gzip as _gz
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    def page(seed: str) -> bytes:
+        # ~4 KB page with gate-clearing token variety
+        words = " ".join(f"{seed}w{j}x{j % 7}" for j in range(400))
+        return f"<html><body><p>{words}</p></body></html>".encode()
+
+    src = tmp_path / "skew_incoming"
+    src.mkdir()
+    n_hot = 100
+    torn = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: NaN\r\n"
+        b"\r\n"
+    )
+    hot_parts = []
+    for i in range(n_hot):
+        hot_parts.append(
+            _warc_record(
+                f"hot{i}", _http_html(page(f"h{i}")), f"http://hot.com/{i}"
+            )
+        )
+        if i == n_hot // 2:  # torn record mid-archive
+            hot_parts.append(torn)
+    hot = b"".join(hot_parts)
+    assert len(hot) > 400_000  # genuinely the skewed archive
+    (src / "a_hot.warc.gz").write_bytes(_gz.compress(hot))
+    for k in range(3):
+        small = _warc_record(
+            f"small{k}", _http_html(page(f"s{k}")), f"http://s{k}.com/"
+        )
+        (src / f"b_small{k}.warc.gz").write_bytes(_gz.compress(small))
+
+    corpus_path = str(tmp_path / "skew_corpus")
+    run_streaming_curation(
+        spark, str(src), corpus_path, str(tmp_path / "skew_index"),
+        source_format="warc", stats=True,
+    )
+    corpus = spark.read.parquet(corpus_path)
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    want = {_crawl_doc_id(f"hot{i}") for i in range(n_hot)} | {
+        _crawl_doc_id(f"small{k}") for k in range(3)
+    }
+    assert ids == want  # every record of the hot archive landed
+    # per-record isolation at archive scale: exactly the torn row
+    # quarantined, none of its siblings
+    rej = spark.read.parquet(corpus_path + "_rejects").collect()
+    assert len(rej) == 1 and "Content-Length: NaN" in rej[0].text
+    # one archive per micro-batch (maxFilesPerTrigger=1): the hot
+    # archive is its own batch, never fused with the small ones
+    stats = {
+        r.ingest_batch: r.n_arrived
+        for r in spark.read.parquet(corpus_path + "_stats").collect()
+    }
+    assert len(stats) == 4 and sorted(stats.values()) == [1, 1, 1, n_hot]
+
+
 def test_streaming_wet_ingest(spark, tmp_path):
     """WET extracts stream through the same lifecycle (--format wet):
     conversion records project onto the documents shape per

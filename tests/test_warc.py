@@ -255,6 +255,51 @@ def test_curation_cli_reads_wet(spark, tmp_path):
     }
 
 
+def test_parse_streams_records_incrementally():
+    """The bounded-memory claim's foundation (VERDICT r9 #7): the
+    record parse streams off the file object record-at-a-time — after
+    consuming the FIRST record of a 200-record archive, the parser
+    has read only that record's bytes (plus one readline of
+    lookahead), not the whole archive.  Peak memory per task is
+    therefore one compressed archive + one mapInPandas batch, not the
+    decompressed archive."""
+    import io
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import parse_warc_records
+
+    class CountingStream(io.BytesIO):
+        def __init__(self, data):
+            super().__init__(data)
+            self.max_pos = 0
+
+        def read(self, n=-1):
+            out = super().read(n)
+            self.max_pos = max(self.max_pos, self.tell())
+            return out
+
+        def readline(self, n=-1):
+            out = super().readline(n)
+            self.max_pos = max(self.max_pos, self.tell())
+            return out
+
+    body = b"x" * 5000
+    arch = b"".join(
+        _record(f"r{i}", "conversion", body, f"http://s.com/{i}")
+        for i in range(200)
+    )
+    stream = CountingStream(arch)
+    it = parse_warc_records(stream, "big.warc")
+    first = next(it)
+    assert first[1] == "<urn:uuid:r0>" and not first[8]
+    # one record is ~5.2 KB of ~1 MB: the parser must not have read
+    # ahead more than a couple of records' worth
+    assert stream.max_pos < 3 * (len(body) + 400), (
+        stream.max_pos, len(arch)
+    )
+    # and full consumption yields every record exactly once
+    assert 1 + sum(1 for _ in it) == 200
+
+
 def test_curation_cli_keep_newest_dedup(tmp_path):
     """r10 (VERDICT r9 #6): --dedup keep-newest wires crawl-semantics
     exact dedup into the funnel END-TO-END FROM THE CLI — a
