@@ -36,7 +36,7 @@ import argparse
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
@@ -191,27 +191,42 @@ def curate(
         gopher_ok = F.lit(True)
     staged = staged.drop("_toks")
 
-    # exact dedup: one shuffle either way.  min-id (default): the
-    # smallest doc_id survives per content digest.  keep-newest
-    # (--dedup keep-newest, r10 — crawl semantics for re-crawled
-    # corpora): the newest fetch survives, ties broken by greatest id
-    # — ordering by struct(fetched_at, doc_id) DESC is exactly the
-    # max(struct(ts, id)) survivor the oracled operator
-    # (operators/dedup.exact_dedup_keep_newest, q_dedup_keep_newest)
-    # picks, nulls-last by struct comparison semantics.
+    # exact dedup.  min-id (default): the smallest doc_id survives
+    # per content digest; keep-newest (--dedup keep-newest, r10 —
+    # crawl semantics for re-crawled corpora): the newest fetch
+    # survives, ties broken by greatest id — max(struct(ts, id)), the
+    # exact survivor the oracled operator picks
+    # (operators/dedup.exact_dedup_keep_newest, q_dedup_keep_newest;
+    # struct comparison puts null timestamps last).  SHAPE (r10,
+    # replacing a row_number window): aggregate the one survivor id
+    # per digest, then join it back.  Both routes shuffle the staged
+    # relation by digest once, but the window form SORTS each
+    # digest's whole copy set in one task — the hot-key pathology the
+    # url_dedup docstring warns about (a crawler-trap page's millions
+    # of identical copies) — while the aggregate collapses the hot
+    # digest map-side via partial aggregation and the join back
+    # merely streams the copies through a join, no per-key sort, no
+    # per-key memory.
     if dedup_mode == "keep-newest":
-        order = F.struct(F.col("fetched_at"), F.col("doc_id")).desc()
+        pick = F.max(
+            F.struct(F.col("fetched_at").alias("f"), F.col("doc_id").alias("d"))
+        )["d"]
     else:
-        order = F.col("doc_id").asc()
-    digest_rank = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy(order)
+        pick = F.min("doc_id")
+    # null texts form their own digest group (the window form's null
+    # partition did the same) — a bare md5(null) key would silently
+    # drop those rows at the inner join
+    staged = staged.withColumn(
+        "_digest", F.coalesce(F.md5("text"), F.lit("__null_text__"))
     )
-    staged = staged.withColumn("_exact_rank", digest_rank)
+    keepers = staged.groupBy("_digest").agg(pick.alias("_keep_id"))
+    staged = staged.join(keepers, "_digest")
+    exact_ok = F.col("doc_id") == F.col("_keep_id")
 
     # near-dedup clusters over the quality+exact survivors only — the
     # expensive stage never sees rows an earlier (cheaper) stage drops
     survivors0 = staged.filter(
-        quality_ok & mojibake_ok & gopher_ok & (F.col("_exact_rank") == 1)
+        quality_ok & mojibake_ok & gopher_ok & exact_ok
     ).select("doc_id", "text")
     sigs = minhash_signatures(shingle_hashes(survivors0))
     comp = connected_components(lsh_candidates(sigs)).withColumnRenamed(
@@ -247,7 +262,7 @@ def curate(
             quality_ok
             & mojibake_ok
             & gopher_ok
-            & (F.col("_exact_rank") == 1)
+            & exact_ok
             & near_ok
             & ~F.col("_contaminated")
         )
@@ -272,7 +287,7 @@ def curate(
             F.when(~quality_ok, "quality")
             .when(~mojibake_ok, "mojibake")
             .when(~gopher_ok, "gopher")
-            .when(F.col("_exact_rank") != 1, "exact_dup")
+            .when(~exact_ok, "exact_dup")
             .when(~near_ok, "near_dup")
             .when(F.col("_contaminated"), "contaminated")
             .when(over_quota, "over_quota")
