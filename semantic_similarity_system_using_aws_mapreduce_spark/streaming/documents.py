@@ -613,17 +613,25 @@ def run_streaming_curation(
         raise ValueError("bucket_index_table requires compact_every (its rebuild cadence)")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        raw = None
         if "_crawl_reject" in batch.columns:
-            # crawl reader rejects (non-2xx, empty extraction) land in
-            # their own replay-idempotent table — a mis-crawled batch
-            # must be distinguishable from an empty one
+            # crawl reader rejects (non-2xx, empty extraction, torn
+            # framing) land in their own replay-idempotent table — a
+            # mis-crawled batch must be distinguishable from an empty
+            # one.  Cache the RAW batch first (r10): for crawl
+            # formats the plan upstream of this point is the whole
+            # archive's mapInPandas parse + HTML extraction, and the
+            # rejects write, the docs arm and the stats count would
+            # otherwise each re-parse the archive from bytes — 3x the
+            # dominant per-batch cost at 1 GB archive scale.
+            raw = batch.cache()
             _write_batch_partition(
-                batch.filter(F.col("_crawl_reject")).drop("_crawl_reject"),
+                raw.filter(F.col("_crawl_reject")).drop("_crawl_reject"),
                 corpus_path + "_rejects",
                 batch_id,
             )
-            batch = batch.filter(~F.col("_crawl_reject")).drop("_crawl_reject")
-        if stats:
+            batch = raw.filter(~F.col("_crawl_reject")).drop("_crawl_reject")
+        elif stats:
             # the arrived-count below and the gate both read the
             # batch — cache it so stats never re-scan the source file
             batch = batch.cache()
@@ -853,7 +861,9 @@ def run_streaming_curation(
             if kept is not None:
                 kept.unpersist()
             gated.unpersist()
-            if stats:
+            if raw is not None:
+                raw.unpersist()
+            elif stats:
                 batch.unpersist()
 
     (
