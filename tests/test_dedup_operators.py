@@ -685,3 +685,41 @@ def test_lsh_recall_audit_sampled_tracks_full(spark):
     assert sampled.n_candidates < full.n_candidates
     # ... while estimating the same recall ratio
     assert abs(sampled.recall_ppm - full.recall_ppm) <= 100_000
+
+
+def test_exact_dedup_keep_newest_null_timestamps(spark):
+    """Operator-level pin of the keep-newest tie rules (the oracle
+    row q_dedup_keep_newest covers the table-scale path): a non-null
+    fetch always beats a null one (struct comparison puts nulls
+    first, so max prefers real timestamps), an all-null digest group
+    falls back to the greatest id, and exact-timestamp ties break by
+    greatest id — the same winner the funnel's --dedup keep-newest
+    stage picks."""
+    import datetime as _dt
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import exact_dedup_keep_newest
+
+    t1 = _dt.datetime(2025, 3, 1)
+    t2 = _dt.datetime(2026, 2, 1)
+    rows = [
+        # digest A: null ts loses to real ts, even a smaller id's
+        (10, "same text A", t1),
+        (11, "same text A", None),
+        (12, "same text A", t2),
+        # digest B: all null -> greatest id survives
+        (20, "same text B", None),
+        (21, "same text B", None),
+        # digest C: exact tie on ts -> greatest id
+        (30, "same text C", t1),
+        (31, "same text C", t1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, fetched_at timestamp"
+    )
+    got = {
+        r.keep_doc_id: r for r in exact_dedup_keep_newest(df).collect()
+    }
+    assert set(got) == {12, 21, 31}
+    assert got[12].n_copies == 3 and got[12].keep_fetched == t2
+    assert got[21].n_copies == 2 and got[21].keep_fetched is None
+    assert got[31].n_copies == 2 and got[31].keep_fetched == t1

@@ -1063,3 +1063,34 @@ def test_decode_http_payload_roundtrip_property():
         assert out.split(b"\r\n\r\n", 1)[1] == body
 
     check()
+
+
+def test_charset_scope_restores_on_exception(spark):
+    """The scope's finally restores both confs even when plan
+    construction raises mid-block (e.g. an AnalysisException on a
+    malformed reader relation) — a failed read must not leave the
+    session lenient."""
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import _CHARSET_CONFS, _charset_scope
+
+    spark.conf.unset("spark.sql.legacy.codingErrorAction")
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    class Boom(RuntimeError):
+        pass
+
+    try:
+        with _charset_scope(spark):
+            assert spark.conf.get(_CHARSET_CONFS[0]) == "true"
+            assert spark.conf.get(_CHARSET_CONFS[1]) == "true"
+            raise Boom()
+    except Boom:
+        pass
+    for k in _CHARSET_CONFS:
+        assert spark.conf.get(k) == "false"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        spark.range(1).select(
+            F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t")
+        ).collect()
