@@ -247,3 +247,35 @@ def test_blocked_cosine_single_data_shuffle(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert n_shuffles(plan) == 1, f"blocked path gained a shuffle:\n{plan}"
+
+
+def test_funnel_exact_dedup_is_partial_aggregate_not_window_sort(spark):
+    """r10: the curation funnel's exact-dedup stage must stay the
+    aggregate-and-join-back shape — a survivor-id aggregate WITH a
+    map-side partial pass (a crawler-trap hot digest collapses
+    before the shuffle) and NO window sort of the digest partitions
+    (the row_number form sorted each digest's whole copy set in one
+    task).  Pinned for both survivor rules."""
+    import datetime as _dt
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import tokens  # noqa: F401
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}", _dt.datetime(2026, 1, 1 + i % 7)) for i in range(20)],
+        "doc_id long, text string, fetched_at timestamp",
+    )
+    # reproduce the funnel's stage expressions (curate() itself writes
+    # output files; the plan property lives in this subtree)
+    staged = docs.withColumn(
+        "_digest", F.coalesce(F.md5("text"), F.lit("__null_text__"))
+    )
+    for pick in (
+        F.min("doc_id"),
+        F.max(F.struct(F.col("fetched_at").alias("f"), F.col("doc_id").alias("d")))["d"],
+    ):
+        keepers = staged.groupBy("_digest").agg(pick.alias("_keep_id"))
+        joined = staged.join(keepers, "_digest")
+        plan = plan_of(joined)
+        assert "partial_min" in plan or "partial_max" in plan, plan
+        assert "Window" not in plan, plan
