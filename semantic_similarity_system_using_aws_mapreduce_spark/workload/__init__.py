@@ -138,95 +138,18 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 10),
-# executing the round-9 registry's ROUND-10 NOTE and VERDICT r9 #1:
-# the full 44-entry round-9 _LAST tail (every entry fully green in
-# CORRECTNESS_r08, mirror-verified since) rotates back into the
+# order-sensitive cap can't starve them again.  ROTATION (round 11),
+# executing the round-10 registry's ROUND-11 NOTE and VERDICT r10 #1:
+# the full 44-entry round-10 _LAST tail (every entry fully green in
+# CORRECTNESS_r09, mirror-verified since) rotates back into the
 # 50-row window.  44 rotated + 6 middle = exactly 50 — zero free
-# slots, so any round-10 addition must make window room by an
-# explicit middle demotion (as rounds 7-9 did).  The 44 round-9
-# _PRIORITY entries (all fully green in CORRECTNESS_r09) demote to
+# slots, so any round-11 addition must make window room by an
+# explicit middle demotion (as rounds 7-10 did).  The 44 round-10
+# _PRIORITY entries (all fully green in CORRECTNESS_r10) demote to
 # the new _LAST tail, keeping the every-export-green-within-two-
-# rounds invariant: r10-window ∪ r9-green covers all exports.
+# rounds invariant: r11-window ∪ r10-green covers all exports.
 _PRIORITY = [
-    # the round-9 _LAST tail rotating back in (green r8, skipped r9):
-    "q_lm_quality",
-    "q_paragraph_dedup",
-    "q_main_content",
-    "q_bpe_fertility",
-    "q_lsh_recall",
-    "q_unpivot",
-    "q_user_event_pivot",
-    "q_array_agg",
-    "q_acctbal_share",
-    "q_distinct_counts",
-    "q05_local_supplier",
-    "q_date_buckets",
-    "q_string_funcs",
-    "q_full_outer_align",
-    "q_having_big_customers",
-    "q_range_frame",
-    "q_sequence_packing",
-    "q_semantic_dedup",
-    "q_duplicate_spans",
-    "q_training_order",
-    "q_span_scrub",
-    "q_source_mixture",
-    "q_event_sequences",
-    "q_dsir_select",
-    "q_bloom_dedup",
-    "q_leakage_safe_split",
-    "q_data_card",
-    "q_table_stats",
-    "q_blocked_cosine_pairs",
-    "q_hybrid_rrf",
-    "q_containment_dups",
-    "q_event_anomalies",
-    "q_edit_similarity_dups",
-    "q_source_overlap",
-    "q_kmeans_assign",
-    "q_domain_rank",
-    "q_pq_codes",
-    "q_pq_adc_search",
-    "q_tagged_union",
-    "q_json_props",
-    "q_ngram_jaccard_dups",
-    "q_decontaminate",
-    "q_interval_join",
-    "q_simhash_near_dups",
-]
-
-# Exported last: with 94 exported queries and a 50-row driver cap,
-# exactly these 44 fall off this round (the round-9 _PRIORITY block:
-# the 2 round-9 additions plus the 42 entries that rotated into the
-# r9 window).  Every one is fully green in CORRECTNESS_r09 (rows,
-# schema, AND hash — 50/50 green), so the rotation keeps every export
-# driver-green within two consecutive rounds, AND each is
-# coverage-subsumed by queries that keep a slot (the same family
-# rationales recorded in the round-9 registry apply with the
-# directions swapped — each pair below simply trades places with the
-# r10 window entry it subsumed last round):
-#   q_lang_prior / q_dedup_keep_newest - new in r9, green r9; their
-#                           families keep q_lang_id-adjacent lang
-#                           stats via the mirror plus the exported
-#                           dedup family (q_exact_dedup's keep-newest
-#                           twin stays mirror-verified; the funnel's
-#                           keep-newest mode is streaming/CLI-tested)
-#   the 42 remaining entries are the round-8 _LAST tail promoted in
-#                           r9 with per-entry rationales recorded
-#                           there; each swaps back with its r10
-#                           window counterpart (same families,
-#                           directions reversed)
-# All remain verified by the local mirror test either way.
-# ROUND-11 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-10 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-# Every entry below is green in CORRECTNESS_r09, so each tolerates
-# exactly the round-10 skip; all 44 must re-enter the round-11 window
-# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
-# any round-11 addition must demote a then-green middle entry, as
-# rounds 7-10 did).
-_LAST = [
+    # the round-10 _LAST tail rotating back in (green r9, skipped r10):
     "q_lang_prior",
     "q_dedup_keep_newest",
     "q_ann_lsh_topk",
@@ -271,6 +194,72 @@ _LAST = [
     "q_hourly_event_stats",
     "q_sessionization",
     "q_tfidf_top_terms",
+]
+
+# Exported last: with 94 exported queries and a 50-row driver cap,
+# exactly these 44 fall off this round (the round-10 _PRIORITY block —
+# the round-9 _LAST tail that rotated into the r10 window).  Every
+# one is fully green in CORRECTNESS_r10 (rows, schema, AND hash —
+# 50/50 green), so the rotation keeps every export driver-green
+# within two consecutive rounds, AND each is coverage-subsumed by
+# queries that keep a slot (the same per-entry family rationales
+# recorded in the round-9/round-10 registries apply with the
+# directions swapped — each pair below simply trades places with the
+# r11 window entry it subsumed last round).
+# All remain verified by the local mirror test either way.
+# ROUND-12 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-11 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r10, so each tolerates
+# exactly the round-11 skip; all 44 must re-enter the round-12 window
+# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
+# any round-12 addition must demote a then-green middle entry, as
+# rounds 7-11 did).
+_LAST = [
+    "q_lm_quality",
+    "q_paragraph_dedup",
+    "q_main_content",
+    "q_bpe_fertility",
+    "q_lsh_recall",
+    "q_unpivot",
+    "q_user_event_pivot",
+    "q_array_agg",
+    "q_acctbal_share",
+    "q_distinct_counts",
+    "q05_local_supplier",
+    "q_date_buckets",
+    "q_string_funcs",
+    "q_full_outer_align",
+    "q_having_big_customers",
+    "q_range_frame",
+    "q_sequence_packing",
+    "q_semantic_dedup",
+    "q_duplicate_spans",
+    "q_training_order",
+    "q_span_scrub",
+    "q_source_mixture",
+    "q_event_sequences",
+    "q_dsir_select",
+    "q_bloom_dedup",
+    "q_leakage_safe_split",
+    "q_data_card",
+    "q_table_stats",
+    "q_blocked_cosine_pairs",
+    "q_hybrid_rrf",
+    "q_containment_dups",
+    "q_event_anomalies",
+    "q_edit_similarity_dups",
+    "q_source_overlap",
+    "q_kmeans_assign",
+    "q_domain_rank",
+    "q_pq_codes",
+    "q_pq_adc_search",
+    "q_tagged_union",
+    "q_json_props",
+    "q_ngram_jaccard_dups",
+    "q_decontaminate",
+    "q_interval_join",
+    "q_simhash_near_dups",
 ]
 
 _EXPORTED = (
