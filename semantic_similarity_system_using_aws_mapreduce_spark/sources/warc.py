@@ -43,6 +43,7 @@ from __future__ import annotations
 import contextlib
 import gzip
 import io
+import threading
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -342,6 +343,14 @@ _CHARSET_CONFS = (
     "spark.sql.legacy.javaCharsets",
 )
 
+# Serializes _charset_scope entries across driver threads (r11,
+# ADVICE r10): without it, two overlapping scopes could each capture
+# the other's "true" as the prior value, so the last to exit would
+# restore "true" and leave the session permanently lenient.  Plan
+# construction is driver-side and cheap, so the serialization costs
+# nothing measurable.
+_CHARSET_SCOPE_LOCK = threading.Lock()
+
 
 @contextlib.contextmanager
 def _charset_scope(spark: SparkSession):
@@ -364,27 +373,44 @@ def _charset_scope(spark: SparkSession):
     when collected long after the scope exited).
 
     The restore is value-faithful: a session where the operator set
-    the confs deliberately gets them back exactly.  Confs are
-    session-scoped, so a concurrent thread building non-WARC decode
-    expressions inside this (construction-only, no job execution)
-    window would capture leniency — the documented residual seam,
-    narrowed from the session's whole remaining lifetime to plan
-    construction."""
-    prior = {}
-    for k in _CHARSET_CONFS:
+    the confs deliberately gets them back exactly.  Scope entries are
+    serialized by ``_CHARSET_SCOPE_LOCK`` (r11): overlapping scopes on
+    two driver threads could otherwise each capture the other's
+    "true" as the prior value and the last to exit would restore
+    "true", leaving the session permanently lenient.
+
+    PERMANENT SEAM (r11, the rationale the codec gates got): confs
+    are session-scoped JVM state, so a concurrent driver thread
+    building NON-WARC decode expressions inside this
+    (construction-only, no job execution, lock-serialized,
+    microsecond-scale) window still captures leniency.  Closing it
+    entirely would mean either (a) moving the charset decode into the
+    Python worker — abandoning JVM-side stateless column expressions,
+    the property that lets batch and streaming share one projection
+    and keeps the decode inside whole-stage codegen — or (b) locking
+    ALL plan construction in the process, which this library cannot
+    impose on its host application.  The seam requires the host to
+    race third-party decode() construction against WARC reader
+    construction on separate threads of one SparkSession — a shape no
+    supported entry point (run_pipeline, run_curation, the streaming
+    lifecycle, the workload registry) produces.  Accepted and pinned
+    by test_warc's concurrency drill rather than half-fixed."""
+    with _CHARSET_SCOPE_LOCK:
+        prior = {}
+        for k in _CHARSET_CONFS:
+            try:
+                prior[k] = spark.conf.get(k)
+            except Exception:
+                prior[k] = None
+            spark.conf.set(k, "true")
         try:
-            prior[k] = spark.conf.get(k)
-        except Exception:
-            prior[k] = None
-        spark.conf.set(k, "true")
-    try:
-        yield
-    finally:
-        for k, v in prior.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in prior.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
 
 def warc_records(files: DataFrame) -> DataFrame:
@@ -619,7 +645,8 @@ _CHARSET_MAP = {
 }
 
 #: U+FFFD — what a malformed/unmappable byte decodes to under the
-#: session's REPLACE coding-error action (session.py)
+#: REPLACE coding-error action the reader's decode expressions capture
+#: at plan construction (_charset_scope; reader-local since r10)
 _REPL = "�"
 
 

@@ -1094,3 +1094,69 @@ def test_charset_scope_restores_on_exception(spark):
         spark.range(1).select(
             F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t")
         ).collect()
+
+
+def test_charset_scope_lock_serializes_concurrent_threads(spark):
+    """r11 (ADVICE r10): overlapping _charset_scope entries on two
+    driver threads could each capture the other's "true" as the prior
+    conf value, so the LAST scope to exit restored "true" and left
+    the session permanently lenient.  The module lock serializes
+    entries — a second scope cannot begin until the first exits, so
+    every scope captures the genuine pre-scope values and the restore
+    chain always terminates at fail-fast.  Without the lock this
+    drill fails twice: thread B enters during A's sleep (order flips)
+    AND the final conf state is left at "true"."""
+    import threading
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import (
+        _CHARSET_CONFS,
+        _charset_scope,
+    )
+
+    spark.conf.unset("spark.sql.legacy.codingErrorAction")
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    order: list[str] = []
+    a_entered = threading.Event()
+    failures: list[BaseException] = []
+
+    def thread_a():
+        try:
+            with _charset_scope(spark):
+                a_entered.set()
+                time.sleep(0.5)  # window in which an unlocked B overlaps
+                order.append("a_exit")
+        except BaseException as exc:  # pragma: no cover - surfaced below
+            failures.append(exc)
+
+    def thread_b():
+        try:
+            assert a_entered.wait(10)
+            with _charset_scope(spark):
+                order.append("b_enter")
+                # inside a scope the confs are lenient, and the prior
+                # values B captured are A's RESTORED ones, not A's
+                # in-scope "true"
+                assert spark.conf.get(_CHARSET_CONFS[0]) == "true"
+        except BaseException as exc:  # pragma: no cover - surfaced below
+            failures.append(exc)
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start()
+    tb.start()
+    ta.join(30)
+    tb.join(30)
+    assert not failures, failures
+    assert order == ["a_exit", "b_enter"]
+    # the restore chain terminated at the true pre-scope state:
+    # fail-fast is back on both confs, for real expressions too
+    for k in _CHARSET_CONFS:
+        assert spark.conf.get(k) == "false"
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        spark.range(1).select(
+            F.decode(F.lit(b"ok \xff\xfe"), "UTF-8").alias("t")
+        ).collect()
