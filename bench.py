@@ -413,11 +413,32 @@ def _bench_media_decode(spark, sf_dir: str) -> None:
     out.write.format("noop").mode("overwrite").save()
 
 
+def _bench_lsh_xxhash64(spark, sf_dir: str) -> None:
+    """Production-hash dedup scan (r11, VERDICT r10 #5): the exact
+    plan HEADLINE's q_minhash_lsh_candidates times — shingle explode
+    -> hash -> distinct -> signatures -> banded LSH self-join — with
+    hash_fn=xxhash64_int instead of the md5 verification contract, so
+    the md5-vs-xxhash delta is a committed number, not a docstring
+    claim.  Decisions identical by test_dedup_operators; only the
+    scan constant changes."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingle_hashes,
+        xxhash64_int,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(shingle_hashes(docs, hash_fn=xxhash64_int), 8)
+    lsh_candidates(sigs, 4, 2).write.format("noop").mode("overwrite").save()
+
+
 EXTRA_FNS = {
     "bpe_train_256_merges": _bench_bpe_train_256,
     "warc_ingest_10k_pages": _bench_warc_ingest,
     "lsh_recall_sampled_250": _bench_lsh_recall_sampled,
     "media_decode_384_items": _bench_media_decode,
+    "lsh_candidates_xxhash64": _bench_lsh_xxhash64,
 }
 
 # (n_lines, checkpointed) pipeline configurations reported every round;

@@ -723,3 +723,69 @@ def test_exact_dedup_keep_newest_null_timestamps(spark):
     assert got[12].n_copies == 3 and got[12].keep_fetched == t2
     assert got[21].n_copies == 2 and got[21].keep_fetched is None
     assert got[31].n_copies == 2 and got[31].keep_fetched == t1
+
+
+def test_production_hash_mode_identical_minhash_decisions(spark):
+    """r11 (VERDICT r10 #5): the xxhash64 production scan is a FLAG,
+    not a rewrite — shingle_hashes(hash_fn=xxhash64_int) feeds the
+    unchanged signatures -> LSH -> jaccard-verify chain and must
+    reach the SAME verified near-dup decisions (pairs AND jaccard
+    values: jaccard is a set ratio over shingle hashes, identical
+    under any collision-free hash) the md5 verification contract
+    reaches on the sf0.01 documents table.  Also pins the domain
+    contract: xxhash64_int lands in md5_int's non-negative 60-bit
+    range, preserving the universal family's overflow-freedom."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import md5_int, xxhash64_int
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    decisions = {}
+    for mode, fn in (("md5", md5_int), ("xxhash64", xxhash64_int)):
+        hashes = shingle_hashes(docs, hash_fn=fn)
+        sigs = minhash_signatures(hashes)
+        cands = lsh_candidates(sigs)
+        verified = ngram_jaccard_pairs(hashes, 0.8, candidates=cands)
+        decisions[mode] = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9) for r in verified.collect()
+        }
+    assert decisions["md5"] == decisions["xxhash64"]
+    assert len(decisions["md5"]) == 25  # the corpus's known near-dup set
+    lo, hi = (
+        shingle_hashes(docs, hash_fn=xxhash64_int)
+        .selectExpr("min(h)", "max(h)")
+        .first()
+    )
+    assert lo >= 0 and hi < 2**60
+
+
+def test_simhash_production_token_hash_identical_decisions(spark):
+    """The simhash kernel's cheap-hash flag (blake2b_token_hash — the
+    JVM's xxhash64 is unreachable from the Arrow worker without the
+    explode+shuffle the kernel exists to avoid) must reach the same
+    near-dup decisions as the md5 contract wherever decisions are
+    hash-robust: exact duplicates are Hamming-0 under ANY token hash,
+    and disjoint-vocabulary documents sit ~n_bits/2 apart.  (On a
+    borderline corpus — e.g. the ~31-word synthetic vocabulary at
+    threshold-adjacent distances — the raw distances legitimately
+    differ per hash; decisions, not fingerprints, are the contract.)"""
+    import random
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
+        blake2b_token_hash,
+        md5_token_hash,
+        simhash_near_dups,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):  # disjoint 40-word vocabularies
+        rows.append((i, " ".join(f"w{i}_{j}x{rng.randint(0, 999)}" for j in range(40))))
+    rows += [(100, rows[0][1]), (101, rows[1][1]), (102, rows[2][1]), (103, rows[0][1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(0, 100), (0, 103), (100, 103), (1, 101), (2, 102)}
+    for token_hash in (md5_token_hash, blake2b_token_hash):
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_dups(docs, token_hash=token_hash).collect()
+        }
+        assert set(got) == want
+        assert all(h == 0 for h in got.values())
