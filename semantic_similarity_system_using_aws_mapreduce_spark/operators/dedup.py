@@ -759,6 +759,13 @@ def incremental_dedup(
     corpus, they probe a persisted signature index and append their
     survivors to it.
 
+    Survivor rule: keep-FIRST (the index always wins).  Crawl-style
+    keep-NEWEST semantics — a re-crawl superseding the stale corpus
+    copy — are layered ABOVE this operator by
+    ``streaming.documents.run_streaming_curation(dedup="keep-newest")``,
+    which resolves exact-digest re-crawls against a digest index first
+    and routes only genuinely fresh content through this probe.
+
     Both inputs are minhash-signature relations
     (:func:`minhash_signatures`; the index side is typically
     ``spark.read.parquet(index_path)``).  A new document is DROPPED

@@ -71,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--min-tokens", type=int, default=24)
     p_ing.add_argument("--min-ttr", type=float, default=0.35)
     p_ing.add_argument("--min-agree", type=int, default=6)
+    p_ing.add_argument(
+        "--dedup",
+        choices=("keep-first", "keep-newest"),
+        default="keep-first",
+        help="exact-duplicate survivor rule: keep-first (default) "
+        "drops any re-delivered content; keep-newest gives re-crawls "
+        "CRAWL semantics — an arrival whose content digest is already "
+        "in the corpus with an older fetched_at supersedes the stale "
+        "copy (hidden by as-of reads, not rewritten)",
+    )
     p_ing.add_argument("--compact-every", type=int, default=0)
     p_ing.add_argument("--bucket-table", default=None)
     p_ing.add_argument("--stats", action="store_true")
@@ -173,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
             postings=args.postings,
             paragraphs=args.paragraphs,
             source_format=args.source_format,
+            dedup=args.dedup,
         )
         print(json.dumps({"versions": corpus_versions(spark, corpus_path)}))
         return 0

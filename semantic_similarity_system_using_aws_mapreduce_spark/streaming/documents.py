@@ -62,6 +62,13 @@ from semantic_similarity_system_using_aws_mapreduce_spark.sources.atomic import 
 
 SIG_SCHEMA = "doc_id long, " + ", ".join(f"h{k} long" for k in range(8))
 
+#: content-digest index table suffix (keep-newest ingest): one row per
+#: ADMITTED document — (digest, doc_id, <ts_col>) in per-batch
+#: partitions, the table a later micro-batch probes to decide whether
+#: an arriving digest is fresh, a stale re-delivery, or a re-crawl
+#: that supersedes the corpus copy.
+DIGESTS_SUFFIX = "_digests"
+
 #: sentinel ``ingest_batch`` value for compacted history — Structured
 #: Streaming batch ids start at 0, so -1 can never collide with a live
 #: micro-batch partition.
@@ -236,21 +243,39 @@ def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
 
 
 def read_corpus_asof(
-    spark: SparkSession, corpus_path: str, batch: int
+    spark: SparkSession, corpus_path: str, batch: int | None = None
 ) -> DataFrame | None:
     """Reproducibility read: the curated corpus EXACTLY as it stood
-    after micro-batch ``batch`` committed — the ``ingest_batch``
-    partition layout doubles as a free version axis, so pinning a
-    training run to its ingest watermark is a partition-pruned filter
-    (``ingest_batch <= batch``), no table format or snapshot log
-    needed.  Rows folded away by a later corpus compaction are out of
-    scope here: the CORPUS is never compacted (only the signature
-    index is), precisely so this axis stays truthful.  Returns None
-    before anything was ingested."""
+    after micro-batch ``batch`` committed (``None`` = the current
+    corpus) — the ``ingest_batch`` partition layout doubles as a free
+    version axis, so pinning a training run to its ingest watermark is
+    a partition-pruned filter (``ingest_batch <= batch``), no table
+    format or snapshot log needed.  Rows folded away by a later corpus
+    compaction are out of scope here: the CORPUS is never compacted
+    (only the signature index is), precisely so this axis stays
+    truthful.  Returns None before anything was ingested.
+
+    Keep-newest corpora (r11): a superseded row is HIDDEN, not
+    deleted — each superseding row carries its predecessor's id in
+    ``supersedes``, so the filter is an anti-join of the windowed
+    corpus against its own non-null markers.  Because the markers are
+    windowed too, the axis stays truthful: at a watermark BEFORE the
+    re-crawl arrived the older copy is still visible, at or after it
+    the newer copy replaces it — and supersession chains resolve
+    correctly at every watermark (each link hides exactly its
+    predecessor).  Keep-first corpora have no ``supersedes`` column
+    and skip the join."""
     corpus = read_parquet_recovering(spark, corpus_path)
     if corpus is None:
         return None
-    return corpus.filter(F.col("ingest_batch") <= batch)
+    if batch is not None:
+        corpus = corpus.filter(F.col("ingest_batch") <= batch)
+    if "supersedes" in corpus.columns:
+        markers = corpus.filter(F.col("supersedes").isNotNull()).select(
+            F.col("supersedes").alias("doc_id")
+        )
+        corpus = corpus.join(markers, "doc_id", "left_anti")
+    return corpus
 
 
 def corpus_versions(spark: SparkSession, corpus_path: str) -> list[int]:
@@ -557,6 +582,8 @@ def run_streaming_curation(
     postings: bool = False,
     paragraphs: bool = False,
     source_format: str = "parquet",
+    dedup: str = "keep-first",
+    ts_col: str = "fetched_at",
 ) -> None:
     """Drive the (bounded) document stream through the full curation
     funnel: quality gate -> minhash signatures -> incremental dedup
@@ -601,6 +628,39 @@ def run_streaming_curation(
     untouched.  Both tables follow the same replay/compaction/RTBF
     discipline as the signature index.
 
+    ``dedup="keep-newest"`` (r11, VERDICT r10 #1/#3's missing piece)
+    gives the stream the batch funnel's CRAWL semantics: when a
+    micro-batch carries a content digest that is already in the
+    corpus with an OLDER ``ts_col``, the arrival SUPERSEDES the stale
+    copy instead of dropping as a duplicate.  Mechanics — all
+    replay-idempotent, all partition-pruned:
+
+    * a ``<corpus_path>_digests`` table (per-batch partitions, like
+      the signature index) maps each admitted document's content
+      digest to its (doc_id, ts); the batch probes it with a
+      broadcast equi-join on its own digests — never a corpus rescan.
+    * within a batch, the newest copy per digest survives (ties by
+      greatest id — the batch funnel's rule, run_curation.py); older
+      in-batch copies and arrivals not newer than the indexed copy
+      drop exactly like keep-first duplicates.
+    * a superseding arrival BYPASSES the near-dup index probe (its
+      content is digest-identical to a document the corpus already
+      admitted, so its near-dup relationships are already settled)
+      and lands in the corpus with its predecessor's id in a
+      ``supersedes`` column.  The corpus stays append-only — the
+      stale row is HIDDEN by :func:`read_corpus_asof`'s windowed
+      anti-join, not rewritten — so the as-of axis stays truthful at
+      every watermark and replays stay partition-local.
+    * its signature rows join the index under the NEW doc_id (the
+      predecessor's stay: digest-identical content has identical
+      signatures, and near-dup drops against the superseded id remain
+      correct because the surviving copy carries the same content).
+    * RTBF: :func:`forget_documents` covers the digests table;
+      forgetting a superseding copy alone resurrects its predecessor
+      (the marker disappears with the row) — to erase CONTENT, forget
+      every doc_id in its supersession chain, which the digests table
+      names.
+
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
     and backfill mode; a production deployment runs the same query
@@ -611,6 +671,15 @@ def run_streaming_curation(
     exactly-once corpus."""
     if bucket_index_table and not compact_every:
         raise ValueError("bucket_index_table requires compact_every (its rebuild cadence)")
+    if dedup not in ("keep-first", "keep-newest"):
+        raise ValueError(f"dedup must be keep-first or keep-newest, got {dedup!r}")
+    stream = read_document_stream(spark, source_dir, source_format)
+    if dedup == "keep-newest" and ts_col not in stream.columns:
+        raise ValueError(
+            f"keep-newest dedup needs a {ts_col!r} column on the stream "
+            "(crawl formats mint fetched_at from WARC-Date; parquet "
+            "sources must carry it)"
+        )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         raw = None
@@ -641,23 +710,116 @@ def run_streaming_curation(
         kept = None  # released in the finally — a raise between the
         # cache and the success-path unpersist must not leak the block
         # for the life of the session (ADVICE r5)
+        sup = None          # keep-newest: superseding arrivals
+        digest_keep = None  # keep-newest: per-digest batch winners
+        sigs_all = None     # keep-newest: cached batch signature pool
         try:
-            sigs = minhash_signatures(shingle_hashes(gated))
+            # replay safety: a crash after the table writes but
+            # before the checkpoint commit re-delivers this batch,
+            # whose own rows are already indexed — they must not
+            # shadow the recomputation or the rewritten corpus
+            # partition would come out empty.  Excluding by doc_id
+            # (a broadcast anti-join against the tiny batch id set)
+            # rather than by ingest_batch partition also covers rows
+            # a compaction has already folded into the base
+            # partition.  The gated id set is the superset of
+            # everything this batch can have indexed on a previous
+            # attempt (fresh survivors AND keep-newest superseders),
+            # so one broadcast set serves the sig AND digest indexes.
+            own_ids = F.broadcast(gated.select("doc_id"))
+            if dedup == "keep-newest":
+                dig = gated.select(
+                    "doc_id",
+                    F.col(ts_col).alias("_kn_ts"),
+                    F.md5("text").alias("digest"),
+                )
+                # within-batch exact resolution: newest copy per
+                # digest survives, ties by greatest id — the batch
+                # funnel's rule (run_curation.py); combiner-friendly
+                # aggregate, no per-key sort
+                digest_keep = (
+                    dig.groupBy("digest")
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.col("_kn_ts").alias("t"),
+                                F.col("doc_id").alias("d"),
+                            )
+                        ).alias("_s")
+                    )
+                    .select(
+                        F.col("_s.d").alias("doc_id"),
+                        "digest",
+                        F.col("_s.t").alias("_kn_ts"),
+                    )
+                    .cache()
+                )
+                dindex = read_parquet_recovering(
+                    spark, corpus_path + DIGESTS_SUFFIX
+                )
+                if dindex is not None:
+                    dindex = dindex.join(own_ids, "doc_id", "left_anti")
+                    # newest indexed copy per matched digest — the
+                    # batch side broadcasts, so this is an index probe
+                    # (bloom-pruned scan under AQE), never a rescan of
+                    # corpus text
+                    hits = (
+                        dindex.join(
+                            F.broadcast(digest_keep.select("digest")),
+                            "digest",
+                        )
+                        .groupBy("digest")
+                        .agg(
+                            F.max(
+                                F.struct(
+                                    F.col(ts_col).alias("t"),
+                                    F.col("doc_id").alias("d"),
+                                )
+                            ).alias("_ix")
+                        )
+                    )
+                    resolved = digest_keep.join(hits, "digest", "left")
+                    # strictly newer than the newest indexed copy =>
+                    # supersede it; known digest but not newer =>
+                    # stale re-delivery, drops like a keep-first dup
+                    sup = (
+                        resolved.filter(
+                            F.col("_ix").isNotNull()
+                            & (F.col("_kn_ts") > F.col("_ix.t"))
+                        )
+                        .select(
+                            "doc_id", F.col("_ix.d").alias("supersedes")
+                        )
+                        .cache()
+                    )
+                    fresh_ids = resolved.filter(
+                        F.col("_ix").isNull()
+                    ).select("doc_id")
+                else:
+                    fresh_ids = digest_keep.select("doc_id")
+                cand_ids = (
+                    fresh_ids
+                    if sup is None
+                    else fresh_ids.unionByName(sup.select("doc_id"))
+                )
+                # one shingle scan feeds both the fresh-side dedup
+                # probe and the superseders' index delta
+                sigs_all = minhash_signatures(
+                    shingle_hashes(gated.join(cand_ids, "doc_id"))
+                ).cache()
+                # only FRESH digests face the near-dup probe: a
+                # superseder is digest-identical to an already-
+                # admitted document, so the probe would (correctly
+                # but uselessly) report it as a dup of the copy it is
+                # replacing
+                sigs = sigs_all.join(F.broadcast(fresh_ids), "doc_id")
+            else:
+                sigs = minhash_signatures(shingle_hashes(gated))
             index = read_parquet_recovering(spark, index_path)
             index_buckets = None
             if index is None:
                 index = spark.createDataFrame([], SIG_SCHEMA)
             else:
-                # replay safety: a crash after the index write but
-                # before the checkpoint commit re-delivers this batch,
-                # whose own rows are already indexed — they must not
-                # shadow the recomputation or the rewritten corpus
-                # partition would come out empty.  Excluding by doc_id
-                # (a broadcast anti-join against the tiny batch id
-                # set) rather than by ingest_batch partition also
-                # covers rows a compaction has already folded into
-                # the base partition.
-                own_ids = F.broadcast(sigs.select("doc_id"))
                 index = index.join(own_ids, "doc_id", "left_anti")
                 if bucket_index_table:
                     meta = read_parquet_recovering(
@@ -714,9 +876,38 @@ def run_streaming_curation(
             # the CDC upsert sink).
             kept = kept.cache()
             kept_ids = kept.select("doc_id")
-            admitted = gated.join(kept_ids, "doc_id")
+            if sup is not None:
+                admit_ids = kept_ids.unionByName(sup.select("doc_id"))
+                # superseders ride the corpus row with their
+                # predecessor's id in `supersedes` (read_corpus_asof
+                # hides it); fresh survivors carry null
+                admitted = gated.join(admit_ids, "doc_id").join(
+                    sup, "doc_id", "left"
+                )
+                index_delta = kept.unionByName(
+                    sigs_all.join(
+                        F.broadcast(sup.select("doc_id")), "doc_id"
+                    )
+                )
+            else:
+                admit_ids = kept_ids
+                admitted = gated.join(kept_ids, "doc_id")
+                if dedup == "keep-newest":
+                    # uniform schema from batch 0 so partition reads
+                    # never depend on footer merge
+                    admitted = admitted.withColumn(
+                        "supersedes", F.lit(None).cast("long")
+                    )
+                index_delta = kept
             _write_batch_partition(admitted, corpus_path, batch_id)
-            _write_batch_partition(kept, index_path, batch_id)
+            _write_batch_partition(index_delta, index_path, batch_id)
+            if dedup == "keep-newest":
+                digest_delta = digest_keep.join(admit_ids, "doc_id").select(
+                    "doc_id", "digest", F.col("_kn_ts").alias(ts_col)
+                )
+                _write_batch_partition(
+                    digest_delta, corpus_path + DIGESTS_SUFFIX, batch_id
+                )
             if postings:
                 from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
                     DOCLENS_SUFFIX,
@@ -750,7 +941,10 @@ def run_streaming_curation(
                     # broadcast anti-join is map-side, so applying it
                     # to the bucketed table below preserves the
                     # bucketing the exchange-free probe rests on.
-                    own = F.broadcast(kept_ids)
+                    # admit_ids, not kept_ids: keep-newest superseders
+                    # reach the seg index too and must self-exclude on
+                    # replay.
+                    own = F.broadcast(admit_ids)
                     seg_index = seg_index.join(own, "doc_id", "left_anti")
                     if bucket_index_table:
                         from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
@@ -798,11 +992,12 @@ def run_streaming_curation(
                 # report: three counts, each over a cached relation,
                 # written idempotently into the batch's own partition
                 # so replays rewrite rather than double-count
+                n_kept = kept.count() + (sup.count() if sup is not None else 0)
                 row = [
                     (
                         batch.count(),
                         gated.count(),
-                        kept.count(),
+                        n_kept,
                     )
                 ]
                 _write_batch_partition(
@@ -822,6 +1017,19 @@ def run_streaming_curation(
                         covered_batch=batch_id,
                     )
                 compact_index(spark, index_path, keep_batch=batch_id)
+                if dedup == "keep-newest":
+                    # the digests table accretes one file per batch
+                    # exactly like the sig index — fold it on the
+                    # same cadence.  Key = (digest, doc_id): a digest
+                    # legitimately maps to every copy in its
+                    # supersession history, so only replay residue
+                    # (identical rows) dedups away.
+                    compact_index(
+                        spark,
+                        corpus_path + DIGESTS_SUFFIX,
+                        keep_batch=batch_id,
+                        dedup_keys=("digest", "doc_id"),
+                    )
                 if postings:
                     from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import (
                         compact_retrieval,
@@ -860,6 +1068,9 @@ def run_streaming_curation(
         finally:
             if kept is not None:
                 kept.unpersist()
+            for extra_cache in (sigs_all, sup, digest_keep):
+                if extra_cache is not None:
+                    extra_cache.unpersist()
             gated.unpersist()
             if raw is not None:
                 raw.unpersist()
@@ -867,7 +1078,7 @@ def run_streaming_curation(
                 batch.unpersist()
 
     (
-        read_document_stream(spark, source_dir, source_format)
+        stream
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", corpus_path + "_ckpt")
         .trigger(availableNow=True)
@@ -1012,7 +1223,13 @@ def forget_documents(
     index is what future ingests dedup against, so a forgotten
     document's content becomes ADMISSIBLE again if it is ever
     legitimately resubmitted (tested) — forgetting must not leave a
-    ghost that silently rejects future data.  Bounded structures built
+    ghost that silently rejects future data.  Keep-newest corpora: the
+    ``_digests`` table is covered like the other derived tables, and
+    forgetting a superseding copy ALONE resurrects its predecessor
+    (the ``supersedes`` marker disappears with the row) — to erase
+    content, forget every doc_id in its supersession chain (the
+    digests table maps the content digest to all of them).  Bounded
+    structures built
     from past data (Bloom bitmaps, CMS sketches) cannot forget
     individual items by construction; rebuild them from the rewritten
     corpus when bit-level erasure of those is required.
@@ -1054,7 +1271,7 @@ def forget_documents(
     # docs too — rewrite them whenever they exist
     derived = [
         corpus_path + sfx
-        for sfx in ("_postings", "_doclens", "_segindex", "_clean")
+        for sfx in ("_postings", "_doclens", "_segindex", "_clean", DIGESTS_SUFFIX)
         if _os_paths.path.isdir(corpus_path + sfx)
         or _os_paths.path.isfile(corpus_path + sfx + ".__manifest__")
     ]

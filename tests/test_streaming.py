@@ -2264,3 +2264,132 @@ def test_streaming_wet_ingest(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(corpus_path).collect()
     } == {_crawl_doc_id("wet1")}
+
+
+def test_streaming_keep_newest_supersedes_stale_recrawl(spark, tmp_path):
+    """r11 (VERDICT r10 #3): continuous-ingest CRAWL semantics — a
+    re-crawl arriving in a later micro-batch with a newer fetched_at
+    SUPERSEDES the stale corpus copy instead of dropping as a
+    duplicate; stale re-deliveries and within-batch older copies
+    still drop; the corpus stays append-only (the stale row is hidden
+    by read_corpus_asof's windowed marker anti-join, so every earlier
+    watermark still shows exactly what it showed then); replay is a
+    no-op; RTBF erases the whole supersession chain and re-admits the
+    content."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        DIGESTS_SUFFIX,
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    schema = "doc_id long, text string, fetched_at timestamp"
+    ts = lambda m, d=1: datetime.datetime(2026, m, d)  # noqa: E731
+    X, Y, Z = _long_text("x"), _long_text("y"), _long_text("z")
+    src = tmp_path / "kn_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        import glob as _g
+        import shutil as _sh
+
+        ds = tmp_path / f"_kn_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        _sh.copy(_g.glob(str(ds / "part-*.parquet"))[0], str(src / f"{name}.parquet"))
+
+    corpus_path = str(tmp_path / "kn_corpus")
+    index_path = str(tmp_path / "kn_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path, stats=True, dedup="keep-newest"
+        )
+
+    drop_file("batch_a", [(1, X, ts(1)), (2, Y, ts(1))])
+    drop_file("batch_b", [
+        (101, X, ts(2)),        # re-crawl, newer -> supersedes 1
+        (102, Y, ts(1) - datetime.timedelta(days=10)),  # stale -> drops
+        (103, Z, ts(2)),        # fresh, but older in-batch copy of Z
+        (104, Z, ts(3)),        # within-batch newest copy of Z -> survives
+    ])
+    ingest()
+
+    def ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    # current view: the re-crawl replaced the stale copy end-to-end
+    assert ids(read_corpus_asof(spark, corpus_path)) == {101, 2, 104}
+    # the as-of axis stays truthful: batch 0's watermark still shows 1
+    assert ids(read_corpus_asof(spark, corpus_path, 0)) == {1, 2}
+    assert ids(read_corpus_asof(spark, corpus_path, 1)) == {101, 2, 104}
+    # corpus is append-only; the superseder names its predecessor
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert set(raw) == {1, 2, 101, 104}
+    assert raw[101].supersedes == 1 and raw[104].supersedes is None
+    # sig index carries the superseder under its NEW id; digests map
+    # the content history
+    assert ids(spark.read.parquet(index_path)) == {1, 2, 101, 104}
+    digests = spark.read.parquet(corpus_path + DIGESTS_SUFFIX)
+    assert ids(digests) == {1, 2, 101, 104}
+    # per-batch funnel counts the superseder as kept
+    stats = {
+        r.ingest_batch: (r.n_arrived, r.n_gated, r.n_kept)
+        for r in spark.read.parquet(corpus_path + "_stats").collect()
+    }
+    assert stats[0] == (2, 2, 2)
+    assert stats[1] == (4, 4, 2)  # 101 supersedes + 104 fresh
+
+    # supersession CHAIN: an even newer re-crawl replaces the replacer
+    drop_file("batch_c", [(201, X, ts(3))])
+    ingest()
+    assert ids(read_corpus_asof(spark, corpus_path)) == {201, 2, 104}
+    assert ids(read_corpus_asof(spark, corpus_path, 1)) == {101, 2, 104}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert raw[201].supersedes == 101
+
+    # replay is a no-op: re-running against the drained source leaves
+    # every table exactly as it was
+    before = {
+        p: sorted(map(str, spark.read.parquet(p).collect()))
+        for p in (corpus_path, index_path, corpus_path + DIGESTS_SUFFIX)
+    }
+    ingest()
+    after = {
+        p: sorted(map(str, spark.read.parquet(p).collect()))
+        for p in (corpus_path, index_path, corpus_path + DIGESTS_SUFFIX)
+    }
+    assert before == after
+
+    # RTBF erases the WHOLE chain (the digests table names it): the
+    # content leaves corpus, index, and digests...
+    chain = [1, 101, 201]
+    forget_documents(spark, corpus_path, index_path, chain)
+    assert ids(read_corpus_asof(spark, corpus_path)) == {2, 104}
+    assert ids(spark.read.parquet(index_path)) == {2, 104}
+    assert ids(spark.read.parquet(corpus_path + DIGESTS_SUFFIX)) == {2, 104}
+    # ...and a legitimate resubmission is admitted again, not ghosted
+    drop_file("batch_d", [(301, X, ts(1, 5))])
+    ingest()
+    assert ids(read_corpus_asof(spark, corpus_path)) == {2, 104, 301}
+
+
+def test_streaming_keep_newest_requires_a_timestamp_column(spark, tmp_path):
+    """keep-newest without a fetched_at column on the stream is a
+    construction-time error, not a mid-ingest analysis failure."""
+    import pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    src = tmp_path / "kn_nots"
+    src.mkdir()
+    _drop_batch_file(spark, tmp_path, src, "b0", [(1, _long_text("a"))])
+    with pytest.raises(ValueError, match="fetched_at"):
+        run_streaming_curation(
+            spark,
+            str(src),
+            str(tmp_path / "c"),
+            str(tmp_path / "i"),
+            dedup="keep-newest",
+        )
