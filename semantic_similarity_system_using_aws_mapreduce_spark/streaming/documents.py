@@ -660,6 +660,12 @@ def run_streaming_curation(
       (the marker disappears with the row) — to erase CONTENT, forget
       every doc_id in its supersession chain, which the digests table
       names.
+    * derived tables stay append-only too: a superseded copy's BM25
+      postings and doclens rows remain on disk, but
+      ``bm25_search_postings`` ranks only the visible corpus view
+      (its marker anti-join excludes superseded ids from scoring AND
+      from the collection statistics), so search never returns the
+      stale copy.
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test

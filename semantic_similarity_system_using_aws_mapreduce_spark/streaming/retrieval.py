@@ -78,7 +78,12 @@ def bm25_search_postings(
     The corpus is touched ONLY for the ranked ids: a broadcast
     semi-filter of the ~``topk * n_queries`` winner set reaches the
     corpus scan before any wide column is read, so at 100 TB the
-    snippet join reads a handful of rows, never re-scans the text."""
+    snippet join reads a handful of rows, never re-scans the text.
+
+    Keep-newest corpora rank only the visible view: superseded copies
+    are excluded from scoring and from the collection statistics (see
+    the in-line note), so a re-crawled page surfaces once, under its
+    freshest id."""
     from semantic_similarity_system_using_aws_mapreduce_spark.workload.text import BM25_B, BM25_K1
 
     k1 = BM25_K1 if k1 is None else k1
@@ -87,6 +92,20 @@ def bm25_search_postings(
     doclens = read_parquet_recovering(spark, corpus_path + DOCLENS_SUFFIX)
     if postings is None or doclens is None:
         return None
+    # keep-newest corpora (r11): superseded copies keep their postings
+    # rows (the tables are append-only like the corpus), but search
+    # must rank only the VISIBLE corpus — otherwise a re-crawled page
+    # returns twice (stale id + fresh id) and duplicated content
+    # double-counts in df / n_docs / sum_dl.  Excluding the marker set
+    # from doclens removes them from the tf join, the df window, and
+    # the collection stats in one anti-join; keep-first corpora have
+    # no supersedes column and skip it.
+    corpus = read_parquet_recovering(spark, corpus_path)
+    if corpus is not None and "supersedes" in corpus.columns:
+        markers = corpus.filter(F.col("supersedes").isNotNull()).select(
+            F.col("supersedes").alias("doc_id")
+        )
+        doclens = doclens.join(markers, "doc_id", "left_anti")
     terms = [(q, t) for q, s in queries for t in dict.fromkeys(s.split())]
     qterms = spark.createDataFrame(terms, "q_id long, term string")
     totals = doclens.agg(

@@ -1991,7 +1991,8 @@ def test_streaming_quality_gate_mojibake(spark):
 
 
 def _warc_record(rec_id: str, payload: bytes, uri: str,
-                 warc_type: str = "response") -> bytes:
+                 warc_type: str = "response",
+                 date: str = "2026-02-03T04:05:06Z") -> bytes:
     ctype = (
         "application/http; msgtype=response"
         if warc_type == "response"
@@ -2001,7 +2002,7 @@ def _warc_record(rec_id: str, payload: bytes, uri: str,
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
         b"WARC-Record-ID: <urn:uuid:" + rec_id.encode() + b">",
-        b"WARC-Date: 2026-02-03T04:05:06Z",
+        b"WARC-Date: " + date.encode(),
         b"WARC-Target-URI: " + uri.encode(),
         b"Content-Type: " + ctype.encode(),
         b"Content-Length: " + str(len(payload)).encode(),
@@ -2393,3 +2394,67 @@ def test_streaming_keep_newest_requires_a_timestamp_column(spark, tmp_path):
             str(tmp_path / "i"),
             dedup="keep-newest",
         )
+
+
+def test_streaming_wet_keep_newest_recrawl_and_search_visibility(spark, tmp_path):
+    """The keep-newest lifecycle on the REAL crawl path: two WET
+    archives where the second carries a re-crawl of the first's page
+    with a newer WARC-Date (fetched_at is minted by the reader, not
+    synthesized) — the re-crawl supersedes the stale copy end-to-end,
+    and BM25 search over the streamed postings ranks only the VISIBLE
+    corpus: the stale copy's lingering postings rows are excluded
+    from scoring and from the collection statistics, so the page
+    surfaces once, under its freshest id."""
+    import gzip as _gz
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import bm25_search_postings
+
+    X, Y = _long_text("x"), _long_text("y")
+    src = tmp_path / "wet_kn_incoming"
+    src.mkdir()
+    w1 = _warc_record(
+        "p1", X.encode(), "http://s.example/p", warc_type="conversion",
+        date="2026-01-01T00:00:00Z",
+    ) + _warc_record(
+        "q1", Y.encode(), "http://s.example/q", warc_type="conversion",
+        date="2026-01-01T00:00:00Z",
+    )
+    w2 = _warc_record(
+        "p2", X.encode(), "http://s.example/p", warc_type="conversion",
+        date="2026-02-01T00:00:00Z",
+    )
+    (src / "w1.warc.gz").write_bytes(_gz.compress(w1))
+    (src / "w2.warc.gz").write_bytes(_gz.compress(w2))
+
+    corpus_path = str(tmp_path / "wet_kn_corpus")
+    index_path = str(tmp_path / "wet_kn_index")
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path,
+        source_format="wet", dedup="keep-newest", postings=True,
+    )
+
+    p1, q1, p2 = map(_crawl_doc_id, ("p1", "q1", "p2"))
+    visible = {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()}
+    assert visible == {p2, q1}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert set(raw) == {p1, q1, p2}
+    assert raw[p2].supersedes == p1
+
+    # BM25 over the streamed postings: a term unique to the re-crawled
+    # page ranks ONLY the fresh copy (the stale copy's postings rows
+    # are still on disk but invisible to scoring); the other page is
+    # untouched
+    res = bm25_search_postings(spark, corpus_path, [(0, "x5"), (1, "y5")], topk=5)
+    hits = {(r.q_id, r.doc_id) for r in res.collect()}
+    assert hits == {(0, p2), (1, q1)}
+    # the stale copy's rows really are still in the postings table
+    post_ids = {
+        r.doc_id
+        for r in spark.read.parquet(corpus_path + "_postings")
+        .select("doc_id").distinct().collect()
+    }
+    assert p1 in post_ids
