@@ -108,17 +108,31 @@ def _loaded_reasons(load_start: dict | None) -> list[str]:
     return reasons
 
 
-def _noisy_spreads(run_lists: dict[str, list[float]]) -> dict[str, float]:
+def _noisy_spreads(run_lists: dict[str, list[float]]) -> dict[str, dict]:
     """Pipeline configs whose max/min run ratio exceeds
     NOISY_RUN_SPREAD — mid-run interference no start-of-run loadavg
     snapshot can catch (the committed r10 run's pipeline_1M spread was
-    2.8× on a '1m-quiet' host)."""
+    2.8× on a '1m-quiet' host).
+
+    Each flagged config also carries ``min2_over_min`` (second-best /
+    best run): the r11 measurement campaign showed this host takes
+    ambient load spikes in most ~15-minute windows — five consecutive
+    quiet-start full runs each caught >= 1 spiked pipeline run — while
+    per-config MINIMA agreed across all five runs (min2/min <= 1.2 in
+    18/20 config-attempts).  So the interpretation rule: a flagged
+    config with tight min2_over_min has a REPRODUCIBLE minimum (one
+    run was hit; compare minima across rounds as usual) — only a wide
+    min2_over_min means the minimum itself is untrustworthy."""
     noisy = {}
     for key, runs in run_lists.items():
         if len(runs) >= 2 and min(runs) > 0:
             spread = round(max(runs) / min(runs), 2)
             if spread > NOISY_RUN_SPREAD:
-                noisy[key] = spread
+                best, second = sorted(runs)[:2]
+                noisy[key] = {
+                    "spread": spread,
+                    "min2_over_min": round(second / best, 3),
+                }
     return noisy
 
 

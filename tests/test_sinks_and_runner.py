@@ -182,8 +182,13 @@ def test_bench_loaded_host_flag_rides_both_outputs():
     assert bench._loaded_reasons(
         {"loadavg_1m": 0.08, "loadavg_5m": bench.LOADED_LOADAVG_5M + 0.49}
     )
-    # mid-run interference: a >2x max/min spread flags that config
-    assert bench._noisy_spreads({"p1M": [8.69, 24.48, 9.1]}) == {"p1M": 2.82}
+    # mid-run interference: a >2x max/min spread flags that config,
+    # carrying the minimum's reproducibility (second-best / best) so
+    # a single-spiked-run flag stays distinguishable from a run whose
+    # minimum itself is untrustworthy
+    assert bench._noisy_spreads({"p1M": [8.69, 24.48, 9.1]}) == {
+        "p1M": {"spread": 2.82, "min2_over_min": 1.047}
+    }
     assert not bench._noisy_spreads({"p1M": [8.0, 9.5, 8.3]})
     assert not bench._noisy_spreads({"one_run": [8.0], "zero": [0.0, 1.0]})
     full = {
@@ -194,12 +199,14 @@ def test_bench_loaded_host_flag_rides_both_outputs():
         "pipeline_runs": {}, "pipeline_env": {},
         "load_start": {"loadavg_1m": 7.0}, "load_end": {"loadavg_1m": 8.0},
         "runs_per_query": 3, "sf": 0.1, "loaded": True,
-        "noisy": {"pipeline_1000000_lines": 2.82},
+        "noisy": {"pipeline_1000000_lines": {"spread": 2.82, "min2_over_min": 1.047}},
     }
     line = bench._compact_line(full)
     assert len(line) <= 1900
     assert json.loads(line)["loaded"] is True
-    assert json.loads(line)["noisy"] == {"pipeline_1000000_lines": 2.82}
+    assert json.loads(line)["noisy"] == {
+        "pipeline_1000000_lines": {"spread": 2.82, "min2_over_min": 1.047}
+    }
 
 
 def test_run_curation_funnel_contract(spark, tmp_path):
