@@ -13,7 +13,8 @@ production deployment where no second engine needs to replay the
 pipeline, the cheaper scan is a FLAG, not a rewrite (r11, VERDICT r10
 #5): pass ``hash_fn=xxhash64_int`` to :func:`shingle_hashes` (and the
 signatures/LSH/jaccard stages downstream are hash-agnostic over any
-64-bit ``h``), or ``token_hash=blake2b_token_hash`` to :func:`simhash`
+64-bit ``h``; measured deltas in xxhash64_int's docstring), or
+``token_hash=blake2b_token_hash`` to :func:`simhash`
 / :func:`simhash_near_dups`.  Dedup DECISIONS are hash-independent on
 non-adversarial corpora (test_dedup pins identical survivor/candidate
 sets across both modes); only the raw fingerprint bytes differ, so the
@@ -40,15 +41,24 @@ def md5_int(col: Column) -> Column:
 
 def xxhash64_int(col: Column) -> Column:
     """Production 60-bit integer hash: ``xxhash64`` (one codegen'd JVM
-    intrinsic — no hex round-trip, measured ~3-5x cheaper per shingle
-    than :func:`md5_int`'s md5+substr+conv chain) logically shifted
-    right 4 bits so the result lands in the same non-negative 60-bit
-    domain md5_int produces — every downstream universal-hash /
-    banding / bucketing expression keeps its ``products < 2^62``
-    overflow-freedom guarantee unchanged.  NOT cross-engine
-    verifiable (xxhash64's seed/variant is Spark-specific), which is
-    exactly why the oracle queries stay on md5 and this is the
-    deployment flag."""
+    intrinsic, vs :func:`md5_int`'s md5 + hex-string substr + conv
+    chain) logically shifted right 4 bits so the result lands in the
+    same non-negative 60-bit domain md5_int produces — every
+    downstream universal-hash / banding / bucketing expression keeps
+    its ``products < 2^62`` overflow-freedom guarantee unchanged.
+
+    Measured honestly (r11, sf0.1, warm): the hash swap cuts the
+    shingle-hash SCAN stage ~1.2x (0.72 -> 0.58 s — the tokenize +
+    shingle explode dominates that stage, not the hash expression),
+    and the end-to-end LSH candidates row is parity (0.46 vs 0.47 s)
+    because the band self-join's shuffle dominates end-to-end.  The
+    flag pays off where the 100 TB deployment actually spends:
+    scan-bound passes over long documents (hash arithmetic per
+    shingle grows with document length while the explode cost is
+    fixed per token) and md5's per-row allocation pressure.  NOT
+    cross-engine verifiable (xxhash64's seed/variant is
+    Spark-specific), which is exactly why the oracle queries stay on
+    md5 and this is the deployment flag."""
     return F.shiftrightunsigned(F.xxhash64(col), 4)
 
 
