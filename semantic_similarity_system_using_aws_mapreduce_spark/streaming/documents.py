@@ -784,7 +784,13 @@ def run_streaming_curation(
                             ).alias("_ix")
                         )
                     )
-                    resolved = digest_keep.join(hits, "digest", "left")
+                    # hits is bounded by the batch's own digest count
+                    # (an aggregate of an index-probe join) — always
+                    # micro-batch-sized, so broadcast by construction
+                    # rather than waiting for AQE to notice at runtime
+                    resolved = digest_keep.join(
+                        F.broadcast(hits), "digest", "left"
+                    )
                     # strictly newer than the newest indexed copy =>
                     # supersede it; known digest but not newer =>
                     # stale re-delivery, drops like a keep-first dup
