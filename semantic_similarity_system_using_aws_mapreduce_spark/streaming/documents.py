@@ -666,6 +666,13 @@ def run_streaming_curation(
       (its marker anti-join excludes superseded ids from scoring AND
       from the collection statistics), so search never returns the
       stale copy.
+    * with ``paragraphs=True``, a superseder INHERITS its
+      predecessor's clean face under the new id (its content is
+      digest-identical, and re-cutting it would scrub every segment
+      as a cross-batch dup of the predecessor, emitting an empty face
+      while the good one is hidden); segment attribution stays with
+      the chain's origin, so RTBF of the whole chain erases face,
+      segments, and corpus rows together.
 
     Runs with availableNow (drains everything currently in
     ``source_dir``, one file per micro-batch, then stops) — the test
@@ -719,6 +726,7 @@ def run_streaming_curation(
         sup = None          # keep-newest: superseding arrivals
         digest_keep = None  # keep-newest: per-digest batch winners
         sigs_all = None     # keep-newest: cached batch signature pool
+        inherit = None      # keep-newest+paragraphs: inherited faces
         try:
             # replay safety: a crash after the table writes but
             # before the checkpoint commit re-delivers this batch,
@@ -986,9 +994,50 @@ def run_streaming_curation(
                                     > srow["covered_batch"]
                                 )
                                 seg_index = [base, tail]
+                para_input = admitted
+                if sup is not None:
+                    # a superseder's content is digest-identical to
+                    # its predecessor, so its clean face IS the
+                    # predecessor's — INHERIT it under the new id
+                    # instead of re-cutting (re-cutting would scrub
+                    # every segment as a cross-batch dup of the
+                    # predecessor and emit an empty face while the
+                    # predecessor's good face is hidden).  Segment
+                    # attribution stays with the chain's origin, so
+                    # superseders contribute no seg delta; RTBF of
+                    # the whole chain erases face, segments, and
+                    # corpus rows together.  A superseder whose
+                    # predecessor has no face (paragraphs enabled
+                    # mid-stream) falls through to the normal cut.
+                    prev_clean = read_parquet_recovering(
+                        spark, corpus_path + CLEAN_SUFFIX
+                    )
+                    if prev_clean is not None:
+                        m = sup.select(
+                            F.col("supersedes").alias("doc_id"),
+                            F.col("doc_id").alias("_new_id"),
+                        )
+                        inherit = (
+                            prev_clean.join(F.broadcast(m), "doc_id")
+                            .select(
+                                F.col("_new_id").alias("doc_id"),
+                                "n_segments",
+                                "n_kept",
+                                "n_dup",
+                                "kept_text",
+                            )
+                            .cache()
+                        )
+                        para_input = admitted.join(
+                            F.broadcast(inherit.select("doc_id")),
+                            "doc_id",
+                            "left_anti",
+                        )
                 clean, seg_delta, seg_cache = paragraph_delta(
-                    admitted, seg_index
+                    para_input, seg_index
                 )
+                if inherit is not None:
+                    clean = clean.unionByName(inherit)
                 try:
                     _write_batch_partition(
                         clean, corpus_path + CLEAN_SUFFIX, batch_id
@@ -1080,7 +1129,7 @@ def run_streaming_curation(
         finally:
             if kept is not None:
                 kept.unpersist()
-            for extra_cache in (sigs_all, sup, digest_keep):
+            for extra_cache in (sigs_all, sup, digest_keep, inherit):
                 if extra_cache is not None:
                     extra_cache.unpersist()
             gated.unpersist()

@@ -2458,3 +2458,75 @@ def test_streaming_wet_keep_newest_recrawl_and_search_visibility(spark, tmp_path
         .select("doc_id").distinct().collect()
     }
     assert p1 in post_ids
+
+
+def test_streaming_keep_newest_inherits_predecessor_clean_face(spark, tmp_path):
+    """keep-newest x paragraphs: a superseder's content is digest-
+    identical to its predecessor, so re-cutting it against the seg
+    index would scrub EVERY segment as a cross-batch dup and emit an
+    empty clean face while the predecessor's good face is hidden —
+    the superseder must INHERIT the predecessor's face under its new
+    id instead.  Segment attribution stays with the chain's origin,
+    and a fresh doc quoting the re-crawled content still gets the
+    quote cut (the index is untouched by the supersession)."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    schema = "doc_id long, text string, fetched_at timestamp"
+    X = _long_text("x")                       # 30 tokens -> 6 segments
+    first_seg = " ".join(X.split()[:5])       # X's segment 0
+    B = first_seg + " " + " ".join(f"b{i}" for i in range(25))
+    src = tmp_path / "knp_incoming"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        import glob as _g
+        import shutil as _sh
+
+        ds = tmp_path / f"_knp_{name}_ds"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+        _sh.copy(_g.glob(str(ds / "part-*.parquet"))[0], str(src / f"{name}.parquet"))
+
+    corpus_path = str(tmp_path / "knp_corpus")
+    index_path = str(tmp_path / "knp_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path,
+            dedup="keep-newest", paragraphs=True,
+        )
+
+    drop_file("batch_a", [(1, X, datetime.datetime(2026, 1, 1))])
+    drop_file("batch_b", [
+        (101, X, datetime.datetime(2026, 2, 1)),  # re-crawl -> supersedes 1
+        (7, B, datetime.datetime(2026, 2, 1)),    # fresh doc quoting X's seg 0
+    ])
+    ingest()
+
+    clean = {r.doc_id: r for r in spark.read.parquet(corpus_path + "_clean").collect()}
+    assert set(clean) == {1, 101, 7}
+    # the superseder's face IS the predecessor's, under the new id
+    for col in ("n_segments", "n_kept", "n_dup", "kept_text"):
+        assert clean[101][col] == clean[1][col]
+    assert clean[101].n_kept == 6 and clean[101].kept_text == X
+    # the fresh doc's quote of the re-crawled content is still cut
+    assert clean[7].n_dup == 1 and first_seg not in clean[7].kept_text
+    assert clean[7].n_kept == 5
+    # segment attribution stays with the chain's origin + the fresh doc
+    seg_ids = {
+        r.doc_id
+        for r in spark.read.parquet(corpus_path + "_segindex")
+        .select("doc_id").distinct().collect()
+    }
+    assert seg_ids == {1, 7}
+    # visible corpus agrees
+    assert {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()} == {101, 7}
+    # replay is a no-op for the clean table too
+    before = sorted(map(str, spark.read.parquet(corpus_path + "_clean").collect()))
+    ingest()
+    after = sorted(map(str, spark.read.parquet(corpus_path + "_clean").collect()))
+    assert before == after
