@@ -138,84 +138,18 @@ LOCAL_ONLY = [
 ]
 
 # Queries the driver has not hash-verified recently go first so an
-# order-sensitive cap can't starve them again.  ROTATION (round 11),
-# executing the round-10 registry's ROUND-11 NOTE and VERDICT r10 #1:
-# the full 44-entry round-10 _LAST tail (every entry fully green in
-# CORRECTNESS_r09, mirror-verified since) rotates back into the
+# order-sensitive cap can't starve them again.  ROTATION (round 12),
+# executing the round-11 registry's ROUND-12 NOTE and VERDICT r11 #1:
+# the full 44-entry round-11 _LAST tail (every entry fully green in
+# CORRECTNESS_r10, mirror-verified since) rotates back into the
 # 50-row window.  44 rotated + 6 middle = exactly 50 — zero free
-# slots, so any round-11 addition must make window room by an
-# explicit middle demotion (as rounds 7-10 did).  The 44 round-10
-# _PRIORITY entries (all fully green in CORRECTNESS_r10) demote to
-# the new _LAST tail, keeping the every-export-green-within-two-
-# rounds invariant: r11-window ∪ r10-green covers all exports.
+# slots, so any round-12 addition must make window room by an
+# explicit middle demotion (as rounds 7-11 did).  The 44 round-11
+# _PRIORITY entries (all fully green in CORRECTNESS_r11, 50/50) demote
+# to the new _LAST tail, keeping the every-export-green-within-two-
+# rounds invariant: r12-window ∪ r11-green covers all exports.
 _PRIORITY = [
-    # the round-10 _LAST tail rotating back in (green r9, skipped r10):
-    "q_lang_prior",
-    "q_dedup_keep_newest",
-    "q_ann_lsh_topk",
-    "q_minhash_lsh_candidates",
-    "q_domain_quota",
-    "q_gopher_rules",
-    "q_bpe_pair_counts",
-    "q_bpe_merges",
-    "q_quantile_sketch",
-    "q_repetition_signals",
-    "q_part_brand_revenue",
-    "q_embedding_quantization",
-    "q_stratified_sample",
-    "q_token_shards",
-    "q_sample_per_group",
-    "q_dedup_clusters",
-    "q_lang_id",
-    "q_regex_token_stats",
-    "q_rolling_fingerprint",
-    "q_doc_quality",
-    "q_asof_view_before_purchase",
-    "q_token_totals",
-    "q_doc_chunks",
-    "q_minhash_signatures",
-    "q01_pricing_summary",
-    "q_window_functions",
-    "q_token_counts",
-    "q_semi_join",
-    "q_anti_join",
-    "q_pivot_status",
-    "q_exact_dedup",
-    "q_label_centroids",
-    "q_above_nation_avg",
-    "q_exact_jaccard_join",
-    "q_cms_heavy_hitters",
-    "q_bm25_search",
-    "q_cube_qty",
-    "q_sketch_accuracy",
-    "q_cosine_pairs",
-    "q_embedding_parity_measures",
-    "q_ann_ivf_recall",
-    "q_hourly_event_stats",
-    "q_sessionization",
-    "q_tfidf_top_terms",
-]
-
-# Exported last: with 94 exported queries and a 50-row driver cap,
-# exactly these 44 fall off this round (the round-10 _PRIORITY block —
-# the round-9 _LAST tail that rotated into the r10 window).  Every
-# one is fully green in CORRECTNESS_r10 (rows, schema, AND hash —
-# 50/50 green), so the rotation keeps every export driver-green
-# within two consecutive rounds, AND each is coverage-subsumed by
-# queries that keep a slot (the same per-entry family rationales
-# recorded in the round-9/round-10 registries apply with the
-# directions swapped — each pair below simply trades places with the
-# r11 window entry it subsumed last round).
-# All remain verified by the local mirror test either way.
-# ROUND-12 NOTE: rotate this tail back into _PRIORITY next round (and
-# demote the then-green round-11 entries here) so the
-# every-export-green-within-two-rounds invariant keeps holding.
-# Every entry below is green in CORRECTNESS_r10, so each tolerates
-# exactly the round-11 skip; all 44 must re-enter the round-12 window
-# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
-# any round-12 addition must demote a then-green middle entry, as
-# rounds 7-11 did).
-_LAST = [
+    # the round-11 _LAST tail rotating back in (green r10, skipped r11):
     "q_lm_quality",
     "q_paragraph_dedup",
     "q_main_content",
@@ -260,6 +194,72 @@ _LAST = [
     "q_decontaminate",
     "q_interval_join",
     "q_simhash_near_dups",
+]
+
+# Exported last: with 94 exported queries and a 50-row driver cap,
+# exactly these 44 fall off this round (the round-11 _PRIORITY block —
+# the round-10 _LAST tail that rotated into the r11 window).  Every
+# one is fully green in CORRECTNESS_r11 (rows, schema, AND hash —
+# 50/50 green), so the rotation keeps every export driver-green
+# within two consecutive rounds, AND each is coverage-subsumed by
+# queries that keep a slot (the same per-entry family rationales
+# recorded in the round-10/round-11 registries apply with the
+# directions swapped — each pair below simply trades places with the
+# r12 window entry it subsumed last round).
+# All remain verified by the local mirror test either way.
+# ROUND-13 NOTE: rotate this tail back into _PRIORITY next round (and
+# demote the then-green round-12 entries here) so the
+# every-export-green-within-two-rounds invariant keeps holding.
+# Every entry below is green in CORRECTNESS_r11, so each tolerates
+# exactly the round-12 skip; all 44 must re-enter the round-13 window
+# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
+# any round-13 addition must demote a then-green middle entry, as
+# rounds 7-12 did).
+_LAST = [
+    "q_lang_prior",
+    "q_dedup_keep_newest",
+    "q_ann_lsh_topk",
+    "q_minhash_lsh_candidates",
+    "q_domain_quota",
+    "q_gopher_rules",
+    "q_bpe_pair_counts",
+    "q_bpe_merges",
+    "q_quantile_sketch",
+    "q_repetition_signals",
+    "q_part_brand_revenue",
+    "q_embedding_quantization",
+    "q_stratified_sample",
+    "q_token_shards",
+    "q_sample_per_group",
+    "q_dedup_clusters",
+    "q_lang_id",
+    "q_regex_token_stats",
+    "q_rolling_fingerprint",
+    "q_doc_quality",
+    "q_asof_view_before_purchase",
+    "q_token_totals",
+    "q_doc_chunks",
+    "q_minhash_signatures",
+    "q01_pricing_summary",
+    "q_window_functions",
+    "q_token_counts",
+    "q_semi_join",
+    "q_anti_join",
+    "q_pivot_status",
+    "q_exact_dedup",
+    "q_label_centroids",
+    "q_above_nation_avg",
+    "q_exact_jaccard_join",
+    "q_cms_heavy_hitters",
+    "q_bm25_search",
+    "q_cube_qty",
+    "q_sketch_accuracy",
+    "q_cosine_pairs",
+    "q_embedding_parity_measures",
+    "q_ann_ivf_recall",
+    "q_hourly_event_stats",
+    "q_sessionization",
+    "q_tfidf_top_terms",
 ]
 
 _EXPORTED = (

@@ -26,54 +26,54 @@ def test_export_ordered_for_the_driver_cap():
     assert len(exported) == 50 + len(_LAST)
     assert exported[50:] == _LAST
     assert exported[: len(_PRIORITY)] == _PRIORITY
-    # round-11 rotation (VERDICT r10 #1, the round-10 registry's
-    # ROUND-11 NOTE): the full 44-entry round-10 _LAST tail (last
-    # green in r9) must sit inside the driver's 50-row window
+    # round-12 rotation (VERDICT r11 #1, the round-11 registry's
+    # ROUND-12 NOTE): the full 44-entry round-11 _LAST tail (last
+    # green in r10) must sit inside the driver's 50-row window
     for q in (
-        "q_lang_prior",
-        "q_dedup_keep_newest",
-        "q_ann_lsh_topk",
-        "q_minhash_lsh_candidates",
-        "q_domain_quota",
-        "q_gopher_rules",
-        "q_bpe_pair_counts",
-        "q_bpe_merges",
-        "q_quantile_sketch",
-        "q_repetition_signals",
-        "q_part_brand_revenue",
-        "q_embedding_quantization",
-        "q_stratified_sample",
-        "q_token_shards",
-        "q_sample_per_group",
-        "q_dedup_clusters",
-        "q_lang_id",
-        "q_regex_token_stats",
-        "q_rolling_fingerprint",
-        "q_doc_quality",
-        "q_asof_view_before_purchase",
-        "q_token_totals",
-        "q_doc_chunks",
-        "q_minhash_signatures",
-        "q01_pricing_summary",
-        "q_window_functions",
-        "q_token_counts",
-        "q_semi_join",
-        "q_anti_join",
-        "q_pivot_status",
-        "q_exact_dedup",
-        "q_label_centroids",
-        "q_above_nation_avg",
-        "q_exact_jaccard_join",
-        "q_cms_heavy_hitters",
-        "q_bm25_search",
-        "q_cube_qty",
-        "q_sketch_accuracy",
-        "q_cosine_pairs",
-        "q_embedding_parity_measures",
-        "q_ann_ivf_recall",
-        "q_hourly_event_stats",
-        "q_sessionization",
-        "q_tfidf_top_terms",
+        "q_lm_quality",
+        "q_paragraph_dedup",
+        "q_main_content",
+        "q_bpe_fertility",
+        "q_lsh_recall",
+        "q_unpivot",
+        "q_user_event_pivot",
+        "q_array_agg",
+        "q_acctbal_share",
+        "q_distinct_counts",
+        "q05_local_supplier",
+        "q_date_buckets",
+        "q_string_funcs",
+        "q_full_outer_align",
+        "q_having_big_customers",
+        "q_range_frame",
+        "q_sequence_packing",
+        "q_semantic_dedup",
+        "q_duplicate_spans",
+        "q_training_order",
+        "q_span_scrub",
+        "q_source_mixture",
+        "q_event_sequences",
+        "q_dsir_select",
+        "q_bloom_dedup",
+        "q_leakage_safe_split",
+        "q_data_card",
+        "q_table_stats",
+        "q_blocked_cosine_pairs",
+        "q_hybrid_rrf",
+        "q_containment_dups",
+        "q_event_anomalies",
+        "q_edit_similarity_dups",
+        "q_source_overlap",
+        "q_kmeans_assign",
+        "q_domain_rank",
+        "q_pq_codes",
+        "q_pq_adc_search",
+        "q_tagged_union",
+        "q_json_props",
+        "q_ngram_jaccard_dups",
+        "q_decontaminate",
+        "q_interval_join",
+        "q_simhash_near_dups",
     ):
         assert list(QUERIES).index(q) < 50
     assert set(QUERIES) == set(ORACLES)
