@@ -774,7 +774,10 @@ def incremental_dedup(
     copy — are layered ABOVE this operator by
     ``streaming.documents.run_streaming_curation(dedup="keep-newest")``,
     which resolves exact-digest re-crawls against a digest index first
-    and routes only genuinely fresh content through this probe.
+    and routes only genuinely fresh content through the same collision
+    plan via :func:`incremental_dedup_scored` (it needs every verified
+    partner, not this function's min-partner summary, to decide
+    supersede-vs-drop against the newest VISIBLE copy).
 
     Both inputs are minhash-signature relations
     (:func:`minhash_signatures`; the index side is typically
@@ -826,6 +829,53 @@ def incremental_dedup(
     (on by default in this engine's session); if even the pruned
     linear scan matters, store the sigs table bucketed by doc_id and
     the lookup becomes bucket-pruned."""
+    scored = incremental_dedup_scored(
+        new_sigs,
+        index_sigs,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        min_agree=min_agree,
+        index_buckets=index_buckets,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("partner")
+    dropped = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("partner").alias("dup_of"), "n_agree")
+    )
+    sig_cols = [f"h{k}" for k in range(n_hashes)]
+    batch = new_sigs.select("doc_id", *sig_cols)
+    kept = batch.join(dropped.select("doc_id"), "doc_id", "left_anti")
+    return kept, dropped
+
+
+def incremental_dedup_scored(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    min_agree: int = 6,
+    index_buckets: DataFrame | list[DataFrame] | None = None,
+) -> DataFrame:
+    """The VERIFIED COLLISION RELATION behind :func:`incremental_dedup`:
+    every (doc_id, partner, n_agree, in_batch) pair where a batch doc's
+    signature agrees on >= ``min_agree`` components with an indexed doc
+    (``in_batch`` false) or with a smaller-id doc of its own batch
+    (``in_batch`` true) — i.e. ALL of a doc's near-dup partners, not
+    just the minimum one ``incremental_dedup``'s ``dropped`` reports.
+
+    Exists for survivor policies that need the full partner set:
+    streaming keep-NEWEST supersession (r12) must find the newest
+    VISIBLE colliding partner and compare timestamps, which the
+    min-partner summary cannot answer (the minimum id is often a long-
+    superseded copy whose signatures still sit in the index).  Same
+    plan shape as :func:`incremental_dedup` — banded bucket equi-joins
+    with a batch-sized probe side, then per-pair integer agreement —
+    and the same ``index_buckets`` exchange-free option."""
     sig_cols = [f"h{k}" for k in range(n_hashes)]
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     batch = new_sigs.select("doc_id", *sig_cols)
@@ -858,6 +908,12 @@ def incremental_dedup(
     cand_self = a2.join(b2, cond_self).select(
         F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
     )
+    # the flag is a function of the pair (batch and index ids are
+    # disjoint by contract), so the distinct stays pair-level
+    cand_ix = (
+        None if cand_ix is None else cand_ix.withColumn("in_batch", F.lit(False))
+    )
+    cand_self = cand_self.withColumn("in_batch", F.lit(True))
     cand = (
         cand_ix.unionByName(cand_self) if cand_ix is not None else cand_self
     ).distinct()
@@ -870,21 +926,11 @@ def incremental_dedup(
     agree = sum(
         (F.col(f"h{k}") == F.col(f"p{k}")).cast("int") for k in range(n_hashes)
     )
-    scored = (
+    return (
         x.join(partner_sigs, "partner")
-        .select("doc_id", "partner", agree.alias("n_agree"))
+        .select("doc_id", "partner", "in_batch", agree.alias("n_agree"))
         .filter(F.col("n_agree") >= min_agree)
     )
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("doc_id").orderBy("partner")
-    dropped = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", F.col("partner").alias("dup_of"), "n_agree")
-    )
-    kept = batch.join(dropped.select("doc_id"), "doc_id", "left_anti")
-    return kept, dropped
 
 
 def bloom_build(

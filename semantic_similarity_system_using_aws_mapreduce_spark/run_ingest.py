@@ -75,11 +75,14 @@ def main(argv: list[str] | None = None) -> int:
         "--dedup",
         choices=("keep-first", "keep-newest"),
         default="keep-first",
-        help="exact-duplicate survivor rule: keep-first (default) "
-        "drops any re-delivered content; keep-newest gives re-crawls "
-        "CRAWL semantics — an arrival whose content digest is already "
-        "in the corpus with an older fetched_at supersedes the stale "
-        "copy (hidden by as-of reads, not rewritten)",
+        help="duplicate survivor rule: keep-first (default) drops any "
+        "re-delivered content; keep-newest gives re-crawls CRAWL "
+        "semantics — an arrival whose content digest (or, r12, whose "
+        "NEAR-DUP signature) matches a visible corpus copy with an "
+        "older fetched_at supersedes the stale copy (hidden by as-of "
+        "reads, not rewritten).  Requires globally unique doc_ids "
+        "across batches: a re-crawl mints a new id and supersession "
+        "links it to the old one (id reuse fails the batch loudly)",
     )
     p_ing.add_argument("--compact-every", type=int, default=0)
     p_ing.add_argument("--bucket-table", default=None)
@@ -101,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     p_fgt.add_argument("outdir")
     p_fgt.add_argument("--doc-ids", required=True, help="comma-separated ids")
     p_fgt.add_argument("--bucket-table", default=None)
+    p_fgt.add_argument(
+        "--no-expand-chains",
+        action="store_true",
+        help="erase exactly the named rows.  By default a keep-newest "
+        "corpus expands the ids to their full supersession chains "
+        "(same-digest members + supersedes edges, both directions) — "
+        "forgetting a superseding copy alone would resurrect its "
+        "predecessor's identical or near-identical content",
+    )
 
     for p in (p_ing, p_fgt):
         p.add_argument(
@@ -217,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             index_path,
             ids,
             bucket_index_table=args.bucket_table,
+            expand_chains=not args.no_expand_chains,
         )
         print(json.dumps(report))
         return 0

@@ -2530,3 +2530,403 @@ def test_streaming_keep_newest_inherits_predecessor_clean_face(spark, tmp_path):
     ingest()
     after = sorted(map(str, spark.read.parquet(corpus_path + "_clean").collect()))
     assert before == after
+
+
+def _kn_drop_file(spark, tmp_path, src, name, rows):
+    """One keep-newest micro-batch file: (doc_id, text, fetched_at)."""
+    import glob as _g
+    import shutil as _sh
+
+    schema = "doc_id long, text string, fetched_at timestamp"
+    ds = tmp_path / f"_kn12_{src.name}_{name}_ds"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(ds))
+    _sh.copy(_g.glob(str(ds / "part-*.parquet"))[0], str(src / f"{name}.parquet"))
+
+
+def test_streaming_near_dup_keep_newest_supersedes_edited_recrawl(spark, tmp_path):
+    """r12 (VERDICT r11 #1-missing / #2-next): the COMMON re-crawl —
+    the page's content changed slightly, so the exact-digest probe
+    misses and the arrival lands in the near-dup probe.  Under r11 it
+    dropped keep-first and the corpus kept the STALE version forever;
+    now a strictly-newer near-dup arrival SUPERSEDES the newest
+    visible colliding copy: as-of reads stay truthful, BM25 surfaces
+    only the fresh copy, stale near-dups still drop, replay is a
+    no-op, and chain RTBF (expand_chains walks the supersedes edges)
+    erases every version and re-admits the content."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        DIGESTS_SUFFIX,
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.retrieval import bm25_search_postings
+
+    ts = lambda m, d=1: datetime.datetime(2026, m, d)  # noqa: E731
+    X, Y = _long_text("x"), _long_text("y")
+    X1 = X + " edit1 edit2"            # near-dup edit of X (not exact)
+    X2 = X + " edit1 edit2 e3 e4"      # second-generation edit
+    src = tmp_path / "nkn_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "nkn_corpus")
+    index_path = str(tmp_path / "nkn_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path,
+            stats=True, postings=True, dedup="keep-newest",
+        )
+
+    def ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    _kn_drop_file(spark, tmp_path, src, "batch_a", [(1, X, ts(1)), (2, Y, ts(1))])
+    _kn_drop_file(spark, tmp_path, src, "batch_b", [(101, X1, ts(2))])
+    ingest()
+
+    # the edited re-crawl supersedes the stale copy (near-dup path:
+    # different digest, signature collision, strictly newer)
+    assert ids(read_corpus_asof(spark, corpus_path)) == {101, 2}
+    assert ids(read_corpus_asof(spark, corpus_path, 0)) == {1, 2}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert set(raw) == {1, 2, 101}
+    assert raw[101].supersedes == 1 and raw[101].text == X1
+    # the digests table mirrors the marker (supersession system of
+    # record) and carries the NEW digest for the edited content
+    dig = {r.doc_id: r for r in spark.read.parquet(corpus_path + DIGESTS_SUFFIX).collect()}
+    assert dig[101].supersedes == 1 and dig[1].supersedes is None
+    assert dig[101].digest != dig[1].digest
+    # sig index carries the edit under its new id (future re-crawls
+    # of the edited content must collide with it)
+    assert ids(spark.read.parquet(index_path)) == {1, 2, 101}
+    # funnel counts the near-dup superseder as kept
+    stats = {
+        r.ingest_batch: (r.n_arrived, r.n_gated, r.n_kept)
+        for r in spark.read.parquet(corpus_path + "_stats").collect()
+    }
+    assert stats[1] == (1, 1, 1)
+
+    # BM25 ranks only the visible corpus: a term both versions carry
+    # surfaces the page once, under the fresh id
+    res = bm25_search_postings(spark, corpus_path, [(0, "x5")], topk=5)
+    assert {(r.q_id, r.doc_id) for r in res.collect()} == {(0, 101)}
+
+    # a STALE near-dup re-delivery (older than the visible copy) drops
+    _kn_drop_file(
+        spark, tmp_path, src, "batch_c",
+        [(201, X + " stale9", ts(1) - datetime.timedelta(days=3))],
+    )
+    ingest()
+    assert ids(read_corpus_asof(spark, corpus_path)) == {101, 2}
+    assert 201 not in ids(spark.read.parquet(corpus_path))
+
+    # CHAIN: a second-generation edit supersedes the first edit (the
+    # newest VISIBLE partner — not the long-hidden origin)
+    _kn_drop_file(spark, tmp_path, src, "batch_d", [(301, X2, ts(3))])
+    ingest()
+    assert ids(read_corpus_asof(spark, corpus_path)) == {301, 2}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert raw[301].supersedes == 101
+    # every historical watermark still truthful
+    assert ids(read_corpus_asof(spark, corpus_path, 1)) == {101, 2}
+    assert ids(read_corpus_asof(spark, corpus_path, 0)) == {1, 2}
+
+    # replay is a no-op
+    tables = (corpus_path, index_path, corpus_path + DIGESTS_SUFFIX)
+    before = {p: sorted(map(str, spark.read.parquet(p).collect())) for p in tables}
+    ingest()
+    after = {p: sorted(map(str, spark.read.parquet(p).collect())) for p in tables}
+    assert before == after
+
+    # RTBF names ONE chain member; expand_chains walks the supersedes
+    # edges (near-dup links span digests) and erases every version
+    report = forget_documents(spark, corpus_path, index_path, [301])
+    assert report["doc_ids"] == [1, 101, 301]
+    assert ids(read_corpus_asof(spark, corpus_path)) == {2}
+    assert ids(spark.read.parquet(index_path)) == {2}
+    assert ids(spark.read.parquet(corpus_path + DIGESTS_SUFFIX)) == {2}
+    # the content is admissible again afterwards
+    _kn_drop_file(spark, tmp_path, src, "batch_e", [(401, X2, ts(1, 5))])
+    ingest()
+    assert ids(read_corpus_asof(spark, corpus_path)) == {2, 401}
+
+
+def test_streaming_keep_newest_revert_supersedes_visible_edit(spark, tmp_path):
+    """A page REVERTED to its pre-edit bytes: the arrival's digest
+    exactly matches the HIDDEN chain origin, not the visible edit.
+    Hidden copies leave the exact-digest pool, so the revert routes
+    through the near-dup probe and supersedes the VISIBLE head — the
+    corpus never serves two visible near-identical versions, and a
+    stale revert still drops."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    ts = lambda m: datetime.datetime(2026, m, 1)  # noqa: E731
+    X = _long_text("x")
+    X1 = X + " edit1 edit2"
+    src = tmp_path / "rev_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "rev_corpus")
+    index_path = str(tmp_path / "rev_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path, dedup="keep-newest"
+        )
+
+    def visible():
+        return {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()}
+
+    _kn_drop_file(spark, tmp_path, src, "batch_a", [(1, X, ts(1))])
+    _kn_drop_file(spark, tmp_path, src, "batch_b", [(101, X1, ts(2))])
+    _kn_drop_file(spark, tmp_path, src, "batch_c", [(201, X, ts(3))])  # revert
+    ingest()
+    assert visible() == {201}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert raw[101].supersedes == 1      # the edit hid the origin
+    assert raw[201].supersedes == 101    # the revert hid the EDIT, not 1
+    assert raw[201].text == X
+
+    # a stale revert (older than the visible head) drops outright
+    _kn_drop_file(spark, tmp_path, src, "batch_d", [(301, X1, ts(2))])
+    ingest()
+    assert visible() == {201}
+    assert 301 not in {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+
+
+def test_streaming_keep_newest_null_timestamps_cross_batch(spark, tmp_path):
+    """ADVICE r11 (low): null ``fetched_at`` orders LOWEST on both
+    sides of the cross-batch strictly-newer comparison, exactly like
+    the within-batch struct-max — a dated re-crawl supersedes an
+    undated indexed copy, an undated arrival never supersedes, and
+    null-vs-null drops as a stale re-delivery."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    t2 = datetime.datetime(2026, 2, 1)
+    X, Y = _long_text("x"), _long_text("y")
+    src = tmp_path / "nts_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "nts_corpus")
+    index_path = str(tmp_path / "nts_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path, dedup="keep-newest"
+        )
+
+    def visible():
+        return {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()}
+
+    # batch A: X undated, Y dated
+    _kn_drop_file(spark, tmp_path, src, "batch_a", [(1, X, None), (2, Y, t2)])
+    # batch B: a DATED re-crawl of the undated X -> supersedes it;
+    # an UNDATED re-crawl of the dated Y -> never strictly newer, drops
+    _kn_drop_file(spark, tmp_path, src, "batch_b", [(101, X, t2), (102, Y, None)])
+    # batch C: null-vs-null -> drops (not strictly newer)
+    _kn_drop_file(spark, tmp_path, src, "batch_c", [(202, Y, None)])
+    ingest()
+    assert visible() == {101, 2}
+    raw = {r.doc_id: r for r in spark.read.parquet(corpus_path).collect()}
+    assert set(raw) == {1, 2, 101}
+    assert raw[101].supersedes == 1
+
+
+def test_streaming_keep_newest_null_vs_null_drops(spark, tmp_path):
+    """null-vs-null across batches: never strictly newer, so the
+    indexed undated copy wins and the undated re-delivery drops."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    X = _long_text("x")
+    src = tmp_path / "nn_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "nn_corpus")
+    index_path = str(tmp_path / "nn_index")
+    _kn_drop_file(spark, tmp_path, src, "batch_a", [(1, X, None)])
+    _kn_drop_file(spark, tmp_path, src, "batch_b", [(101, X, None)])
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, dedup="keep-newest"
+    )
+    assert {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()} == {1}
+
+
+def test_streaming_keep_newest_rejects_cross_batch_doc_id_reuse(spark, tmp_path):
+    """ADVICE r11 (medium): the keep-newest replay-safety exclusion
+    assumes globally unique doc_ids — an id REUSED across batches
+    would silently bypass both probes and land duplicate visible rows
+    under one id.  The contract is enforced, loudly, before anything
+    is written."""
+    import datetime
+
+    import pytest
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import run_streaming_curation
+
+    X, Z = _long_text("x"), _long_text("z")
+    src = tmp_path / "reuse_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "reuse_corpus")
+    index_path = str(tmp_path / "reuse_index")
+    _kn_drop_file(
+        spark, tmp_path, src, "batch_a", [(1, X, datetime.datetime(2026, 1, 1))]
+    )
+    _kn_drop_file(
+        spark, tmp_path, src, "batch_b", [(1, Z, datetime.datetime(2026, 2, 1))]
+    )
+    with pytest.raises(Exception, match="globally unique"):
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path, dedup="keep-newest"
+        )
+    # nothing from the offending batch reached the corpus
+    ids = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert ids == {1}
+    texts = {r.text for r in spark.read.parquet(corpus_path).collect()}
+    assert texts == {X}
+
+
+def test_streaming_near_dup_keep_newest_recuts_face(spark, tmp_path):
+    """keep-newest x paragraphs for the NEAR-DUP path: an edited
+    re-crawl's face is RE-CUT (content differs — inheritance would
+    serve the stale text), with the hidden predecessor's segment
+    attributions retired from the probe view so the edit's UNCHANGED
+    paragraphs survive under the new id instead of scrubbing as
+    cross-batch dups of a row nobody can see; a fresh doc quoting the
+    content still gets its quote cut; chain RTBF erases face,
+    segments, and corpus rows together."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    ts = lambda m: datetime.datetime(2026, m, 1)  # noqa: E731
+    X = _long_text("x")                       # 30 tokens -> 6 segments
+    first_seg = " ".join(X.split()[:5])
+    # the edit keeps X's 6 segments and appends a full new one
+    X1 = X + " " + " ".join(f"n{i}" for i in range(5))
+    B = first_seg + " " + " ".join(f"b{i}" for i in range(25))
+    src = tmp_path / "ndp_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "ndp_corpus")
+    index_path = str(tmp_path / "ndp_index")
+
+    def ingest():
+        run_streaming_curation(
+            spark, str(src), corpus_path, index_path,
+            dedup="keep-newest", paragraphs=True,
+        )
+
+    _kn_drop_file(spark, tmp_path, src, "batch_a", [(1, X, ts(1))])
+    _kn_drop_file(spark, tmp_path, src, "batch_b", [(101, X1, ts(2)), (700, B, ts(2))])
+    ingest()
+
+    clean = {r.doc_id: r for r in spark.read.parquet(corpus_path + "_clean").collect()}
+    assert set(clean) == {1, 101, 700}
+    # the superseder's face was RE-CUT from its own (edited) text:
+    # every predecessor segment survives under the new id, plus the
+    # new paragraph — NOT an empty face, NOT the predecessor's text
+    assert clean[101].n_segments == 7 and clean[101].n_kept == 7
+    assert clean[101].kept_text == X1
+    # the fresh quoting doc still gets the quote cut (the re-cut
+    # superseder wins the segment within-batch: min (doc_id, seg_idx))
+    assert clean[700].n_dup == 1 and first_seg not in clean[700].kept_text
+    # visible corpus agrees
+    assert {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()} == {101, 700}
+
+    # replay no-op for the re-cut face
+    before = sorted(map(str, spark.read.parquet(corpus_path + "_clean").collect()))
+    ingest()
+    assert sorted(map(str, spark.read.parquet(corpus_path + "_clean").collect())) == before
+
+    # chain RTBF: naming the superseder erases the whole chain's
+    # faces, segments, digests, and corpus rows
+    report = forget_documents(spark, corpus_path, index_path, [101])
+    assert report["doc_ids"] == [1, 101]
+    for sfx in ("", "_clean", "_segindex", "_digests"):
+        left = {r.doc_id for r in spark.read.parquet(corpus_path + sfx).collect()}
+        assert left == {700}, sfx
+
+
+def test_read_corpus_asof_markers_come_from_the_digests_table(spark, tmp_path):
+    """VERDICT r11 #3 done-criterion: the CURRENT view's superseded-id
+    markers are read from the narrow ``<corpus>_digests`` table (the
+    plan's anti-join build side scans the digests relation, not a
+    second corpus scan); historical watermarks keep the corpus-derived
+    windowed markers (digests compaction folds the window axis away,
+    the corpus never compacts)."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    X = _long_text("x")
+    src = tmp_path / "mk_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "mk_corpus")
+    index_path = str(tmp_path / "mk_index")
+    _kn_drop_file(spark, tmp_path, src, "a", [(1, X, datetime.datetime(2026, 1, 1))])
+    _kn_drop_file(spark, tmp_path, src, "b", [(101, X, datetime.datetime(2026, 2, 1))])
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, dedup="keep-newest"
+    )
+
+    cur = read_corpus_asof(spark, corpus_path)
+    assert {r.doc_id for r in cur.collect()} == {101}
+    # the anti-join's build side is the digests relation (its `digest`
+    # column is the tell — the corpus relation has no such column);
+    # optimizedPlan's toString elides file paths, so pin the schema
+    plan = cur._jdf.queryExecution().optimizedPlan().toString()
+    assert "digest#" in plan
+    # historical watermark: windowed corpus markers, no digests scan
+    hist = read_corpus_asof(spark, corpus_path, 0)
+    assert {r.doc_id for r in hist.collect()} == {1}
+    assert "digest#" not in hist._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_forget_documents_expand_chains_off_restores_single_row_erase(spark, tmp_path):
+    """``expand_chains=False`` pins the r11 single-row semantics: the
+    marker vanishes with the superseder's row and the predecessor
+    RESURRECTS — the documented reason expansion defaults on."""
+    import datetime
+
+    from semantic_similarity_system_using_aws_mapreduce_spark.streaming.documents import (
+        forget_documents,
+        read_corpus_asof,
+        run_streaming_curation,
+    )
+
+    X = _long_text("x")
+    src = tmp_path / "nexp_incoming"
+    src.mkdir()
+    corpus_path = str(tmp_path / "nexp_corpus")
+    index_path = str(tmp_path / "nexp_index")
+    _kn_drop_file(spark, tmp_path, src, "a", [(1, X, datetime.datetime(2026, 1, 1))])
+    _kn_drop_file(spark, tmp_path, src, "b", [(101, X, datetime.datetime(2026, 2, 1))])
+    run_streaming_curation(
+        spark, str(src), corpus_path, index_path, dedup="keep-newest"
+    )
+    assert {r.doc_id for r in read_corpus_asof(spark, corpus_path).collect()} == {101}
+
+    report = forget_documents(
+        spark, corpus_path, index_path, [101], expand_chains=False
+    )
+    assert report["doc_ids"] == [101]
+    # the predecessor resurrects: same bytes, old id, visible again
+    vis = {r.doc_id: r.text for r in read_corpus_asof(spark, corpus_path).collect()}
+    assert vis == {1: X}
