@@ -148,7 +148,14 @@ LOCAL_ONLY = [
 # _PRIORITY entries (all fully green in CORRECTNESS_r11, 50/50) demote
 # to the new _LAST tail, keeping the every-export-green-within-two-
 # rounds invariant: r12-window ∪ r11-green covers all exports.
+# NEW round 12: q_neardup_keep_newest (the batch twin of the round's
+# streaming near-dup supersession capability) enters the window
+# first, never driver-verified; its slot comes from the explicit
+# demotion of the then-green middle q03_shipping_priority (green r11;
+# rationale at the _LAST entry).
 _PRIORITY = [
+    # new this round, never driver-verified:
+    "q_neardup_keep_newest",
     # the round-11 _LAST tail rotating back in (green r10, skipped r11):
     "q_lm_quality",
     "q_paragraph_dedup",
@@ -196,9 +203,10 @@ _PRIORITY = [
     "q_simhash_near_dups",
 ]
 
-# Exported last: with 94 exported queries and a 50-row driver cap,
-# exactly these 44 fall off this round (the round-11 _PRIORITY block —
-# the round-10 _LAST tail that rotated into the r11 window).  Every
+# Exported last: with 95 exported queries and a 50-row driver cap,
+# exactly these 45 fall off this round (the round-11 _PRIORITY block —
+# the round-10 _LAST tail that rotated into the r11 window — plus the
+# demoted middle q03_shipping_priority).  Every
 # one is fully green in CORRECTNESS_r11 (rows, schema, AND hash —
 # 50/50 green), so the rotation keeps every export driver-green
 # within two consecutive rounds, AND each is coverage-subsumed by
@@ -211,11 +219,18 @@ _PRIORITY = [
 # demote the then-green round-12 entries here) so the
 # every-export-green-within-two-rounds invariant keeps holding.
 # Every entry below is green in CORRECTNESS_r11, so each tolerates
-# exactly the round-12 skip; all 44 must re-enter the round-13 window
-# (44 + the 6 then-current middles = exactly 50 — zero free slots, so
+# exactly the round-12 skip; all 45 must re-enter the round-13 window
+# (45 + the 5 then-current middles = exactly 50 — zero free slots, so
 # any round-13 addition must demote a then-green middle entry, as
 # rounds 7-12 did).
 _LAST = [
+    # demoted round-12 middle (green r11) making room for
+    # q_neardup_keep_newest: q03's scan→join→agg→top-k shape stays
+    # in-window via q05_local_supplier (the same multi-join grouped
+    # aggregate) and q_training_order (global ORDER BY over a computed
+    # key); ORDER BY/LIMIT also holds an exported slot at
+    # q03 itself, which re-enters the round-13 window with this tail.
+    "q03_shipping_priority",
     "q_lang_prior",
     "q_dedup_keep_newest",
     "q_ann_lsh_topk",

@@ -66,6 +66,60 @@ def q_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep_newest(docs)
 
 
+def q_neardup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate dedup with crawl semantics — the batch twin of
+    the r12 streaming near-dup supersession
+    (streaming/documents.run_streaming_curation(dedup="keep-newest"))
+    aggregated to a snapshot: the LSH candidate graph's connected
+    components (q_dedup_clusters' machinery) with the survivor per
+    component chosen by the keep-newest rule — max(struct(fetched_at,
+    doc_id)), q_dedup_keep_newest's pick — instead of the min id.
+    Singleton docs are their own component and survive trivially.
+
+    Exactly the state the streaming path converges to when a page's
+    edit history arrives in timestamp order: every version of a page
+    collides into one component and the freshest fetch is the visible
+    head (the streaming drills pin the incremental per-batch decision;
+    this query oracle-verifies the aggregate decision on both
+    engines).  The documents table has no timestamp, so the same
+    deterministic doc_id-derived fetch date as q_dedup_keep_newest
+    feeds the comparison.
+
+    Scale: the component computation is the audited min-label
+    propagation (operators/graph.py — adaptive driver-finish);
+    everything after it is one grouped aggregate with a combiner —
+    no window sort, no extra shuffle beyond the cluster groupBy."""
+    from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "fetched_at",
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 360).cast("int")),
+    )
+    sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
+    cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
+    comp = connected_components(cands).withColumnRenamed("node", "doc_id")
+    members = (
+        docs.select("doc_id", "fetched_at")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fetched_at",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return members.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("fetched_at").alias("f"), F.col("doc_id").alias("d"))
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select(
+        "cluster_id",
+        F.col("_s.d").alias("keep_doc_id"),
+        F.col("_s.f").alias("keep_fetched"),
+        "n_members",
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
 
@@ -453,6 +507,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_exact_dedup": q_exact_dedup,
     "q_dedup_keep_newest": q_dedup_keep_newest,
+    "q_neardup_keep_newest": q_neardup_keep_newest,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
     "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -829,6 +884,48 @@ ORACLES = {
         SELECT digest, (s).d AS keep_doc_id, (s).f AS keep_fetched,
                n_copies
         FROM g
+    """,
+    "q_neardup_keep_newest": f"""
+        WITH RECURSIVE {_SIGS_CTE},
+        buckets AS (
+            SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sigs
+            UNION ALL SELECT doc_id, 1, h2, h3 FROM sigs
+            UNION ALL SELECT doc_id, 2, h4, h5 FROM sigs
+            UNION ALL SELECT doc_id, 3, h6, h7 FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cands
+            UNION SELECT doc_b, doc_a FROM cands
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        dated AS (SELECT doc_id, DATE '2025-01-01'
+                                 + ((doc_id % 360)::INT) AS fetched_at
+                  FROM documents),
+        members AS (
+            SELECT t.doc_id, t.fetched_at,
+                   coalesce(c.cluster_id, t.doc_id) AS cluster_id
+            FROM dated t LEFT JOIN comp c ON c.doc_id = t.doc_id)
+        SELECT cluster_id,
+               (max(struct_pack(f := fetched_at, d := doc_id))).d
+                   AS keep_doc_id,
+               (max(struct_pack(f := fetched_at, d := doc_id))).f
+                   AS keep_fetched,
+               count(*) AS n_members
+        FROM members GROUP BY cluster_id
     """,
     "q_minhash_signatures": f"""
         WITH {_SIGS_CTE}

@@ -28,8 +28,11 @@ def test_export_ordered_for_the_driver_cap():
     assert exported[: len(_PRIORITY)] == _PRIORITY
     # round-12 rotation (VERDICT r11 #1, the round-11 registry's
     # ROUND-12 NOTE): the full 44-entry round-11 _LAST tail (last
-    # green in r10) must sit inside the driver's 50-row window
+    # green in r10) must sit inside the driver's 50-row window —
+    # plus the round's new query (window room made by the explicit
+    # demotion of the then-green middle q03_shipping_priority)
     for q in (
+        "q_neardup_keep_newest",
         "q_lm_quality",
         "q_paragraph_dedup",
         "q_main_content",
