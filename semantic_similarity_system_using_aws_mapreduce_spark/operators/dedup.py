@@ -96,9 +96,17 @@ def shingle_hashes(
     text_col: str = "text",
     n: int = 3,
     hash_fn=md5_int,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, h): distinct 60-bit hashes of each document's word
     n-gram shingles — the shared scan for minhash and jaccard.
+
+    ``distinct=False`` skips the per-id dedup shuffle and returns the
+    raw per-occurrence (id, h) stream — for consumers whose own
+    aggregation dedups anyway (``source_overlap``'s h-level set
+    aggregate), where the distinct would be a whole extra corpus-sized
+    exchange spent pre-computing what the consumer's partial
+    aggregation already does map-side.
 
     ``hash_fn`` (Column -> int64 Column) picks the hash contract:
     :func:`md5_int` (default) is the cross-engine verification hash;
@@ -117,11 +125,10 @@ def shingle_hashes(
     step = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
-    return (
-        step.select("doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle"))
-        .select("doc_id", hash_fn(F.col("shingle")).alias("h"))
-        .distinct()
-    )
+    out = step.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle")
+    ).select("doc_id", hash_fn(F.col("shingle")).alias("h"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -1204,28 +1211,52 @@ def prefix_containment_join(
     )
 
 
-def source_overlap(sh: DataFrame, sources: DataFrame) -> DataFrame:
+def source_overlap(sh: DataFrame, sources: DataFrame | None = None) -> DataFrame:
     """EXACT pairwise Jaccard overlap between data sources — the
     cross-source contamination matrix a data card reports before
     mixing corpora (is src_a largely a re-crawl of src_b?).
 
-    ``sh``: (doc_id, h) distinct shingle hashes (:func:`shingle_hashes`);
-    ``sources``: (doc_id, source).  Returns (src_a, src_b, shared,
-    jaccard) for every unordered pair sharing >= 1 distinct shingle.
+    ``sh``: (doc_id, h) shingle hashes (:func:`shingle_hashes`) with
+    ``sources``: (doc_id, source) — or, with ``sources=None``, ``sh``
+    already carries a ``source`` column (need not be distinct: the
+    h-level set aggregation dedups).  Callers that derive shingles
+    from a table that has the source on every row should use the
+    second form: it deletes the corpus-sized doc_id join outright.
 
     Plan (inverted index, never a doc-level or source-level all-pairs
-    join): distinct (source, h) -> groupBy h collecting the <= S-long
-    sorted source set -> expand each set's ordered pairs with array
-    expressions -> count per pair (partial agg folds the corpus-sized
-    pair stream down to <= S^2 groups map-side) -> broadcast the S-row
-    size relation for the union term.  Per-shingle work is bounded by
-    S^2 regardless of posting-list length, so a shingle present in
+    join; reworked r12): ONE corpus-sized shuffle — groupBy h whose
+    partial collect_set dedups (source, h) occurrences map-side, so
+    the old separate (source,h)-distinct exchange bought nothing —
+    collecting the <= S-long sorted source set per shingle.  That
+    grouped relation is persisted and feeds BOTH outputs: the ordered
+    pair expansion (array expressions -> partial-agg count per pair,
+    <= S^2 groups) and the per-source sizes (explode the sets back
+    out -> count per source == distinct (source,h) count, since sets
+    are deduped) — previously the sizes branch RE-RAN the whole
+    scan+distinct lineage (plan audit r12: the full shingle subtree
+    appeared twice, no exchange reuse).  Per-shingle work is bounded
+    by S^2 regardless of posting-list length, so a shingle present in
     every source costs S^2, not |postings|^2 — the same hot-key bound
     the banded-LSH plans rely on.  The S-source set also caps
-    collect_set state per key.  At 100 TB the only corpus-sized
-    shuffles are the (source,h) distinct and the groupBy h."""
-    ss = sh.join(sources, "doc_id").select("source", "h").distinct()
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    collect_set state per key."""
+    from pyspark import StorageLevel
+
+    if sources is not None:
+        ss = sh.join(sources, "doc_id").select("source", "h")
+    else:
+        ss = sh.select("source", "h")
+    # caller-owned cache (operators/__init__ contract): the grouped
+    # inverted index feeds sizes AND the pair expansion
+    grouped = (
+        ss.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     srcs = F.col("srcs")
     # ordered pairs (srcs[i], srcs[j]) for i < j from the sorted set
     pair_structs = F.flatten(
@@ -1238,9 +1269,7 @@ def source_overlap(sh: DataFrame, sources: DataFrame) -> DataFrame:
         )
     )
     inter = (
-        ss.groupBy("h")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .filter(F.size("srcs") >= 2)
+        grouped.filter(F.size("srcs") >= 2)
         .select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
         .agg(F.count("*").alias("shared"))

@@ -290,7 +290,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import source_overlap
 
-    return source_overlap(shingle_hashes(docs), docs.select("doc_id", "source"))
+    # shingles keyed by source directly (r12): the source column is on
+    # every corpus row, so deriving (source, h) in the scan deletes the
+    # corpus-sized doc_id join AND the per-doc distinct — the operator's
+    # h-level set aggregation dedups either way, identical matrix
+    return source_overlap(_source_shingles(docs))
+
+
+def _source_shingles(docs: DataFrame) -> DataFrame:
+    """(source, h) per-occurrence shingle stream for the overlap/rank
+    family — :func:`shingle_hashes` keyed by source with the per-id
+    distinct skipped (the consumers' set aggregation dedups)."""
+    return shingle_hashes(docs, id_col="source", distinct=False).select(
+        F.col("doc_id").alias("source"), "h"
+    )
 
 
 PAGERANK_ITERS = 3
@@ -312,9 +325,7 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import source_overlap
 
-    ov = source_overlap(
-        shingle_hashes(docs), docs.select("doc_id", "source")
-    )
+    ov = source_overlap(_source_shingles(docs))
     # both orientations from ONE pass over the pair relation (array
     # explode, not a self-union that would re-derive the index twice)
     edges = ov.select(
