@@ -368,16 +368,27 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in one agg triggers Catalyst's distinct rewrite, which carries
     # the percentile/sketch partial buffers per (flag, orderkey) group
     # through the first shuffle (a 400+-column ObjectHashAggregate).
-    # Split, each branch gets its clean plan — the sketch branch is the
-    # single-pass shape you would actually run at 100 TB.  Measured
-    # (sf0.1, warm): persisting the 3-column projection between the
-    # branches buys ~10% (5.0 -> 4.5 s) — not worth the cache memory at
-    # scale, where the exact branch exists only to audit the sketches
-    # anyway; the re-scan design stays.
-    exact = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    # r12: the SAME rewrite still fired inside the exact branch itself
+    # (countDistinct + percentile together keyed the partial percentile
+    # buffer — every group's value list — by (flag, orderkey): ~150k
+    # serialized ObjectHashAggregate buffers through the exchange).
+    # Split the exact branch too: the distinct count becomes a plain
+    # two-level aggregate (distinct projection -> count, partial-agg
+    # friendly, narrow rows), and the percentile keys its buffers by
+    # the 6-value flag alone.  Measured sf0.1 min-of-3: 2.56 -> 1.70 s;
+    # plan drops the (flag, orderkey)-keyed percentile exchange.
+    # Persisting the 3-column projection across branches was re-measured
+    # in r11 (~10%) and stays out: not worth cache memory at scale.
+    n_orders = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    p50 = l.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
     )
+    exact = n_orders.join(p50, "l_returnflag")
     approx = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("n_approx"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
