@@ -140,7 +140,7 @@ def token_emissions(corpus: DataFrame) -> DataFrame:
         ArrayIndexOutOfBounds per token, Step1.java:76-78);
       * ``feature`` = ``word + '-' + dep`` (P8, Step1.java:66).
 
-    Everything here is JVM whole-stage-codegen: posexplode + splits +
+    Everything here is JVM whole-stage-codegen: explode + splits +
     try_cast + F.get.
     """
     tok = F.col("token")
@@ -150,7 +150,7 @@ def token_emissions(corpus: DataFrame) -> DataFrame:
         corpus.select(
             F.col("total_count").alias("count"),
             F.col("tokens"),
-            F.posexplode(F.col("tokens")).alias("pos", "token"),
+            F.explode(F.col("tokens")).alias("token"),
         )
         .withColumn("head_idx", F.when(F.size(parts) == 4, head_idx))
         .filter(F.col("head_idx").isNotNull() & (F.col("head_idx") != 0))

@@ -447,8 +447,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     glob patterns work).  Corrupt records surface as quarantine rows
     (``corrupt = true``) rather than failing the archive — filter on
     the flag for the ingest/reject split, same contract as the JSONL
-    and CSV readers."""
-    return warc_records(spark.read.format("binaryFile").load(path))
+    and CSV readers.
+
+    Gzip archives are unsplittable, so scan parallelism == archive
+    count; when there are FEWER archives than cores the post-parse
+    record relation is spread round-robin so the expensive downstream
+    extraction (dechunk + charset decode + main-content regexes — all
+    column expressions that pipeline into the parse stage) uses every
+    core instead of one task per archive (guide-pattern: repartition
+    immediately after an unsplittable read; the same gate the pipeline
+    applies to skewed text splits).  At production scale archives
+    vastly outnumber cores and the branch never fires — no shuffle is
+    added."""
+    files = spark.read.format("binaryFile").load(path)
+    records = warc_records(files)
+    par = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < par:
+        records = records.repartition(par)
+    return records
 
 
 def canonical_url(url: Column) -> Column:
