@@ -59,18 +59,19 @@ def semantic_similarity_pipeline(
     cache invalidation: resume assumes the inputs that produced the
     checkpoints have not changed.
     """
-    corpus = read_biarcs(spark, corpus_path)
     # Text file-split heuristics yield few, skewed input partitions
     # (a 1M-line corpus arrived as 19 splits with most data in a
-    # handful); the stemmer UDF dominates this stage, so spread it
-    # evenly over every core — the round-robin text shuffle is trivial
-    # next to stemming (measured 8x: 19s -> 2.4s for the stemmed
-    # emissions pass at local[32]).  Applies to BOTH modes: the lazy
-    # plan stems inside the map stage of the first aggregation and
-    # inherits this partitioning.
-    par = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
+    # handful); the stemmer UDF dominates this stage, so spread the RAW
+    # LINES evenly over every core before the parse + stem projections
+    # (read_biarcs(spread_to=...)) — the round-robin text shuffle is
+    # trivial next to stemming.  r12 plan audit: the earlier
+    # corpus-level repartition sat ABOVE the stem UDF, so stemming ran
+    # at scan parallelism (19-way) and only the explode was spread;
+    # moving the exchange below the projections runs the whole Python
+    # stage 32-wide.  Applies to BOTH modes.
+    corpus = read_biarcs(
+        spark, corpus_path, spread_to=spark.sparkContext.defaultParallelism
+    )
     if checkpoint_dir:
         path = f"{checkpoint_dir}/emissions.parquet"
         if not (resume and _stage_complete(spark, path)):

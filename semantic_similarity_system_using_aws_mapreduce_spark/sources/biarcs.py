@@ -30,6 +30,19 @@ from pyspark.sql import types as T
 from semantic_similarity_system_using_aws_mapreduce_spark.functions.stemming import porter_stem
 
 
+# Worker-lifetime memo tables for the stem rewrite (guide §4.5 shape:
+# module-level state in an importable module survives across batches
+# AND tasks under spark.python.worker.reuse, the default — per-batch
+# dicts re-stemmed the same Zipfian vocabulary once per 10k-row Arrow
+# batch).  Pure-function memo only: keys are token/word strings,
+# values their deterministic rewrites, so reuse can never change a
+# result.  The cap bounds worker RSS on unbounded-vocabulary corpora;
+# clearing (rare: vocabularies are Zipfian) just costs re-stemming.
+_TOK_CACHE: dict[str, str] = {}
+_STEM_CACHE: dict[str, str] = {}
+_CACHE_MAX = 1 << 20
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _stem_rewrite_tokens(ngrams: pd.Series) -> pd.Series:
     """Split the n-gram on spaces and rewrite each token by replacing
@@ -38,11 +51,16 @@ def _stem_rewrite_tokens(ngrams: pd.Series) -> pd.Series:
     Step1.java:41-47.  Tokens without a ``/`` are kept as-is (the
     reference would crash on them; permissive here).
 
-    Memoized per batch at both the token level and the word level:
-    corpus token quads and words are heavily repeated (Zipfian).
+    Memoized at both the token level and the word level in the
+    worker-lifetime tables above: corpus token quads and words are
+    heavily repeated (Zipfian).
     """
-    tok_cache: dict[str, str] = {}
-    stem_cache: dict[str, str] = {}
+    if len(_TOK_CACHE) > _CACHE_MAX:
+        _TOK_CACHE.clear()
+    if len(_STEM_CACHE) > _CACHE_MAX:
+        _STEM_CACHE.clear()
+    tok_cache = _TOK_CACHE
+    stem_cache = _STEM_CACHE
 
     def _rewrite(tok: str) -> str:
         hit = tok_cache.get(tok)
@@ -69,8 +87,24 @@ def _stem_rewrite_tokens(ngrams: pd.Series) -> pd.Series:
     return ngrams.map(_row)
 
 
+# Optimizer contract (guide §4.4): the explode in token_emissions makes
+# Catalyst infer `size(tokens) > 0 AND isnotnull(tokens)` and push it
+# below this projection — which, for a deterministic UDF column, CLONES
+# the UDF: the physical plan carried TWO ArrowEvalPython nodes and every
+# corpus row was stemmed twice (r12 plan audit,
+# plans/r12/pipeline_emissions_*.txt).  Non-deterministic marking
+# forbids the optimizer from duplicating/reordering the expression, so
+# exactly one evaluation survives.  The function itself is pure; the
+# marking is purely an optimizer fence.
+_stem_rewrite_tokens = _stem_rewrite_tokens.asNondeterministic()
+
+
 def read_biarcs(
-    spark: SparkSession, path: str, stem: bool = True, keep_years: bool = False
+    spark: SparkSession,
+    path: str,
+    stem: bool = True,
+    keep_years: bool = False,
+    spread_to: int | None = None,
 ) -> DataFrame:
     """Read raw biarcs text into the typed R0 ``corpus`` relation:
     ``(head_word, tokens: array<string>, total_count: long)``.
@@ -78,13 +112,27 @@ def read_biarcs(
     ``tokens`` holds the (optionally stem-rewritten) quad strings;
     structural quad parsing happens in :func:`token_emissions` so the
     head-pointer dereference can index the full array.
+
+    ``spread_to``: when the text source yields fewer splits than this
+    (file-split heuristics gave a 1M-line corpus 19 skewed splits),
+    round-robin the RAW LINES across that many partitions BEFORE the
+    parse + stem projections, so the expensive work runs at full
+    parallelism and the shuffle carries the narrow unparsed text (the
+    guide's repartition-after-unsplittable-read pattern; previously the
+    pipeline repartitioned the parsed relation ABOVE the stem UDF,
+    which left stemming at scan parallelism).  No-op when the source
+    already has enough splits — at production scale no shuffle is
+    added.
     """
+    raw = spark.read.text(path)
+    if spread_to is not None and raw.rdd.getNumPartitions() < spread_to:
+        raw = raw.repartition(spread_to)
     # Java's String.split drops TRAILING empty fields (Step1.java:30
     # operates on that arity); strip trailing tabs so a line like
     # "a<TAB>b<TAB>c<TAB>" counts 3 fields here too.
     fields = F.split(F.regexp_replace(F.col("value"), "\t+$", ""), "\t")
     df = (
-        spark.read.text(path)
+        raw
         .select(
             fields.getItem(0).alias("head_word"),
             fields.getItem(1).alias("ngram"),
