@@ -228,7 +228,11 @@ def curate(
     survivors0 = staged.filter(
         quality_ok & mojibake_ok & gopher_ok & exact_ok
     ).select("doc_id", "text")
-    sigs = minhash_signatures(shingle_hashes(survivors0))
+    # distinct=False: min-signatures are duplicate-blind, so the
+    # per-(doc_id, h) dedup exchange is skipped (r12); the
+    # decontamination call below keeps the distinct — its n_shingles
+    # counts DISTINCT n-grams per doc
+    sigs = minhash_signatures(shingle_hashes(survivors0, distinct=False))
     comp = connected_components(lsh_candidates(sigs)).withColumnRenamed(
         "node", "doc_id"
     )

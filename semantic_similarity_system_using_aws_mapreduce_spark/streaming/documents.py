@@ -969,7 +969,9 @@ def run_streaming_curation(
                 # one shingle scan feeds both the fresh-side dedup
                 # probe and the superseders' index delta
                 sigs_all = minhash_signatures(
-                    shingle_hashes(gated.join(cand_ids, "doc_id"))
+                    shingle_hashes(
+                        gated.join(cand_ids, "doc_id"), distinct=False
+                    )
                 ).cache()
                 # only FRESH digests face the near-dup probe: a
                 # superseder is digest-identical to an already-
@@ -978,7 +980,9 @@ def run_streaming_curation(
                 # replacing
                 sigs = sigs_all.join(F.broadcast(fresh_ids), "doc_id")
             else:
-                sigs = minhash_signatures(shingle_hashes(gated))
+                # distinct=False: min-signatures are duplicate-blind
+                # (r12) — skips the per-(doc_id, h) dedup exchange
+                sigs = minhash_signatures(shingle_hashes(gated, distinct=False))
             index = read_parquet_recovering(spark, index_path)
             index_buckets = None
             if index is None:

@@ -95,7 +95,11 @@ def q_neardup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fetched_at",
         F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 360).cast("int")),
     )
-    sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
+    # distinct=False: min() per signature component is identical over
+    # the raw multiset, so the per-(doc_id, h) dedup exchange would be
+    # a corpus-sized shuffle spent on nothing (r12; same rationale at
+    # every signatures-only shingle_hashes site)
+    sigs = minhash_signatures(shingle_hashes(docs, distinct=False), N_HASHES)
     cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
     comp = connected_components(cands).withColumnRenamed("node", "doc_id")
     members = (
@@ -121,11 +125,17 @@ def q_neardup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
+    # distinct=False: identical signatures (min is duplicate-blind),
+    # one fewer corpus-sized exchange (r12)
+    return minhash_signatures(
+        shingle_hashes(_docs(spark, sf_dir), distinct=False), N_HASHES
+    )
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
+    sigs = minhash_signatures(
+        shingle_hashes(_docs(spark, sf_dir), distinct=False), N_HASHES
+    )
     return lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
 
 
@@ -434,7 +444,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, oracled against a recursive-CTE transitive closure."""
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.graph import connected_components
 
-    sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir)), N_HASHES)
+    sigs = minhash_signatures(
+        shingle_hashes(_docs(spark, sf_dir), distinct=False), N_HASHES
+    )
     cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
     return connected_components(cands)
 
@@ -486,7 +498,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_similarity_system_using_aws_mapreduce_spark.operators.sampling import cluster_split
 
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(shingle_hashes(docs), N_HASHES)
+    sigs = minhash_signatures(shingle_hashes(docs, distinct=False), N_HASHES)
     cands = lsh_candidates(sigs, N_BANDS, N_HASHES // N_BANDS)
     comp = connected_components(cands).withColumnRenamed("node", "doc_id")
     return (
