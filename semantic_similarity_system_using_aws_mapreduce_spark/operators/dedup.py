@@ -128,7 +128,23 @@ def shingle_hashes(
     out = step.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle")
     ).select("doc_id", hash_fn(F.col("shingle")).alias("h"))
-    return out.distinct() if distinct else out
+    if not distinct:
+        return out
+    # Dedup per doc via groupBy(id) + collect_set + explode rather than
+    # .distinct(): identical (id, h) multiset, but the one exchange is
+    # keyed by doc_id ALONE, so every downstream per-doc aggregation —
+    # minhash_signatures' groupBy, the jaccard/containment sizes
+    # groupBy — reuses the partitioning instead of re-shuffling the
+    # whole corpus-shingle relation a second time (r12; the win
+    # survives a persist because InMemoryTableScan reports the cached
+    # plan's output partitioning).  Per-group state is one doc's
+    # distinct-shingle set — bounded by document length, the same
+    # bound the old distinct's hash table had per key.
+    return (
+        out.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("_hs"))
+        .select("doc_id", F.explode("_hs").alias("h"))
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
