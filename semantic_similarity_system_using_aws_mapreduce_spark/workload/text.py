@@ -99,13 +99,17 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode) — the flagship shape of the whole engine."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("source", F.explode(_tokens_col()).alias("token"))
-    probs = (
-        toks.groupBy("source", "token")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "p", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("source"))
-        )
-        .select("source", "token", "p")
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    # Per-source totals as a tiny combiner-friendly aggregate joined
+    # back broadcast, NOT a sum() over a partitionBy(source) window:
+    # the window re-shuffled the whole (source, token) relation into
+    # |sources| hot partitions and sorted it (r12 plan audit — one
+    # Exchange + Sort removed; the totals exchange moves ~|sources|
+    # partial rows).  cnt is an integer count, so the grouped sum is
+    # bit-identical to the windowed sum regardless of order.
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("_tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "token", (F.col("cnt") / F.col("_tot")).alias("p")
     )
     sources = probs.select("source").distinct()
     pairs = (
