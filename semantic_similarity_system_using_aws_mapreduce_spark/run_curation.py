@@ -220,7 +220,16 @@ def curate(
         "_digest", F.coalesce(F.md5("text"), F.lit("__null_text__"))
     )
     keepers = staged.groupBy("_digest").agg(pick.alias("_keep_id"))
-    staged = staged.join(keepers, "_digest")
+    # Persist HERE, not after the near-dup join (r12): everything
+    # above (tokenize + array_distinct TTR + digest aggregate + join
+    # back) is the funnel's per-row heavy lifting, and it used to run
+    # TWICE — once under the near-dup chain's materialization
+    # (components' edge count / the LSH probe) and again under the
+    # funnel-count action that materialized the old post-join persist.
+    # Everything BELOW this cache is a broadcast-sized comp join plus
+    # map-side stage columns, cheap to replay per consumer action.
+    # Same cache budget as before: one corpus-wide relation.
+    staged = staged.join(keepers, "_digest").persist()
     exact_ok = F.col("doc_id") == F.col("_keep_id")
 
     # near-dedup clusters over the quality+exact survivors only — the
@@ -241,12 +250,17 @@ def curate(
     )
     near_ok = F.col("doc_id") == F.col("_group")  # cluster rep survives
 
-    # optional benchmark decontamination (broadcast eval shingle probe)
+    # optional benchmark decontamination (broadcast eval shingle probe).
+    # Persisted: it is a NARROW per-doc relation consumed by every
+    # downstream action (funnel agg + both writes), and since the r12
+    # early persist those actions replay everything below the base
+    # cache — without this the shingle probe would run once per action.
+    contam_cache = None
     if eval_docs is not None:
-        contam = ngram_contamination(
+        contam_cache = ngram_contamination(
             shingle_hashes(survivors0), shingle_hashes(eval_docs), contam_overlap
-        ).select("doc_id", "contaminated")
-        staged = staged.join(contam, "doc_id", "left").withColumn(
+        ).select("doc_id", "contaminated").persist()
+        staged = staged.join(contam_cache, "doc_id", "left").withColumn(
             "_contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
         )
     else:
@@ -270,21 +284,25 @@ def curate(
             & near_ok
             & ~F.col("_contaminated")
         )
+        # persisted for the same narrow-relation-many-actions reason
+        # as the contamination column above (r12)
         winners = domain_quota(
             staged.filter(pre_kept).select("doc_id", "source", "_n_toks"),
             domain_quota_k,
             "source",
             "doc_id",
             "_n_toks",
-        ).select("doc_id", F.lit(True).alias("_in_quota"))
+        ).select("doc_id", F.lit(True).alias("_in_quota")).persist()
         staged = staged.join(winners, "doc_id", "left")
         over_quota = pre_kept & F.col("_in_quota").isNull()
     else:
+        winners = None
         over_quota = F.lit(False)
 
     # leakage-safe split: the ONE shared rule (operators/sampling.
     # cluster_split) applied to the dedup-cluster representative —
     # byte-identical to q_leakage_safe_split's assignment
+    base = staged  # the persisted pre-near-dup relation (unpersist below)
     staged = (
         staged.withColumn(
             "_stage",
@@ -299,7 +317,6 @@ def curate(
         )
         .withColumn("split", cluster_split(F.col("_group")))
         .withColumn("group_id", F.col("_group"))
-        .persist()
     )
 
     funnel = {
@@ -333,7 +350,11 @@ def curate(
             part_col="split",
         )
         manifest["shards"] = [r.asDict() for r in shard_manifest.collect()]
-    staged.unpersist()
+    base.unpersist()
+    if contam_cache is not None:
+        contam_cache.unpersist()
+    if winners is not None:
+        winners.unpersist()
     with open(f"{outdir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
     return manifest

@@ -144,9 +144,14 @@ def write_training_shards(
         .partitionBy("stratum", "shard_id")
         .parquet(path)
     )
-    spark = docs.sparkSession
-    return (
-        spark.read.parquet(path)
-        .groupBy("stratum", "shard_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    # Manifest from the assignment relation, NOT a re-read of the
+    # written tree (r12): the old spark.read.parquet(path) re-listed
+    # and re-scanned one directory + file PER SHARD — footer/listing
+    # overhead linear in shard count (a token-budget layout produces
+    # MANY shards by design), for numbers the assignment already
+    # holds.  Identical (stratum, shard_id, n_docs, n_tokens) rows:
+    # the write is a straight repartition of `packed`, which carries
+    # every assignment row exactly once.
+    return assignment.groupBy("stratum", "shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
