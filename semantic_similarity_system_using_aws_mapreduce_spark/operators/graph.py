@@ -111,9 +111,20 @@ def connected_components(
         # interchangeable for non-long ids
         node_t = edges.schema[src].dataType.simpleString()
         schema = f"node {node_t}, cluster_id {node_t}"
+        # Broadcast hint on the result (r12): a createDataFrame
+        # relation scans as ExistingRDD with NO size statistics, so
+        # every consumer that joins the labels back to its corpus
+        # (semantic_dedup, leakage-safe split, keep-newest clusters,
+        # the curation funnel) planned a SortMergeJoin — two exchanges
+        # and two sorts against a relation that is <= 2 x
+        # local_threshold rows BY CONSTRUCTION of this branch (~16 MB
+        # at the 500k default).  The hint turns those joins into
+        # broadcast probes with zero shuffle of the corpus side; the
+        # distributed branch below returns an unhinted relation, as a
+        # billion-edge label set must never broadcast.
         if not rows:
-            return spark.createDataFrame([], schema)
-        return spark.createDataFrame(_local_components(rows), schema)
+            return F.broadcast(spark.createDataFrame([], schema))
+        return F.broadcast(spark.createDataFrame(_local_components(rows), schema))
 
     # Fused init: the first min-label propagation costs nothing extra —
     # the node list needs a groupBy("a") anyway, and folding
@@ -283,9 +294,15 @@ def pagerank(
         nodes.unpersist()
         if stats is not None:
             stats["mode"] = "local"
-        return spark.createDataFrame(
-            _local_pagerank(erows, nrows, n_iter, damping_permille),
-            f"node {node_t}, rank_micro long",
+        # broadcast hint: same no-statistics ExistingRDD rationale as
+        # the connected_components local finish above — the relation
+        # is bounded by local_threshold, so consumers joining ranks
+        # back to a corpus get a broadcast probe, not a sort-merge
+        return F.broadcast(
+            spark.createDataFrame(
+                _local_pagerank(erows, nrows, n_iter, damping_permille),
+                f"node {node_t}, rank_micro long",
+            )
         )
     if stats is not None:
         stats["mode"] = "distributed"
