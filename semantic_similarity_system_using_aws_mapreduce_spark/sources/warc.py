@@ -808,8 +808,33 @@ def warc_text_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     bodies = main_content(response_bodies(records), html_col="body")
     host = F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
-    text = html_to_text(F.col("body"))
-    shaped = bodies.select(
+    # Materialize the tag-strip chain ONCE, guarded non-deterministic
+    # (r12, guide §4.4 applied to JVM expressions): the docs/rejects
+    # split filters on n_chars = length(html_to_text(body)), and
+    # Catalyst pushes that (deterministic) predicate through every
+    # projection by SUBSTITUTION — the r12b plan audit showed the
+    # whole decode-CASE + regex-extract tree cloned into a Filter
+    # BELOW read_warc's round-robin Exchange, i.e. the heavy per-row
+    # work ran at archive-count parallelism (the exact cost the spread
+    # exists to avoid) and then AGAIN above it for the projection
+    # (measured interleaved min-of-6 at bench scale: 7.4 s with the
+    # pushed filter vs 2.0 s without).  spark_partition_id() >= 0 is
+    # TRUE on every row, so the value is unchanged, but the marker is
+    # non-deterministic: the optimizer may neither push filters past
+    # it nor duplicate it, so the extraction runs exactly once, above
+    # the spread.  The http_status conjunct references only the cheap
+    # probe columns and stays pushable — status rejects still prune
+    # below the Exchange.
+    # withColumn, then column references: writing the guarded tree
+    # into both the text alias AND length(text) would evaluate the
+    # chain twice — runtime subexpression elimination only merges
+    # DETERMINISTIC trees, so the guard itself demands the
+    # single-projection materialization.
+    staged = bodies.withColumn(
+        "_wtext", F.when(F.spark_partition_id() >= 0, html_to_text(F.col("body")))
+    )
+    text = F.col("_wtext")
+    shaped = staged.select(
         F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
