@@ -531,10 +531,21 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(s, i, 2)").alias("bg"))
     )
     dtf = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("m"))
-    freq = dtf.groupBy("bg").agg(F.sum("m").alias("c"))
-    # normalizer as a lazy 1-row broadcast cross-join (the S5 counters
-    # pattern) — no driver action at plan-build time
-    tot = freq.agg(F.sum("c").alias("n"))
+    # freq DIRECTLY from the occurrence stream, not via dtf (r12,
+    # guide §2.3 "aggregate before you shuffle"): sum(m) grouped by bg
+    # re-ran the whole explode AND its corpus-wide (doc_id, bg)
+    # exchange just to build the broadcast table, when count(*) by bg
+    # over the same stream partial-aggregates map-side to
+    # ~|alphabet|^2 rows — identical counts, kilobytes shuffled.  The
+    # normalizer n rides the same tiny relation as a whole-relation
+    # window sum instead of a third corpus pass + 1-row crossJoin
+    # (before: 3 explode passes, 2 corpus-wide exchanges; after: 2
+    # passes, 1).
+    freq = (
+        bigrams.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+    )
     # Quantize each -log2 p term to int64 micro-bits BEFORE summing:
     # a double avg() is summation-order dependent across engines and
     # partitionings, and a group mean landing on the 6-dp rounding
@@ -547,7 +558,6 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlp_micro = F.round(-F.log2(F.col("c") / F.col("n")) * 1000000, 0).cast("long")
     return (
         dtf.join(F.broadcast(freq), "bg")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),
