@@ -574,44 +574,53 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most frequent bigram (high values flag boilerplate /
     degenerate text for a training-data quality gate).
 
-    Plan: explode bigrams once, count per (doc, bigram), then roll up
-    per doc — both aggregations are partial-aggregated map-side and
-    keyed by doc_id (+bigram), so no key is hotter than the longest
-    single document.  Nothing here is quadratic in document length.
+    Plan (r12): ZERO shuffles — the signal is per-document, so it
+    never needs to leave the row.  Sort the row's bigram array and
+    fold run lengths in one pass (top_c = longest run, dup_c = sum of
+    runs > 1): the explode -> groupBy(doc, bigram) -> groupBy(doc)
+    form shuffled the whole corpus vocabulary twice to compute what an
+    array_sort + aggregate does map-side (measured sf0.1 min-of-5:
+    0.73 -> 0.48 s; rows identical).  Per-row cost is O(L log L) in
+    document length — same bound the old per-key hash tables had.
     """
-    bigrams = (
+    bgs = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
+    )
+    # run-length fold over the sorted array; bigrams are never null
+    # (concat_ws), so prev <=> x only matches a real run.  Counts are
+    # exact integers — the fractions round identically to the old
+    # aggregation's.
+    state = "struct(cast(null as string) as prev, 0L as run, 0L as top, 0L as dup)"
+    step = """(acc, x) -> IF(acc.prev <=> x,
+            named_struct('prev', x, 'run', acc.run + 1L, 'top', acc.top, 'dup', acc.dup),
+            named_struct('prev', x, 'run', 1L,
+                         'top', greatest(acc.top, acc.run),
+                         'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"""
+    fin = """acc -> named_struct(
+            'top', greatest(acc.top, acc.run),
+            'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))"""
+    return (
         _docs(spark, sf_dir)
         .select("doc_id", _tokens_col().alias("toks"))
         .filter(F.size("toks") >= 2)
+        .select("doc_id", bgs.alias("bgs"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                    ),
-                )
-            ).alias("bigram"),
-        )
-    )
-    cnt = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    return (
-        cnt.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.max("c").alias("top_c"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
-                "dup_c"
-            ),
+            F.size("bgs").cast("long").alias("n_bigrams"),
+            F.expr(f"aggregate(bgs, {state}, {step}, {fin})").alias("_a"),
         )
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
-            F.round(F.col("dup_c") / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
+            F.round(F.col("_a.top") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+            F.round(F.col("_a.dup") / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
         )
     )
 
