@@ -86,15 +86,11 @@ def assign_clusters(
     cents = centroids.agg(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
-    vec = F.col(vec_col)
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                F.round(_d2(vec, c["cvec"]), 6).alias("dist2"),
-                c["rank"].alias("cluster"),
-            ),
-        )
+    # one parsed expression (see _d2_sql): identical tree to the old
+    # per-lambda construction, ~200 fewer py4j round trips per call
+    best = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        f"'dist2', round({_d2_sql(vec_col, 'c.cvec')}, 6), 'cluster', c.rank)))"
     )
     return (
         emb.crossJoin(F.broadcast(cents))
@@ -161,6 +157,43 @@ def kmeans_lloyd(
     return assigned, [cents[r] for r in sorted(cents)], inertia
 
 
+def _d2_sql(x: str, y: str) -> str:
+    """SQL text of :func:`_d2` over two array-SQL fragments — built as
+    ONE parsed expression instead of ~200 py4j round trips per use
+    (r12: profiling showed plan CONSTRUCTION of the PQ queries spending
+    ~1.7 s in py4j socket calls building higher-order-function lambdas
+    term by term; the parsed form analyzes to the identical expression
+    tree, so results and the oracle are untouched)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _sliced_cents(cents: DataFrame, m: int, sub: int) -> DataFrame:
+    """One-row (cents0..cents{m-1}) relation: the per-subspace
+    PRE-SLICED codebooks, each still rank-ordered.  Slicing here costs
+    m x k slices once per CODEBOOK — inside the per-row argmin
+    transform it cost m x k slices per CORPUS row (and the slice
+    lambdas are interpreted, not codegen'd).  Static (literal) slice
+    bounds, deliberately: the r12 session measured a dynamic
+    size(cvec)-derived width costing ~20% on the whole encode pass.
+    Shared by the encode side and the ADC query tables so the two
+    broadcast subplans stay byte-identical and ReuseExchange
+    materializes the seed top-k once (r12)."""
+    return cents.select(
+        *[
+            F.expr(
+                "transform(cents, c -> named_struct("
+                f"'rank', c.rank, 'cvec', slice(c.cvec, {j * sub + 1}, {sub})))"
+            ).alias(f"cents{j}")
+            for j in range(m)
+        ]
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 4,
@@ -168,6 +201,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jegou et al. 2011): split each
     d-dim vector into ``m`` subvectors and store only the id of the
@@ -191,20 +225,32 @@ def pq_encode(
     (rank, cvec) structs; each subspace's argmin is an array fold over
     k entries on the row's slice — fully map-side, ZERO shuffles, the
     same no-blowup contract as :func:`assign_clusters`.  Encoding a
-    100 TB corpus is a single scan."""
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        cols = [F.col(id_col).alias("vec_id")]
-        for j in range(m):
-            cols += [
-                F.lit(None).cast("int").alias(f"c{j}"),
-                F.lit(None).cast("double").alias(f"e{j}"),
-            ]
-        return emb.select(*cols, F.lit(None).cast("double").alias("recon_err"))
-    d = first["d"]
-    if d % m != 0:
-        raise ValueError(f"embedding dim {d} not divisible by m={m}")
-    sub = d // m
+    100 TB corpus is a single scan.
+
+    ``dim`` (r12): callers that already know the embedding dimension
+    (the ADC search, which probes it once for its own slicing) pass it
+    in so this function runs NO eager dimension-probe job of its own —
+    the probe was ~0.2-0.9 s of every PQ bench row's wall-clock,
+    doubled when encode ran under the search.  Slice bounds stay
+    LITERAL either way: the r12 session measured a fully-lazy variant
+    (widths derived in-plan from size(vec)) ~20% slower end-to-end
+    than static bounds — dynamic offsets defeat the codegen'd slices —
+    so the one probe is kept where no caller can supply the
+    dimension."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            cols = [F.col(id_col).alias("vec_id")]
+            for j in range(m):
+                cols += [
+                    F.lit(None).cast("int").alias(f"c{j}"),
+                    F.lit(None).cast("double").alias(f"e{j}"),
+                ]
+            return emb.select(*cols, F.lit(None).cast("double").alias("recon_err"))
+        dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
     if cents is None:
         # callers that also need the codebook (the ADC search's query
         # tables) pass the one-row cents relation in so the seed top-k
@@ -212,26 +258,17 @@ def pq_encode(
         cents = seed_centroids(emb, k, id_col, vec_col).agg(
             F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
         )
-    vec = F.col(vec_col)
     out_cols = [F.col(id_col).alias("vec_id")]
     errs = []
 
     def _best(j: int):
-        # factory closure, NOT a default-arg lambda: a 2-parameter
-        # lambda passed to F.transform is interpreted as
-        # (element, index) and the second arg becomes the array index
-        # column, silently shadowing the captured j
-        subv = F.slice(vec, j * sub + 1, sub)
-        return F.array_min(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    F.round(
-                        _d2(subv, F.slice(c["cvec"], j * sub + 1, sub)), 6
-                    ).alias("d2"),
-                    c["rank"].alias("code"),
-                ),
-            )
+        # one parsed expression per subspace (see _d2_sql): the argmin
+        # over the pre-sliced codebook, identical tree to the old
+        # per-lambda construction
+        subv = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        return F.expr(
+            f"array_min(transform(cents{j}, c -> named_struct("
+            f"'d2', round({_d2_sql(subv, 'c.cvec')}, 6), 'code', c.rank)))"
         )
 
     for j in range(m):
@@ -239,7 +276,7 @@ def pq_encode(
         out_cols.append(best["code"].cast("int").alias(f"c{j}"))
         out_cols.append(best["d2"].alias(f"e{j}"))
         errs.append(f"e{j}")
-    enc = emb.crossJoin(F.broadcast(cents)).select(*out_cols)
+    enc = emb.crossJoin(F.broadcast(_sliced_cents(cents, m, sub))).select(*out_cols)
     total = F.col(errs[0])
     for e in errs[1:]:
         total = total + F.col(e)
@@ -277,7 +314,12 @@ def pq_adc_topk(
     shuffle over Q*salt_buckets keys), then rank the surviving
     Q*salt_buckets*topk rows within q_id — a window over only Q hot
     keys never sees the corpus, so Q tiny queries cannot skew a
-    corpus-sized sort."""
+    corpus-sized sort.
+
+    One dimension probe total (r12): the probe feeds this function's
+    own slicing AND rides into :func:`pq_encode` via ``dim`` — the
+    encode no longer re-probes, halving the eager jobs the bench row
+    paid before a single distance was computed."""
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding relation")
@@ -292,18 +334,20 @@ def pq_adc_topk(
     cents = seed_centroids(emb, k, id_col, vec_col).agg(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
-    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=cents)
+    codes = pq_encode(
+        emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=cents, dim=d
+    )
 
     def _qtab(j: int):
         # k-long array of 6-dp distances query-subvector -> codebook
-        # entry, in rank order (cents is sorted by rank)
-        qsub = F.slice(F.col("qvec"), j * sub + 1, sub)
-        return F.transform(
-            "cents",
-            lambda c: F.round(_d2(qsub, F.slice(c["cvec"], j * sub + 1, sub)), 6),
+        # entry, in rank order (cents{j} keeps the rank sort); one
+        # parsed expression per subspace (see _d2_sql)
+        qsub = f"slice(qvec, {j * sub + 1}, {sub})"
+        return F.expr(
+            f"transform(cents{j}, c -> round({_d2_sql(qsub, 'c.cvec')}, 6))"
         )
 
-    tabs = queries.crossJoin(F.broadcast(cents)).select(
+    tabs = queries.crossJoin(F.broadcast(_sliced_cents(cents, m, sub))).select(
         "q_id", *[_qtab(j).alias(f"t{j}") for j in range(m)]
     )
     score = F.element_at(F.col("t0"), F.col("c0") + 1)
@@ -352,7 +396,8 @@ def ivfpq_topk(
     estimated.  Returns (q_id, rank, vec_id, adc_d2) like
     :func:`pq_adc_topk`; recall-vs-exhaustive is the test's
     acceptance criterion (the ANN trade-off, same contract as the
-    IVF recall query)."""
+    IVF recall query).  One dimension probe total (r12), shared with
+    the inner :func:`pq_encode` via ``dim``."""
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding relation")
@@ -367,7 +412,7 @@ def ivfpq_topk(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
     codes = pq_encode(
-        emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=pcents
+        emb, m=m, k=k, id_col=id_col, vec_col=vec_col, cents=pcents, dim=d
     ).join(lists, "vec_id")
 
     # per-query probed lists: nprobe nearest coarse centroids,
@@ -400,13 +445,12 @@ def ivfpq_topk(
     )
 
     def _qtab(j: int):
-        qsub = F.slice(F.col("qvec"), j * sub + 1, sub)
-        return F.transform(
-            "cents",
-            lambda c: F.round(_d2(qsub, F.slice(c["cvec"], j * sub + 1, sub)), 6),
+        qsub = f"slice(qvec, {j * sub + 1}, {sub})"
+        return F.expr(
+            f"transform(cents{j}, c -> round({_d2_sql(qsub, 'c.cvec')}, 6))"
         )
 
-    tabs = probed.crossJoin(F.broadcast(pcents)).select(
+    tabs = probed.crossJoin(F.broadcast(_sliced_cents(pcents, m, sub))).select(
         "q_id", "list_id", *[_qtab(j).alias(f"t{j}") for j in range(m)]
     )
     score = F.element_at(F.col("t0"), F.col("c0") + 1)
