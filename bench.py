@@ -491,8 +491,6 @@ def _pipeline_only() -> None:
             break
     out: dict[str, dict[str, float]] = {}
     for n_lines, checkpointed in PIPELINE_CONFIGS:
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
         key = f"pipeline_{n_lines}_lines" + ("" if checkpointed else "_lazy")
         # the checkpointed configs (200k headline AND the 1M
         # round-over-round comparison) get 5 samples: identical code
@@ -504,10 +502,13 @@ def _pipeline_only() -> None:
         # a ~1.5 s protocol error bar, not a code change)
         n_runs = 5 if checkpointed else 3
         try:
-            runs = [
-                _bench_pipeline(spark, n_lines, checkpointed)
-                for _ in range(n_runs)
-            ]
+            runs = []
+            for _ in range(n_runs):
+                # per-RUN cold cache (r13, VERDICT r12 #2) — same
+                # rationale as the per-run clear in _run_one
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                runs.append(_bench_pipeline(spark, n_lines, checkpointed))
         except Exception as exc:  # noqa: BLE001
             out[key] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
             continue
@@ -627,10 +628,17 @@ def main() -> None:
         # 1.3 s in a fresh session vs 5.9 s after the dedup block, back
         # to 1.3-1.6 s with this cleanup).  Measuring each query from a
         # quiet heap is what makes numbers round-over-round comparable.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        # The clear runs INSIDE the min-of-N loop (r13, VERDICT r12 #2):
+        # clearing once per QUERY let runs 2..N of a persist-bearing
+        # query execute against the predecessor run's still-warm cached
+        # blocks, and min() picked those warm runs — systematically
+        # flattering in-query persists vs persist-free rewrites.  Every
+        # sample is now cold-cache; the number measures the query, not
+        # its own run history.
         runs: list[float] = []
         for _ in range(RUNS_PER_QUERY):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             # One broken query must not zero out the whole round's bench
             # (BENCH_r02 lost every number to a single AnalysisException).
