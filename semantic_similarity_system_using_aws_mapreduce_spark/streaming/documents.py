@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from semantic_similarity_system_using_aws_mapreduce_spark.operators.dedup import (
-    incremental_dedup,
     incremental_dedup_scored,
     minhash_signatures,
     shingle_hashes,
@@ -789,19 +788,30 @@ def run_streaming_curation(
         gated = quality_gate(batch, min_tokens, min_ttr)
         # cache: signatures + corpus write both consume the gate
         gated = gated.cache()
-        kept = None  # released in the finally — a raise between the
-        # cache and the success-path unpersist must not leak the block
-        # for the life of the session (ADVICE r5)
-        sup = None          # keep-newest: exact-digest superseders
-        nsup = None         # keep-newest: NEAR-DUP superseders (r12)
-        revived = None      # keep-newest: near-dups of hidden-only copies
-        scored = None       # keep-newest: cached verified-collision pairs
-        kn_probe = None     # keep-newest: cached digest-probe hit rows
-        digest_keep = None  # keep-newest: per-digest batch winners
+        # keep-newest DECISION STATE (r13): plain Python, not cached
+        # DataFrames.  Every decision relation here is bounded by the
+        # MICRO-BATCH (one entry per batch digest / per verified
+        # partner) — the exact bound the previous formulation already
+        # assumed when it wrapped each of them in F.broadcast().  The
+        # r12 form kept them as lazy DataFrames: every consumer action
+        # re-planned and re-ran the deep probe lineage (a measured 589
+        # Spark jobs / ~110 s PER MICRO-BATCH on a 4-row batch — guide
+        # §5: the driver should orchestrate decisions, not launch
+        # hundreds of broadcast jobs to avoid holding 50 ids).  Now
+        # each index probe runs ONCE (the documented <= 5 scans per
+        # batch, unchanged), its batch-bounded result is collected,
+        # the supersede-vs-drop arithmetic happens driver-side in
+        # integer microseconds (unix_micros — no tz-dependent datetime
+        # comparisons), and only ID SETS and id->id maps re-enter the
+        # plans as broadcast local relations (guide §8: decide with
+        # small rows, attach the decision cheaply).
+        sup_pairs: list = []      # exact-digest (doc_id, supersedes)
+        nsup_pairs: list = []     # near-dup (doc_id, supersedes)
+        revived_ids: list = []    # near-dups of hidden-only copies
+        kept_ids_kn: set = set()  # fresh survivors (keep-newest path)
+        digest_keep = None  # keep-newest: per-digest batch winners (cached)
         sigs_all = None     # keep-newest: cached batch signature pool
-        inherit = None      # keep-newest+paragraphs: inherited faces
         dindex = None       # keep-newest: digests index (own rows excluded)
-        kn_markers = None   # keep-newest: superseded-id relation
         try:
             # replay safety: a crash after the table writes but
             # before the checkpoint commit re-delivers this batch,
@@ -825,7 +835,10 @@ def run_streaming_curation(
                 # within-batch exact resolution: newest copy per
                 # digest survives, ties by greatest id — the batch
                 # funnel's rule (run_curation.py); combiner-friendly
-                # aggregate, no per-key sort
+                # aggregate, no per-key sort.  Cached: consumed by the
+                # winner collect below AND the digests-delta write
+                # (which keeps the raw timestamp values in-plan — only
+                # integer ids/digests ever round-trip through Python).
                 digest_keep = (
                     dig.groupBy("digest")
                     .agg(
@@ -843,6 +856,31 @@ def run_streaming_curation(
                     )
                     .cache()
                 )
+                # batch winners to the driver: one row per batch
+                # digest (micro-batch-bounded by construction — the
+                # same envelope the old broadcast(digest_keep) already
+                # shipped to every executor).  Timestamps travel as
+                # unix MICROSECONDS so every newer-than comparison
+                # below is exact int64 — None == null orders lowest,
+                # exactly the struct-max convention.
+                dk_rows = digest_keep.select(
+                    "doc_id",
+                    "digest",
+                    F.unix_micros(F.col("_kn_ts").cast("timestamp")).alias("_us"),
+                ).collect()
+                dk_ts = {r["doc_id"]: r["_us"] for r in dk_rows}
+
+                def _newer(arr_us, ix_us):
+                    # null-lowest strictly-newer rule (ADVICE r11): a
+                    # null arrival never supersedes; a dated arrival
+                    # beats an undated indexed copy — the Python twin
+                    # of coalesce(arr > ix, arr IS NOT NULL)
+                    if arr_us is None:
+                        return False
+                    if ix_us is None:
+                        return True
+                    return arr_us > ix_us
+
                 dindex = read_parquet_recovering(
                     spark, corpus_path + DIGESTS_SUFFIX
                 )
@@ -884,93 +922,89 @@ def run_streaming_curation(
                             "id to the old one."
                         )
                     dindex = dindex.join(own_ids, "doc_id", "left_anti")
-                    # the superseded-id set, from the digests table
-                    # itself (r12 — the system of record; no corpus
-                    # scan anywhere in the probe path)
-                    kn_markers = dindex.filter(
-                        F.col("supersedes").isNotNull()
-                    ).select(F.col("supersedes").alias("doc_id"))
-                    # digest-probe hit rows — the batch side
-                    # broadcasts, so this is an index probe
-                    # (bloom-pruned scan under AQE), never a rescan
-                    # of corpus text; cached because the hidden-copy
-                    # exclusion consumes it twice, and it is bounded
-                    # by the batch's own digest count
-                    kn_probe = dindex.join(
-                        F.broadcast(digest_keep.select("digest")),
-                        "digest",
-                    ).cache()
-                    # HIDDEN copies leave the exact-match pool (r12):
-                    # a chain head superseded by a NEAR-DUP edit has
-                    # a different digest than its superseder, so
-                    # without this a reverted page would match its
-                    # own hidden ancestor and resurface next to the
-                    # visible edit — routing it through the sig probe
-                    # instead lets it supersede the VISIBLE head.
-                    # The marker relation is corpus-lifetime-sized,
-                    # so it is semi-joined down to the batch-bounded
-                    # hit ids first (map-side both ways).
-                    hidden = kn_markers.join(
-                        F.broadcast(kn_probe.select("doc_id")),
-                        "doc_id",
-                        "semi",
+                    # PROBE 1 of <= 5: index rows carrying any of the
+                    # batch's digests — the batch side broadcasts, so
+                    # this is an index probe (bloom-pruned scan under
+                    # AQE), never a rescan of corpus text.  The result
+                    # is bounded by batch digests x supersession-chain
+                    # length (the bound the old cached kn_probe had);
+                    # collected ONCE instead of re-planned per
+                    # consumer.
+                    bd_local = spark.createDataFrame(
+                        [(r["digest"],) for r in dk_rows], "digest string"
                     )
-                    hits = (
-                        kn_probe.join(
-                            F.broadcast(hidden), "doc_id", "left_anti"
+                    probe_rows = (
+                        dindex.join(F.broadcast(bd_local), "digest")
+                        .select(
+                            "digest",
+                            "doc_id",
+                            F.unix_micros(
+                                F.col(ts_col).cast("timestamp")
+                            ).alias("_us"),
                         )
-                        .groupBy("digest")
-                        .agg(
-                            F.max(
-                                F.struct(
-                                    F.col(ts_col).alias("t"),
-                                    F.col("doc_id").alias("d"),
-                                )
-                            ).alias("_ix")
+                        .collect()
+                    )
+                    # PROBE 2: HIDDEN copies leave the exact-match
+                    # pool (r12): a chain head superseded by a
+                    # NEAR-DUP edit has a different digest than its
+                    # superseder, so without this a reverted page
+                    # would match its own hidden ancestor and
+                    # resurface next to the visible edit — routing it
+                    # through the sig probe instead lets it supersede
+                    # the VISIBLE head.  The marker relation is
+                    # corpus-lifetime-sized, so it is semi-joined down
+                    # to the batch-bounded probed ids (map-side).
+                    hidden_ids: set = set()
+                    if probe_rows:
+                        pid_local = spark.createDataFrame(
+                            sorted((r["doc_id"],) for r in probe_rows),
+                            "supersedes long",
                         )
-                    )
-                    # hits is bounded by the batch's own digest count
-                    # (an aggregate of an index-probe join) — always
-                    # micro-batch-sized, so broadcast by construction
-                    # rather than waiting for AQE to notice at runtime
-                    resolved = digest_keep.join(
-                        F.broadcast(hits), "digest", "left"
-                    )
+                        hidden_ids = {
+                            r["supersedes"]
+                            for r in dindex.join(
+                                F.broadcast(pid_local), "supersedes", "semi"
+                            )
+                            .select("supersedes")
+                            .collect()
+                        }
+                    # newest VISIBLE indexed copy per digest —
+                    # max(struct(t, d)) with null t lowest, in plain
+                    # int64 microseconds
+                    hits: dict = {}
+                    for r in probe_rows:
+                        if r["doc_id"] in hidden_ids:
+                            continue
+                        key = (r["_us"] is not None, r["_us"] or 0, r["doc_id"])
+                        cur = hits.get(r["digest"])
+                        if cur is None or key > cur[0]:
+                            hits[r["digest"]] = (key, r["doc_id"], r["_us"])
                     # strictly newer than the newest visible indexed
                     # copy => supersede it; known digest but not
                     # newer => stale re-delivery, drops like a
-                    # keep-first dup.  Null timestamps order LOWEST
-                    # on both sides (ADVICE r11): a null arrival is
-                    # never strictly newer, a non-null arrival beats
-                    # a null indexed copy — the coalesce resolves the
-                    # null-strict comparison the same way the
-                    # within-batch max(struct) ordering does.
-                    newer = F.coalesce(
-                        F.col("_kn_ts") > F.col("_ix.t"),
-                        F.col("_kn_ts").isNotNull(),
-                    )
-                    sup = (
-                        resolved.filter(F.col("_ix").isNotNull() & newer)
-                        .select(
-                            "doc_id", F.col("_ix.d").alias("supersedes")
-                        )
-                        .cache()
-                    )
-                    fresh_ids = resolved.filter(
-                        F.col("_ix").isNull()
-                    ).select("doc_id")
+                    # keep-first dup (see _newer for the null rule)
+                    fresh_list: list = []
+                    for r in dk_rows:
+                        hit = hits.get(r["digest"])
+                        if hit is None:
+                            fresh_list.append(r["doc_id"])
+                        elif _newer(r["_us"], hit[2]):
+                            sup_pairs.append((r["doc_id"], hit[1]))
                 else:
-                    fresh_ids = digest_keep.select("doc_id")
-                cand_ids = (
-                    fresh_ids
-                    if sup is None
-                    else fresh_ids.unionByName(sup.select("doc_id"))
+                    fresh_list = [r["doc_id"] for r in dk_rows]
+                fresh_local = spark.createDataFrame(
+                    [(i,) for i in sorted(fresh_list)], "doc_id long"
+                )
+                cand_local = spark.createDataFrame(
+                    [(i,) for i in sorted(fresh_list + [d for d, _ in sup_pairs])],
+                    "doc_id long",
                 )
                 # one shingle scan feeds both the fresh-side dedup
                 # probe and the superseders' index delta
                 sigs_all = minhash_signatures(
                     shingle_hashes(
-                        gated.join(cand_ids, "doc_id"), distinct=False
+                        gated.join(F.broadcast(cand_local), "doc_id"),
+                        distinct=False,
                     )
                 ).cache()
                 # only FRESH digests face the near-dup probe: a
@@ -978,11 +1012,16 @@ def run_streaming_curation(
                 # admitted document, so the probe would (correctly
                 # but uselessly) report it as a dup of the copy it is
                 # replacing
-                sigs = sigs_all.join(F.broadcast(fresh_ids), "doc_id")
+                sigs = sigs_all.join(F.broadcast(fresh_local), "doc_id")
             else:
                 # distinct=False: min-signatures are duplicate-blind
-                # (r12) — skips the per-(doc_id, h) dedup exchange
-                sigs = minhash_signatures(shingle_hashes(gated, distinct=False))
+                # (r12) — skips the per-(doc_id, h) dedup exchange.
+                # Cached: the decision collect and the index-delta
+                # write both read it (r13, same shape as keep-newest).
+                sigs_all = minhash_signatures(
+                    shingle_hashes(gated, distinct=False)
+                ).cache()
+                sigs = sigs_all
             index = read_parquet_recovering(spark, index_path)
             index_buckets = None
             if index is None:
@@ -1036,154 +1075,192 @@ def run_streaming_curation(
                                 rpb,
                             )
                             index_buckets = [base, tail]
-            if dedup == "keep-newest" and dindex is not None:
+            if dedup == "keep-newest":
                 # NEAR-DUP keep-newest (r12, VERDICT r11 #2): the full
                 # verified-collision relation, not incremental_dedup's
                 # min-partner summary — an edited re-crawl must be
                 # judged against the newest VISIBLE colliding copy,
                 # and the minimum partner id is often a long-
                 # superseded ancestor whose signatures still sit in
-                # the index.
-                scored = incremental_dedup_scored(
+                # the index.  Collected once (pairs are bounded by the
+                # batch's candidate count — the same bound the old
+                # broadcast(inb)/broadcast(ixp) wrappers assumed);
+                # every decision below is driver-side integer
+                # arithmetic, zero further jobs.
+                # fresh SIGNATURE-BEARING ids (faithful to the old
+                # kept = sigs anti-join scored: a gated doc too short
+                # to shingle has no signature row and is not admitted
+                # as a fresh survivor — only relevant when min_tokens
+                # < the shingle width).  The collect also materializes
+                # the sigs_all cache before the probe reads it.
+                sig_ids = {
+                    r["doc_id"] for r in sigs.select("doc_id").collect()
+                }
+                scored_rows = incremental_dedup_scored(
                     sigs,
                     index,
                     min_agree=min_agree,
                     index_buckets=index_buckets,
-                ).cache()
-                kept = sigs.join(
-                    scored.select("doc_id").distinct(), "doc_id", "left_anti"
-                )
-                # docs with ANY in-batch partner keep the keep-first
-                # in-batch rule (they drop toward the smaller id; the
-                # smaller copy carries the supersession decision) —
-                # only docs whose every partner is INDEXED face the
-                # supersede-vs-drop choice.
-                inb = scored.filter(F.col("in_batch")).select(
-                    "doc_id"
-                ).distinct()
-                ixp = (
-                    scored.filter(~F.col("in_batch"))
-                    .join(F.broadcast(inb), "doc_id", "left_anti")
-                    .select("doc_id", "partner")
-                )
-                # partner timestamps from the digests index (one
-                # map-side broadcast probe of the narrow table); then
-                # hidden partners leave the pool, and the newest
-                # visible partner per doc decides — same struct-max
-                # (null ts lowest) and null-safe strictly-newer rule
-                # as the exact path above.
-                pj = dindex.select(
-                    F.col("doc_id").alias("partner"),
-                    F.col(ts_col).alias("_p_ts"),
-                ).join(F.broadcast(ixp), "partner")
-                hidden_p = kn_markers.join(
-                    F.broadcast(
-                        pj.select(F.col("partner").alias("doc_id"))
-                    ),
-                    "doc_id",
-                    "semi",
-                )
-                pvis = pj.join(
-                    F.broadcast(
-                        hidden_p.select(F.col("doc_id").alias("partner"))
-                    ),
-                    "partner",
-                    "left_anti",
-                )
-                best = pvis.groupBy("doc_id").agg(
-                    F.max(
-                        F.struct(
-                            F.col("_p_ts").alias("t"),
-                            F.col("partner").alias("d"),
+                ).collect()
+                kept_ids_kn = sig_ids - {r["doc_id"] for r in scored_rows}
+                if dindex is not None and scored_rows:
+                    # docs with ANY in-batch partner keep the
+                    # keep-first in-batch rule (they drop toward the
+                    # smaller id; the smaller copy carries the
+                    # supersession decision) — only docs whose every
+                    # partner is INDEXED face the supersede-vs-drop
+                    # choice.
+                    inb = {r["doc_id"] for r in scored_rows if r["in_batch"]}
+                    ixp_pairs = {
+                        (r["doc_id"], r["partner"])
+                        for r in scored_rows
+                        if not r["in_batch"] and r["doc_id"] not in inb
+                    }
+                else:
+                    ixp_pairs = set()
+                if ixp_pairs:
+                    # partner timestamps from the digests index (one
+                    # map-side broadcast probe of the narrow table,
+                    # PROBE 3); then hidden partners leave the pool
+                    # (PROBE 4 — same marker semi shape as probe 2),
+                    # and the newest visible partner per doc decides —
+                    # same struct-max (null ts lowest) and null-safe
+                    # strictly-newer rule as the exact path above.
+                    p_local = spark.createDataFrame(
+                        sorted((p,) for _, p in ixp_pairs), "doc_id long"
+                    )
+                    p_ts = {
+                        r["doc_id"]: r["_us"]
+                        for r in dindex.join(
+                            F.broadcast(p_local), "doc_id", "semi"
                         )
-                    ).alias("_bp")
-                )
-                decided = (
-                    ixp.select("doc_id")
-                    .distinct()
-                    .join(F.broadcast(best), "doc_id", "left")
-                    .join(digest_keep.select("doc_id", "_kn_ts"), "doc_id")
-                )
-                newer_nd = F.coalesce(
-                    F.col("_kn_ts") > F.col("_bp.t"),
-                    F.col("_kn_ts").isNotNull(),
-                )
-                nsup = (
-                    decided.filter(F.col("_bp").isNotNull() & newer_nd)
-                    .select("doc_id", F.col("_bp.d").alias("supersedes"))
-                    .cache()
-                )
-                # every colliding partner already hidden: the visible
-                # corpus holds nothing like this content (its nearest
-                # surviving relatives drifted past the threshold), so
-                # it is ADMITTED as fresh — dedup protects the visible
-                # view, not the graveyard.
-                revived = (
-                    decided.filter(F.col("_bp").isNull())
-                    .select("doc_id")
-                    .cache()
-                )
+                        .select(
+                            "doc_id",
+                            F.unix_micros(
+                                F.col(ts_col).cast("timestamp")
+                            ).alias("_us"),
+                        )
+                        .collect()
+                    }
+                    ps_local = spark.createDataFrame(
+                        sorted((p,) for _, p in ixp_pairs), "supersedes long"
+                    )
+                    hidden_partners = {
+                        r["supersedes"]
+                        for r in dindex.join(
+                            F.broadcast(ps_local), "supersedes", "semi"
+                        )
+                        .select("supersedes")
+                        .collect()
+                    }
+                    best: dict = {}
+                    for doc, p in ixp_pairs:
+                        if p in hidden_partners:
+                            continue
+                        us = p_ts.get(p)
+                        key = (us is not None, us or 0, p)
+                        cur = best.get(doc)
+                        if cur is None or key > cur[0]:
+                            best[doc] = (key, p, us)
+                    for doc in {d for d, _ in ixp_pairs}:
+                        b = best.get(doc)
+                        if b is None:
+                            # every colliding partner already hidden:
+                            # the visible corpus holds nothing like
+                            # this content (its nearest surviving
+                            # relatives drifted past the threshold),
+                            # so it is ADMITTED as fresh — dedup
+                            # protects the visible view, not the
+                            # graveyard.
+                            revived_ids.append(doc)
+                        elif _newer(dk_ts.get(doc), b[2]):
+                            nsup_pairs.append((doc, b[1]))
+                        # else: not newer than the visible partner —
+                        # drops like a keep-first dup
             else:
-                kept, _dropped = incremental_dedup(
-                    sigs, index, min_agree=min_agree, index_buckets=index_buckets
-                )
-            # Materialize survivors BEFORE writing to the index their
-            # own dedup read from (copy-on-write discipline, same as
-            # the CDC upsert sink).
-            kept = kept.cache()
-            kept_ids = kept.select("doc_id")
+                # keep-first decision, collected like keep-newest
+                # (r13): kept = "has a signature and no verified
+                # partner".  incremental_dedup's min-partner window
+                # summary was computed and thrown away here; the
+                # distinct scored ids ARE the dropped set (the
+                # operator's own kept is defined as the anti-join on
+                # exactly that set).
+                sig_ids = {
+                    r["doc_id"] for r in sigs.select("doc_id").collect()
+                }
+                dropped_ids = {
+                    r["doc_id"]
+                    for r in incremental_dedup_scored(
+                        sigs,
+                        index,
+                        min_agree=min_agree,
+                        index_buckets=index_buckets,
+                    )
+                    .select("doc_id")
+                    .distinct()
+                    .collect()
+                }
+                kept_ids_kn = sig_ids - dropped_ids
             if dedup == "keep-newest":
-                # markers (exact ∪ near-dup superseders) and the
-                # admit set (fresh survivors ∪ superseders ∪ revived)
-                marker_maps = [
-                    m.select("doc_id", "supersedes")
-                    for m in (sup, nsup)
-                    if m is not None
-                ]
-                sup_map = None
-                for m in marker_maps:
-                    sup_map = m if sup_map is None else sup_map.unionByName(m)
-                extra_ids = [m.select("doc_id") for m in marker_maps]
-                if revived is not None:
-                    extra_ids.append(revived)
-                admit_ids = kept_ids
-                for e in extra_ids:
-                    admit_ids = admit_ids.unionByName(e)
+                # admit set = fresh survivors ∪ superseders ∪ revived;
                 # superseders ride the corpus row with their
                 # predecessor's id in `supersedes` (read_corpus_asof
                 # hides it); fresh survivors carry null — uniform
                 # schema from batch 0 so partition reads never depend
-                # on footer merge
-                admitted = gated.join(admit_ids, "doc_id")
-                if sup_map is not None:
-                    admitted = admitted.join(sup_map, "doc_id", "left")
+                # on footer merge.  One broadcast local relation per
+                # role; the index delta is ONE join of the cached
+                # signature pool against the admit set (the old
+                # kept ∪ (sigs_all ⨝ extras) union, collapsed).
+                sup_map_pairs = sup_pairs + nsup_pairs
+                admit_set = (
+                    kept_ids_kn
+                    | {d for d, _ in sup_map_pairs}
+                    | set(revived_ids)
+                )
+                admit_local = spark.createDataFrame(
+                    [(i,) for i in sorted(admit_set)], "doc_id long"
+                )
+                admitted = gated.join(F.broadcast(admit_local), "doc_id")
+                if sup_map_pairs:
+                    sup_map_local = spark.createDataFrame(
+                        sorted(sup_map_pairs), "doc_id long, supersedes long"
+                    )
+                    admitted = admitted.join(
+                        F.broadcast(sup_map_local), "doc_id", "left"
+                    )
                 else:
+                    sup_map_local = None
                     admitted = admitted.withColumn(
                         "supersedes", F.lit(None).cast("long")
                     )
-                if extra_ids:
-                    extra_union = extra_ids[0]
-                    for e in extra_ids[1:]:
-                        extra_union = extra_union.unionByName(e)
-                    index_delta = kept.unionByName(
-                        sigs_all.join(F.broadcast(extra_union), "doc_id")
-                    )
-                else:
-                    index_delta = kept
+                index_delta = sigs_all.join(F.broadcast(admit_local), "doc_id")
             else:
-                admit_ids = kept_ids
-                admitted = gated.join(kept_ids, "doc_id")
-                index_delta = kept
+                # survivors already decided driver-side (copy-on-write
+                # discipline holds: the decision collect materialized
+                # the cached sigs BEFORE the index write below rewrites
+                # the files that dedup read)
+                admit_local = spark.createDataFrame(
+                    [(i,) for i in sorted(kept_ids_kn)], "doc_id long"
+                )
+                admitted = gated.join(F.broadcast(admit_local), "doc_id")
+                index_delta = sigs_all.join(F.broadcast(admit_local), "doc_id")
             _write_batch_partition(admitted, corpus_path, batch_id)
             _write_batch_partition(index_delta, index_path, batch_id)
             if dedup == "keep-newest":
                 # the digests row mirrors the corpus row's supersedes
                 # marker (r12): this narrow table is the supersession
                 # system of record — visible-view readers and RTBF
-                # chain expansion never need the corpus for markers
-                digest_delta = digest_keep.join(admit_ids, "doc_id")
-                if sup_map is not None:
-                    digest_delta = digest_delta.join(sup_map, "doc_id", "left")
+                # chain expansion never need the corpus for markers.
+                # Built from the CACHED digest_keep relation, not the
+                # collected rows, so the raw timestamp values never
+                # round-trip through Python.
+                digest_delta = digest_keep.join(
+                    F.broadcast(admit_local), "doc_id"
+                )
+                if sup_map_pairs:
+                    digest_delta = digest_delta.join(
+                        F.broadcast(sup_map_local), "doc_id", "left"
+                    )
                 else:
                     digest_delta = digest_delta.withColumn(
                         "supersedes", F.lit(None).cast("long")
@@ -1230,10 +1307,10 @@ def run_streaming_curation(
                     # broadcast anti-join is map-side, so applying it
                     # to the bucketed table below preserves the
                     # bucketing the exchange-free probe rests on.
-                    # admit_ids, not kept_ids: keep-newest superseders
-                    # reach the seg index too and must self-exclude on
-                    # replay.
-                    own = F.broadcast(admit_ids)
+                    # the ADMIT set, not just fresh survivors:
+                    # keep-newest superseders reach the seg index too
+                    # and must self-exclude on replay.
+                    own = F.broadcast(admit_local)
                     seg_index = seg_index.join(own, "doc_id", "left_anti")
                     if bucket_index_table:
                         from semantic_similarity_system_using_aws_mapreduce_spark.streaming.paragraphs import (
@@ -1263,7 +1340,7 @@ def run_streaming_curation(
                                     > srow["covered_batch"]
                                 )
                                 seg_index = [base, tail]
-                if nsup is not None and seg_index is not None:
+                if nsup_pairs and seg_index is not None:
                     # a NEAR-DUP superseder's face is RE-CUT (content
                     # differs, so inheritance would be wrong), but the
                     # hidden predecessor's segment attributions would
@@ -1278,9 +1355,10 @@ def run_streaming_curation(
                     # a hash under both ids; both are chain members,
                     # so chain RTBF still erases every attribution.
                     retired = F.broadcast(
-                        nsup.select(
-                            F.col("supersedes").alias("doc_id")
-                        ).distinct()
+                        spark.createDataFrame(
+                            [(s,) for s in sorted({s for _, s in nsup_pairs})],
+                            "doc_id long",
+                        )
                     )
                     if isinstance(seg_index, list):
                         seg_index = [
@@ -1292,7 +1370,8 @@ def run_streaming_curation(
                             retired, "doc_id", "left_anti"
                         )
                 para_input = admitted
-                if sup is not None:
+                inherit = None
+                if sup_pairs:
                     # a superseder's content is digest-identical to
                     # its predecessor, so its clean face IS the
                     # predecessor's — INHERIT it under the new id
@@ -1310,10 +1389,16 @@ def run_streaming_curation(
                         spark, corpus_path + CLEAN_SUFFIX
                     )
                     if prev_clean is not None:
-                        m = sup.select(
-                            F.col("supersedes").alias("doc_id"),
-                            F.col("doc_id").alias("_new_id"),
+                        # predecessor -> new id, as a broadcast local
+                        # map (one pair per exact superseder)
+                        m = spark.createDataFrame(
+                            [(s, d) for d, s in sorted(sup_pairs)],
+                            "doc_id long, _new_id long",
                         )
+                        # cached: the union below AND the inherited-id
+                        # collect both read it, and which predecessors
+                        # actually HAVE a face is only knowable from
+                        # the clean table's contents
                         inherit = (
                             prev_clean.join(F.broadcast(m), "doc_id")
                             .select(
@@ -1325,11 +1410,24 @@ def run_streaming_curation(
                             )
                             .cache()
                         )
-                        para_input = admitted.join(
-                            F.broadcast(inherit.select("doc_id")),
-                            "doc_id",
-                            "left_anti",
-                        )
+                        inherited_ids = [
+                            r["doc_id"]
+                            for r in inherit.select("doc_id").collect()
+                        ]
+                        if inherited_ids:
+                            para_input = admitted.join(
+                                F.broadcast(
+                                    spark.createDataFrame(
+                                        [(i,) for i in sorted(inherited_ids)],
+                                        "doc_id long",
+                                    )
+                                ),
+                                "doc_id",
+                                "left_anti",
+                            )
+                        else:
+                            inherit.unpersist()
+                            inherit = None
                 clean, seg_delta, seg_cache = paragraph_delta(
                     para_input, seg_index
                 )
@@ -1344,16 +1442,20 @@ def run_streaming_curation(
                     )
                 finally:
                     seg_cache.unpersist()
+                    if inherit is not None:
+                        inherit.unpersist()
             if stats:
                 # per-batch ingest funnel (arrived -> gate -> dedup),
                 # the streaming face of the curation CLI's funnel
-                # report: three counts, each over a cached relation,
-                # written idempotently into the batch's own partition
-                # so replays rewrite rather than double-count
-                n_kept = kept.count() + sum(
-                    r.count()
-                    for r in (sup, nsup, revived)
-                    if r is not None
+                # report: written idempotently into the batch's own
+                # partition so replays rewrite rather than
+                # double-count.  The admit decision is already held
+                # driver-side (both dedup modes) — zero extra jobs.
+                n_kept = (
+                    len(kept_ids_kn)
+                    + len(sup_pairs)
+                    + len(nsup_pairs)
+                    + len(revived_ids)
                 )
                 row = [
                     (
@@ -1428,18 +1530,7 @@ def run_streaming_curation(
                         dedup_keys=("seg_hash",),
                     )
         finally:
-            if kept is not None:
-                kept.unpersist()
-            for extra_cache in (
-                sigs_all,
-                sup,
-                nsup,
-                revived,
-                scored,
-                kn_probe,
-                digest_keep,
-                inherit,
-            ):
+            for extra_cache in (sigs_all, digest_keep):
                 if extra_cache is not None:
                     extra_cache.unpersist()
             gated.unpersist()
