@@ -34,6 +34,32 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """All Spark-side query results, computed CONCURRENTLY (guide
+    §2.6: actions are only sequential because the driver calls them
+    sequentially — a thread pool lets the scheduler overlap the 116
+    small sf0.01 jobs, which cut this module's wall-clock ~4x without
+    touching a single assertion).  Each per-query test still compares
+    its own query's (columns, rows) against its own DuckDB oracle;
+    a query that raises stores its exception and the owning test
+    re-raises it, so failure attribution stays per-query."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            return name, (sdf.columns, [tuple(r) for r in sdf.collect()]), None
+        except Exception as exc:  # noqa: BLE001 — re-raised in the test
+            return name, None, exc
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        out = {}
+        for name, res, exc in pool.map(run, sorted(QUERIES)):
+            out[name] = (res, exc)
+    return out
+
+
 def _norm_cell(v):
     # (null_flag, value) keeps rows sortable when a column mixes NULLs
     # with values (e.g. lag() first rows)
@@ -63,10 +89,11 @@ def test_every_query_has_oracle():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+def test_query_matches_oracle(spark_results, duck, name):
+    res, exc = spark_results[name]
+    if exc is not None:
+        raise exc
+    scols, srows = res
 
     ddf = duck.execute(ORACLES[name])
     dcols = [d[0] for d in ddf.description]
