@@ -541,6 +541,10 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window sum instead of a third corpus pass + 1-row crossJoin
     # (before: 3 explode passes, 2 corpus-wide exchanges; after: 2
     # passes, 1).
+    # the keyless window funnels freq through ONE partition — safe
+    # here ONLY because freq is bounded at ~|alphabet|^2 rows (char
+    # bigram types, not occurrences); do not copy this pattern to an
+    # unbounded relation (ADVICE r12)
     freq = (
         bigrams.groupBy("bg")
         .agg(F.count("*").alias("c"))
@@ -786,14 +790,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack (q_ann_lsh_topk / q_cosine_pairs), the pairing every
     retrieval pipeline ships (BM25 candidates -> dense rerank).
 
-    Scale shape — NO corpus-wide shuffle anywhere: doc length is
-    map-side (`F.size` of the token array, no explode survives it),
-    the exploded token stream is filtered to the BROADCAST query-term
-    set before the tf groupBy (so the only aggregation shuffles
-    postings of the query terms, not the corpus), df/idf derive from
-    that same tiny tf relation, and N/Σdl is a 1-row broadcast
-    (the S5 counters pattern).  At 100 TB this scans once and
-    shuffles kilobytes.
+    Scale shape — ONE corpus pass, NO corpus-wide shuffle anywhere:
+    the corpus is tokenized once into a persisted NARROW per-doc
+    relation (dl + the tokens matching the literal query-term set,
+    filtered map-side), totals and the tf groupBy both read it (so
+    the only aggregation shuffles postings of the query terms, not
+    the corpus), df/idf derive from that same tiny tf relation, and
+    N/Σdl is a 1-row broadcast (the S5 counters pattern).  At 100 TB
+    this scans once and shuffles kilobytes.
 
     Cross-engine exactness: dl sums and tf are integers; each term's
     real-valued BM25 contribution is quantized to int64 micro-units
@@ -808,24 +812,43 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact arithmetic end to end; the differential tests cover
     the agreement empirically (ADVICE r5 corrected the stronger
     claim the docstring used to make)."""
+    from pyspark import StorageLevel
+
     docs = _docs_spread(spark, sf_dir)
-    lengths = docs.select(
-        "doc_id", _tokens_col().alias("_toks")
-    ).select("doc_id", "_toks", F.size("_toks").alias("dl"))
-    totals = lengths.agg(
+    # ONE corpus tokenize pass (r13, VERDICT r12 #5): totals (all-doc
+    # dl statistics) and tf (query-term postings) previously each
+    # re-tokenized the corpus — and q_hybrid_rrf re-runs this whole
+    # query as its lexical arm, so the double pass doubled again.
+    # The persisted relation is NARROW by construction: dl is one int
+    # and _qtoks keeps only tokens in the ~10-term literal query set
+    # (array_contains against a literal array, map-side), so the cache
+    # holds two ints + a near-empty array per doc — not the token
+    # arrays an earlier rejected formulation persisted (r5 note).
+    qterm_lits = F.array(
+        *[F.lit(t) for t in sorted({t for _, t in _BM25_TERMS})]
+    )
+    staged = (
+        docs.select("doc_id", _tokens_col().alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.filter(
+                "_toks", lambda t: F.array_contains(qterm_lits, t)
+            ).alias("_qtoks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = staged.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     qterms = spark.createDataFrame(_BM25_TERMS, "q_id long, term string")
 
     # df as a WINDOW count over the (tiny, query-terms-only) tf
     # relation instead of a separate dfreq aggregation + broadcast
-    # join: tf then has a single consumer, so the corpus is tokenized
-    # exactly once with no persist needed (profiled: the old
-    # persist-and-join shape cost ~1 s of the query; same df values,
-    # oracle unchanged)
+    # join (same df values, oracle unchanged)
     tf = (
-        lengths.select("doc_id", "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        staged.filter(F.size("_qtoks") > 0)
+        .select("doc_id", "dl", F.explode("_qtoks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .withColumn("df", F.count("*").over(Window.partitionBy("term")))
