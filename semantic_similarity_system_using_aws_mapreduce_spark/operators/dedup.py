@@ -1098,14 +1098,22 @@ def prefix_jaccard_join(
     # and both verify sides — persist so the tokenize+shingle+md5
     # chain runs once (the duplicate_spans / lsh_candidates pattern)
     hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
-    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # n folded into the ranking window (r13, VERDICT r12 #7): the
+    # row_number window already shuffles hashes⨝dfreq by doc_id, and
+    # count(*) over the SAME partition (unordered frame, no second
+    # exchange — the partitioning is established once) IS the per-doc
+    # shingle count: dfreq covers every h, so the inner join preserves
+    # all of a doc's rows and the windowed count equals the old
+    # groupBy(doc_id) aggregate exactly.  Removes the separate sizes
+    # aggregate + doc_id join that fed the prefix filter.
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
     ranked = (
         hashes.join(dfreq, "h")
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count("*").over(by_doc))
         .withColumn(
             "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+            F.row_number().over(by_doc.orderBy("df", "h")),
         )
     )
     # prefix length = n - ceil(t*n/1000) + 1, all-integer
@@ -1161,14 +1169,20 @@ def prefix_containment_join(
 
     t = threshold_permille
     hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
+    # sizes stays for the candidate pruning and the verify gate below;
+    # the RANKED relation no longer joins it — n rides the ranking
+    # window itself (count over the same doc_id partition; dfreq's
+    # inner join preserves every row, so the windowed count equals the
+    # aggregate — r13, VERDICT r12 #7, same fold as the jaccard form)
     sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
     ranked = (
         hashes.join(dfreq, "h")
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count("*").over(by_doc))
         .withColumn(
             "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+            F.row_number().over(by_doc.orderBy("df", "h")),
         )
     )
     prefix = ranked.filter(
