@@ -87,14 +87,22 @@ def assign_clusters(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
     # one parsed expression (see _d2_sql): identical tree to the old
-    # per-lambda construction, ~200 fewer py4j round trips per call
+    # per-lambda construction, ~200 fewer py4j round trips per call.
+    # The vector column is pre-aliased to a fixed internal name
+    # (ADVICE r12): interpolating a caller's vec_col into the parsed
+    # SQL would mis-parse names needing backticks and silently bind a
+    # name colliding with a lambda variable (c/x/y/acc/v) to the
+    # lambda instead of the column.
     best = F.expr(
         "array_min(transform(cents, c -> named_struct("
-        f"'dist2', round({_d2_sql(vec_col, 'c.cvec')}, 6), 'cluster', c.rank)))"
+        f"'dist2', round({_d2_sql('_cl_vec', 'c.cvec')}, 6), 'cluster', c.rank)))"
     )
     return (
-        emb.crossJoin(F.broadcast(cents))
-        .select(F.col(id_col).alias("vec_id"), best.alias("m"))
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cl_vec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", best.alias("m"))
         .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
     )
 
@@ -227,9 +235,13 @@ def pq_encode(
     same no-blowup contract as :func:`assign_clusters`.  Encoding a
     100 TB corpus is a single scan.
 
-    ``dim`` (r12): callers that already know the embedding dimension
-    (the ADC search, which probes it once for its own slicing) pass it
-    in so this function runs NO eager dimension-probe job of its own —
+    ``dim`` (r12): a PROBE BYPASS for callers that already know the
+    true embedding dimension (the ADC search derives it from the
+    collected codebook) — it is trusted unvalidated, because the
+    guard would cost an expression on every row: a wrong dim silently
+    slices truncated subvectors (zip_with null-pads), so pass only a
+    measured value.  With it, this function runs NO eager
+    dimension-probe job of its own —
     the probe was ~0.2-0.9 s of every PQ bench row's wall-clock,
     doubled when encode ran under the search.  Slice bounds stay
     LITERAL either way: the r12 session measured a fully-lazy variant
@@ -258,14 +270,15 @@ def pq_encode(
         cents = seed_centroids(emb, k, id_col, vec_col).agg(
             F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
         )
-    out_cols = [F.col(id_col).alias("vec_id")]
+    out_cols = [F.col("vec_id")]
     errs = []
 
     def _best(j: int):
         # one parsed expression per subspace (see _d2_sql): the argmin
         # over the pre-sliced codebook, identical tree to the old
-        # per-lambda construction
-        subv = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        # per-lambda construction.  `_cl_vec` is the pre-aliased
+        # vector column (ADVICE r12 — see assign_clusters).
+        subv = f"slice(_cl_vec, {j * sub + 1}, {sub})"
         return F.expr(
             f"array_min(transform(cents{j}, c -> named_struct("
             f"'d2', round({_d2_sql(subv, 'c.cvec')}, 6), 'code', c.rank)))"
@@ -276,7 +289,13 @@ def pq_encode(
         out_cols.append(best["code"].cast("int").alias(f"c{j}"))
         out_cols.append(best["d2"].alias(f"e{j}"))
         errs.append(f"e{j}")
-    enc = emb.crossJoin(F.broadcast(_sliced_cents(cents, m, sub))).select(*out_cols)
+    enc = (
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cl_vec")
+        )
+        .crossJoin(F.broadcast(_sliced_cents(cents, m, sub)))
+        .select(*out_cols)
+    )
     total = F.col(errs[0])
     for e in errs[1:]:
         total = total + F.col(e)
@@ -319,19 +338,33 @@ def pq_adc_topk(
     One dimension probe total (r12): the probe feeds this function's
     own slicing AND rides into :func:`pq_encode` via ``dim`` — the
     encode no longer re-probes, halving the eager jobs the bench row
-    paid before a single distance was computed."""
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    paid before a single distance was computed.
+
+    Zero pre-plan probe jobs (r13, VERDICT r12 #9): the seed codebook
+    — k rows of (rank, cvec), the MODEL, the same driver-sized state
+    :func:`kmeans_lloyd` already collects per iteration — is collected
+    once, the embedding dimension read off its first vector (seeds ARE
+    corpus vectors, so their length is the corpus dimension), and the
+    one-row cents relation rebuilt as a LOCAL literal.  This replaces
+    BOTH the old eager size() probe job and the distributed seed
+    top-k subplan every consumer re-broadcast (ReuseExchange shared it
+    within one query, but it still materialized per query); seed
+    values round-trip exactly (float32 -> Python float -> float32 is
+    value-faithful)."""
+    cent_rows = seed_centroids(emb, k, id_col, vec_col).collect()
+    if not cent_rows:
         raise ValueError("empty embedding relation")
-    d = first["d"]
+    d = len(cent_rows[0]["cvec"])
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
     sub = d // m
 
-    # ONE cents relation feeds both the code side (via pq_encode) and
-    # the query tables: byte-identical broadcast subplans, so Catalyst's
-    # ReuseExchange materializes the seed top-k once per query
-    cents = seed_centroids(emb, k, id_col, vec_col).agg(
+    # ONE local cents relation feeds both the code side (via
+    # pq_encode) and the query tables
+    cents = emb.sparkSession.createDataFrame(
+        [(r["rank"], r["cvec"]) for r in cent_rows],
+        "rank int, cvec array<float>",
+    ).agg(
         F.sort_array(F.collect_list(F.struct("rank", "cvec"))).alias("cents")
     )
     codes = pq_encode(
