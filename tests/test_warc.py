@@ -222,6 +222,34 @@ def test_response_mojibake_is_counted_not_thrown(spark, tmp_path):
     assert "good text then" in row.body
 
 
+def test_warc_extraction_runs_once_above_the_spread(spark, tmp_path):
+    """Plan-shape pin for the r12 extraction fence (ADVICE r12): the
+    spark_partition_id() guard in warc_text_documents relies on two
+    Catalyst behaviors (non-deterministic expressions block predicate
+    pushdown AND CollapseProject duplication).  If a future Spark
+    release relaxes either, the whole charset-decode + tag-strip chain
+    silently re-duplicates below the round-robin spread — a measured
+    3.7x extraction regression with no functional signal.  Pin the
+    shape: the html_to_text regex chain (its `(script|style)`
+    alternation is unique to it) appears EXACTLY once in the physical
+    plan, and ABOVE the spread Exchange (plans print root-first, so
+    "above" = earlier in the string)."""
+    body = b"<html><body><p>some page text here</p></body></html>"
+    arch = _record(
+        "plan0", "response", _http_payload(body), "http://plan.example/a"
+    )
+    (tmp_path / "p.warc").write_bytes(arch)
+    from semantic_similarity_system_using_aws_mapreduce_spark.sources.warc import warc_text_documents
+
+    docs, _ = warc_text_documents(read_warc(spark, str(tmp_path)))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("(script|style)") == 1, "html_to_text evaluated != once"
+    if "RoundRobinPartitioning" in plan:
+        assert plan.index("(script|style)") < plan.index(
+            "RoundRobinPartitioning"
+        ), "extraction pushed below the spread Exchange"
+
+
 def test_curation_cli_reads_wet(spark, tmp_path):
     """--format wet: a raw WET crawl extract flows through the full
     curation funnel — archive -> records -> documents -> gate/dedup —
