@@ -1100,21 +1100,24 @@ def prefix_jaccard_join(
     hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
     # n folded into the ranking window (r13, VERDICT r12 #7): the
     # row_number window already shuffles hashes⨝dfreq by doc_id, and
-    # count(*) over the SAME partition (unordered frame, no second
-    # exchange — the partitioning is established once) IS the per-doc
-    # shingle count: dfreq covers every h, so the inner join preserves
-    # all of a doc's rows and the windowed count equals the old
-    # groupBy(doc_id) aggregate exactly.  Removes the separate sizes
-    # aggregate + doc_id join that fed the prefix filter.
+    # count(*) over the SAME partition IS the per-doc shingle count:
+    # dfreq covers every h, so the inner join preserves all of a doc's
+    # rows and the windowed count equals the old groupBy(doc_id)
+    # aggregate exactly.  Removes the separate sizes aggregate + the
+    # doc_id join that fed the prefix filter.  The count rides the
+    # SAME (partition, order) spec as row_number with an explicit
+    # whole-partition frame — identical value, but both functions
+    # evaluate in ONE WindowExec over one sort (an unordered count
+    # window would plan its own second sort of the relation).
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
-    by_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "h")
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
         hashes.join(dfreq, "h")
-        .withColumn("n", F.count("*").over(by_doc))
-        .withColumn(
-            "rn",
-            F.row_number().over(by_doc.orderBy("df", "h")),
-        )
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
     )
     # prefix length = n - ceil(t*n/1000) + 1, all-integer
     prefix = ranked.filter(
@@ -1171,19 +1174,21 @@ def prefix_containment_join(
     hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)  # caller-owned: __init__ contract
     # sizes stays for the candidate pruning and the verify gate below;
     # the RANKED relation no longer joins it — n rides the ranking
-    # window itself (count over the same doc_id partition; dfreq's
-    # inner join preserves every row, so the windowed count equals the
-    # aggregate — r13, VERDICT r12 #7, same fold as the jaccard form)
+    # window itself, on the SAME (partition, order) spec as row_number
+    # with a whole-partition frame so both evaluate in one WindowExec
+    # over one sort (r13, VERDICT r12 #7, same fold as the jaccard
+    # form; dfreq's inner join preserves every row, so the windowed
+    # count equals the aggregate)
     sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = hashes.groupBy("h").agg(F.count("*").alias("df"))
-    by_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "h")
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
         hashes.join(dfreq, "h")
-        .withColumn("n", F.count("*").over(by_doc))
-        .withColumn(
-            "rn",
-            F.row_number().over(by_doc.orderBy("df", "h")),
-        )
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr(f"(n * {t} + 999) div 1000") + 1
