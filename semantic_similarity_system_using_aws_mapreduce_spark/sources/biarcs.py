@@ -42,6 +42,18 @@ _TOK_CACHE: dict[str, str] = {}
 _STEM_CACHE: dict[str, str] = {}
 _CACHE_MAX = 1 << 20
 
+#: bytes of raw corpus text per spread partition (r13, VERDICT r12
+#: #3: "repartition to data, not to cores").  The stem UDF is the
+#: per-byte cost the spread exists to parallelize; below ~2 MB of
+#: lines a partition's stem work no longer amortizes its Python
+#: worker spin-up + Arrow channel setup, so a tiny corpus fans out
+#: to ceil(bytes / this) partitions instead of unconditionally to
+#: the core count (a 200k-line ~17 MB bench corpus gets 9-way spread
+#: where a 1M-line ~80 MB one still saturates 32 cores — measured
+#: quiet A/B in OPTIMIZATION_r13.md; at production line counts the
+#: cap is always the core count, unchanged).
+SPREAD_SPLIT_BYTES = 2 << 20
+
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _stem_rewrite_tokens(ngrams: pd.Series) -> pd.Series:
@@ -115,18 +127,46 @@ def read_biarcs(
 
     ``spread_to``: when the text source yields fewer splits than this
     (file-split heuristics gave a 1M-line corpus 19 skewed splits),
-    round-robin the RAW LINES across that many partitions BEFORE the
-    parse + stem projections, so the expensive work runs at full
-    parallelism and the shuffle carries the narrow unparsed text (the
-    guide's repartition-after-unsplittable-read pattern; previously the
+    round-robin the RAW LINES BEFORE the parse + stem projections, so
+    the expensive work runs at full parallelism and the shuffle
+    carries the narrow unparsed text (the guide's
+    repartition-after-unsplittable-read pattern; previously the
     pipeline repartitioned the parsed relation ABOVE the stem UDF,
-    which left stemming at scan parallelism).  No-op when the source
-    already has enough splits — at production scale no shuffle is
-    added.
+    which left stemming at scan parallelism).  The fan-out is sized to
+    the DATA (ceil(bytes / SPREAD_SPLIT_BYTES)) and only capped by
+    ``spread_to`` (r13): a tiny corpus must not pay ``spread_to``
+    Python-worker spin-ups for sub-MB slices of stem work.  No-op when
+    the source already has enough splits — at production scale no
+    shuffle is added.
     """
     raw = spark.read.text(path)
-    if spread_to is not None and raw.rdd.getNumPartitions() < spread_to:
-        raw = raw.repartition(spread_to)
+    if spread_to is not None:
+        parts = raw.rdd.getNumPartitions()
+        if parts < spread_to:
+            # spread sized to the DATA, capped at the caller's core
+            # count (guide §2.5): ceil(input_bytes / SPREAD_SPLIT_BYTES)
+            # partitions, never fewer than the scan already has.  The
+            # byte count comes from Catalyst's file-index statistics —
+            # driver-side metadata, no job.
+            import math
+
+            try:
+                size_b = int(
+                    str(
+                        raw._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                )
+                target = min(
+                    spread_to,
+                    max(parts, math.ceil(size_b / SPREAD_SPLIT_BYTES)),
+                )
+            except Exception:  # noqa: BLE001 — stats unavailable: old rule
+                target = spread_to
+            if target > parts:
+                raw = raw.repartition(target)
     # Java's String.split drops TRAILING empty fields (Step1.java:30
     # operates on that arity); strip trailing tabs so a line like
     # "a<TAB>b<TAB>c<TAB>" counts 3 fields here too.
