@@ -744,24 +744,36 @@ def response_bodies(records: DataFrame) -> DataFrame:
         F.substring(probe, 1, 5) == F.lit("HTTP/"),
         F.split(F.substring(probe, 1, 64), " ").getItem(1).cast("int"),
     )
-    # TWO projections, deliberately: `body` is a ~25-branch decode
-    # CASE, and deriving n_chars/n_repl from it in the SAME select
-    # would inline that tree once per use — the fused stage then
-    # overflows Janino's 64 KB method limit and the whole projection
-    # falls back to interpreted eval.  A multi-use non-cheap alias is
-    # not collapsed by CollapseProject, so the split keeps the decode
-    # computed once AND the generated code within codegen limits.
+    # THREE projections, deliberately.  (1) `_cs`/`_bb` materialize
+    # the sniffed charset and the binary body: the decode CASE
+    # compares the charset in ~50 branch conditions (25 for text, 25
+    # for the name), and inlining the sniff tree (two regexp_extracts
+    # + map lookup) into every condition re-evaluated it per branch
+    # per row — conditional branches are outside common-subexpression
+    # elimination's reach (measured r13: the whole response chain
+    # 1.9 -> 0.8 s at bench scale from this split alone).  (2) `body`
+    # is the ~25-branch decode CASE, its own projection so (3) the
+    # n_chars/n_repl derivations don't inline that tree once per use —
+    # the fused stage otherwise overflows Janino's 64 KB method limit
+    # and falls back to interpreted eval.  Multi-use non-cheap aliases
+    # are not collapsed by CollapseProject, so each split holds.
     with _charset_scope(records.sparkSession):
-        body, used = _decoded_body(
-            body_bin, _sniffed_charset(header_probe, body_probe)
-        )
-        decoded = records.filter(
+        staged = records.filter(
             (~F.col("corrupt")) & (F.col("warc_type") == "response")
         ).select(
             "record_id",
             "target_uri",
             "warc_date",
             status.alias("http_status"),
+            body_bin.alias("_bb"),
+            _sniffed_charset(header_probe, body_probe).alias("_cs"),
+        )
+        body, used = _decoded_body(F.col("_bb"), F.col("_cs"))
+        decoded = staged.select(
+            "record_id",
+            "target_uri",
+            "warc_date",
+            "http_status",
             body.alias("body"),
             used.alias("charset"),
         )
